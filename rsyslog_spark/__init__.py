@@ -1,0 +1,34 @@
+"""rsyslog_spark — a PySpark-native log analytics engine.
+
+A from-scratch reimplementation of the query / data-processing
+capabilities of rsyslog (reference: rgerhards/rsyslog, surveyed in
+/root/repo/SURVEY.md) expressed as idiomatic PySpark: DataFrame plans,
+Catalyst-optimizable Column expressions, broadcast-join enrichment,
+salted aggregations, and Arrow-vectorized pandas UDFs only where SQL
+cannot express the semantics.
+
+Input data model (BASELINE.json input_hint): an Iceberg/parquet table of
+pre-tokenized training sequences
+
+    doc_id: string, tokens: array<int32>, n_tok: int32, source: string
+
+where ``decode(tokens)`` is one raw syslog line. The engine never
+mutates ``tokens`` (per-row invariant: byte-identical pass-through).
+
+Layout:
+    session     SparkSession factory with scale-oriented defaults
+    corpus      deterministic synthetic logtokens corpus (seed-free,
+                derived arithmetically from the driver's events table)
+    parsing     tokens->line decode, PRI, RFC3164/RFC5424 header parse
+    rules       RainerScript-semantics rule compiler -> Column predicates
+    functions   RainerScript built-in function library -> Columns
+    templates   template compiler (projection operator) -> Columns
+    lookup      4 lookup-table flavors as broadcast joins
+    aggregates  dynstats / salted aggs / percentile windows / ratelimit
+    datapipe    training-data ops: dedup, simsearch, text quality
+    streaming   Structured Streaming equivalents
+    lineage     per-partition metrics via observe()
+    sinks       single-pass multi-sink writers
+"""
+
+__version__ = "0.1.0"
