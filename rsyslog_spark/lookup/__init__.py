@@ -1,0 +1,167 @@
+"""Lookup tables: rsyslog's 4 enrichment flavors as Spark primitives.
+
+Reference: /root/reference/runtime/lookup.c — JSON-loaded tables with a
+``nomatch`` default (lookup.c:392-398), reloadable on HUP
+(lookup.c:910-1050; here: rebuild the object per batch/epoch).
+
+Flavors and their Spark realizations (SURVEY.md §2.6):
+
+- string (exact match, lookup.c:400-416): literal-map Column for
+  expression contexts, broadcast hash equi-join for bulk enrichment
+- array (dense uint32 index, lookup.c:418-436): element_at on a
+  literal array
+- sparseArray (greatest key ≤ probe, lookup.c:437-485): as-of
+  semantics — literal-array filter+max in expressions, broadcast range
+  join for bulk
+- regex (first matching row wins, lookup.c:486-520): coalesce of rlike
+
+All tables are *dimension-sized* (they were in-memory hash tables in a
+single rsyslog process), so every join here must broadcast — never a
+shuffle of the fact side.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+
+class LookupTable:
+    """One loaded lookup table (any flavor)."""
+
+    def __init__(
+        self,
+        name: str,
+        kind: str = "string",
+        table: list[tuple] | dict | None = None,
+        nomatch: str = "",
+    ):
+        self.name = name
+        self.kind = kind
+        self.nomatch = nomatch
+        if isinstance(table, dict):
+            table = list(table.items())
+        self.rows: list[tuple] = sorted(table or [], key=lambda r: r[0]) \
+            if kind in ("string", "array", "sparseArray") else list(table or [])
+
+    # --- constructors -------------------------------------------------
+
+    @classmethod
+    def from_json(cls, name: str, text: str) -> "LookupTable":
+        """Parse the reference .lkp_tbl format:
+        {"version":1, "nomatch":"x", "type":"string",
+         "table":[{"index":k, "value":v}, ...]}"""
+        doc = json.loads(text)
+        rows = [(r["index"], r["value"]) for r in doc.get("table", [])]
+        return cls(
+            name,
+            kind=doc.get("type", "string"),
+            table=rows,
+            nomatch=doc.get("nomatch", ""),
+        )
+
+    @classmethod
+    def from_file(cls, name: str, path: str) -> "LookupTable":
+        with open(path) as fh:
+            return cls.from_json(name, fh.read())
+
+    # --- expression-context lookup (Column in, Column out) -------------
+
+    def lookup_col(self, key: Column) -> Column:
+        """lookup(tbl, key) inside a filter/set expression. Compiles to
+        literal structures evaluated JVM-side — right for the
+        dimension-sized tables rsyslog supports (its tables lived in
+        process memory too). Bulk enrichment should use enrich()."""
+        if self.kind == "string":
+            if not self.rows:
+                return F.lit(self.nomatch)
+            kv = []
+            for k, v in self.rows:
+                kv += [F.lit(str(k)), F.lit(str(v))]
+            return F.coalesce(
+                F.try_element_at(F.create_map(*kv), key.cast("string")),
+                F.lit(self.nomatch),
+            )
+        if self.kind == "array":
+            # dense: index first_key + offset (lookup.c:594-625)
+            first = self.rows[0][0]
+            vals = F.array(*[F.lit(str(v)) for _k, v in self.rows])
+            idx = key.cast("long") - F.lit(first) + 1
+            got = F.when(
+                (idx >= 1) & (idx <= len(self.rows)), F.try_element_at(vals, idx.cast("int"))
+            )
+            return F.coalesce(got, F.lit(self.nomatch))
+        if self.kind == "sparseArray":
+            # greatest key <= probe (bsearch_lte, lookup.c:437-485)
+            keys = F.array(*[F.lit(int(k)) for k, _v in self.rows])
+            kv = []
+            for k, v in self.rows:
+                kv += [F.lit(int(k)), F.lit(str(v))]
+            m = F.create_map(*kv)
+            probe = key.cast("long")
+            le = F.filter(keys, lambda k: k <= probe)
+            best = F.array_max(le)
+            return F.coalesce(F.try_element_at(m, best), F.lit(self.nomatch))
+        if self.kind == "regex":
+            # first matching regex wins (lookup.c:486-520)
+            out = None
+            ks = key.cast("string")
+            for pat, v in self.rows:
+                hit = F.when(ks.rlike(str(pat)), F.lit(str(v)))
+                out = hit if out is None else F.coalesce(out, hit)
+            if out is None:
+                return F.lit(self.nomatch)
+            return F.coalesce(out, F.lit(self.nomatch))
+        raise ValueError(f"unknown lookup kind {self.kind}")
+
+    # --- bulk enrichment (broadcast joins) ------------------------------
+
+    def to_df(self, spark) -> DataFrame:
+        if self.kind in ("string", "regex"):
+            return spark.createDataFrame(
+                [(str(k), str(v)) for k, v in self.rows], "lkp_key string, lkp_value string"
+            )
+        return spark.createDataFrame(
+            [(int(k), str(v)) for k, v in self.rows], "lkp_key long, lkp_value string"
+        )
+
+    def enrich(
+        self, df: DataFrame, key_col: str | Column, out_col: str
+    ) -> DataFrame:
+        """Broadcast enrichment join; nomatch default applied."""
+        key = F.col(key_col) if isinstance(key_col, str) else key_col
+        spark = df.sparkSession
+        dim = self.to_df(spark)
+        if self.kind == "string":
+            j = df.join(
+                broadcast(dim), key.cast("string") == dim["lkp_key"], "left"
+            )
+            return j.withColumn(
+                out_col, F.coalesce(dim["lkp_value"], F.lit(self.nomatch))
+            ).drop("lkp_key", "lkp_value")
+        if self.kind in ("array", "sparseArray"):
+            # as-of: broadcast range join — the dim is tiny, so the
+            # nested-loop stays cheap and the fact side never shuffles
+            nxt = F.lead("lkp_key").over(Window.orderBy("lkp_key"))
+            dim2 = dim.withColumn("lkp_next", nxt)
+            cond = (key.cast("long") >= dim2["lkp_key"]) & (
+                dim2["lkp_next"].isNull() | (key.cast("long") < dim2["lkp_next"])
+            )
+            if self.kind == "array":
+                cond = key.cast("long") == dim2["lkp_key"]
+            j = df.join(broadcast(dim2), cond, "left")
+            return j.withColumn(
+                out_col, F.coalesce(dim2["lkp_value"], F.lit(self.nomatch))
+            ).drop("lkp_key", "lkp_value", "lkp_next")
+        if self.kind == "regex":
+            return df.withColumn(out_col, self.lookup_col(key))
+        raise ValueError(f"unknown lookup kind {self.kind}")
+
+
+def enrich_sources(df: DataFrame, sources: DataFrame, on: str = "source") -> DataFrame:
+    """Per-source metadata broadcast join (north_star requirement;
+    dnscache / per-source config analog, runtime/dnscache.c)."""
+    return df.join(broadcast(sources), on, "left")

@@ -59,13 +59,13 @@ def decode_tokens(tokens: Column | str) -> Column:
 
 def facility_text(fac: Column) -> Column:
     """facility int → name (element_at is 1-indexed)."""
-    return F.element_at(
+    return F.try_element_at(
         F.array(*[F.lit(x) for x in FACILITY_TEXT]), fac.cast("int") + 1
     )
 
 
 def severity_text(sev: Column) -> Column:
-    return F.element_at(
+    return F.try_element_at(
         F.array(*[F.lit(x) for x in SEVERITY_TEXT]), sev.cast("int") + 1
     )
 

@@ -1,0 +1,294 @@
+"""AST → Column compiler with RainerScript coercion semantics.
+
+Coercion rules mirrored from /root/reference/grammar/rainerscript.c:
+- ``==``/``!=`` (3878-4041): number vs number → numeric; if one side is
+  a string and the other numeric, try numeric conversion of the string
+  side first, else compare as strings (3909-3916); RHS array literal →
+  membership test (evalStrArrayCmp, 3903).
+- ``< <= > >=`` via eval_strcmp_like (3839, 4026-4041): numeric if both
+  coercible, else lexicographic.
+- contains/contains_i/startswith/startswith_i/endswith (4042-4097):
+  string ops; RHS array = OR-of-matches. No endswith_i in the reference.
+- ``&`` string concat; ``+ - * / %`` int64 arithmetic with var2Number
+  coercion (non-numeric → 0, 1490); division by zero → NULL here
+  (reference raises script error state — documented divergence).
+- An array in scalar position evaluates to its first element
+  (4143-4148).
+
+Properties resolve via a property map (name → Column + type tag);
+unknown ``$!x`` paths resolve into the ``cee`` map column, ``$.x``
+into the router's local-variable environment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from rsyslog_spark.functions import REGISTRY
+from rsyslog_spark.rules.selectors import prifilt
+
+# type tags: 'N' number, 'S' string, 'B' bool, 'A' array, '?' unknown
+NUMERIC_SPARK = {"int", "bigint", "long", "smallint", "tinyint", "double", "float"}
+
+# default property → (column name, type tag); matches the parse() output
+# schema plus corpus columns. (PROP ids: /root/reference/runtime/typedefs.h:194-248)
+DEFAULT_PROPS: dict[str, tuple[str, str]] = {
+    "$msg": ("msg", "S"),
+    "$rawmsg": ("rawmsg", "S"),
+    "$hostname": ("hostname", "S"),
+    "$source": ("source", "S"),
+    "$fromhost": ("hostname", "S"),
+    "$syslogtag": ("syslogtag", "S"),
+    "$programname": ("programname", "S"),
+    "$pri": ("pri", "N"),
+    "$syslogfacility": ("facility", "N"),
+    "$syslogseverity": ("severity", "N"),
+    "$syslogpriority": ("severity", "N"),
+    "$app-name": ("programname", "S"),
+    "$procid": ("procid", "S"),
+    "$msgid": ("msgid", "S"),
+    "$structured-data": ("structured_data", "S"),
+    "$timereported": ("timereported_str", "S"),
+    "$timestamp": ("timereported_str", "S"),
+    "$protocol-version": ("protocol_version", "N"),
+    "$parsesuccess": ("parse_success", "B"),
+    "$doc_id": ("doc_id", "S"),
+    "$inputname": ("source", "S"),
+}
+
+
+class Env:
+    """Compilation environment: property map + `$.` local variables."""
+
+    def __init__(self, props: dict | None = None):
+        self.props = dict(DEFAULT_PROPS)
+        if props:
+            self.props.update(props)
+        self.locals: dict[str, tuple[Column, str]] = {}
+        self.lookups: dict[str, object] = {}  # name → LookupTable
+
+    def resolve(self, name: str) -> tuple[Column, str]:
+        if name.startswith("$."):
+            if name[2:] in self.locals:
+                return self.locals[name[2:]]
+            return F.lit(None).cast("string"), "S"  # unset local → ""
+        if name.startswith("$!"):
+            path = name[2:].split("!")
+            col = F.col("cee")
+            for p in path:
+                col = F.try_element_at(col, p) if p else col
+            return col, "S"
+        if name in self.props:
+            cname, tag = self.props[name]
+            return (F.col(cname) if isinstance(cname, str) else cname), tag
+        # fall back to a raw column of that name
+        return F.col(name.lstrip("$")), "?"
+
+
+def _to_num(col: Column, tag: str) -> Column:
+    """var2Number (rainerscript.c:1490): non-coercible string → 0."""
+    if tag == "N":
+        return col.cast("long")
+    if tag == "B":
+        return col.cast("int").cast("long")
+    return F.coalesce(col.try_cast("long"), F.lit(0))
+
+
+def _to_str(col: Column, tag: str) -> Column:
+    return col if tag == "S" else col.cast("string")
+
+
+def compile_expr(ast, env: Env | None = None) -> Column:
+    col, _tag = _compile(ast, env or Env())
+    return col
+
+
+def _scalarize(ast):
+    """Array in scalar position → first element (rainerscript.c:4143)."""
+    if ast[0] == "array" and ast[1]:
+        return ast[1][0]
+    return ast
+
+
+def _compile(ast, env: Env) -> tuple[Column, str]:
+    kind = ast[0]
+    if kind == "num":
+        return F.lit(ast[1]).cast("long"), "N"
+    if kind == "str":
+        return F.lit(ast[1]), "S"
+    if kind == "var":
+        return env.resolve(ast[1])
+    if kind == "array":
+        cols = [_compile(_scalarize(a), env)[0] for a in ast[1]]
+        return F.array(*cols), "A"
+    if kind == "call":
+        return _compile_call(ast[1], ast[2], env)
+    if kind == "unop":
+        op, x = ast[1], ast[2]
+        c, t = _compile(_scalarize(x), env)
+        if op == "not":
+            return ~c.cast("boolean"), "B"
+        if op == "-":
+            return -_to_num(c, t), "N"
+        raise ValueError(f"unknown unop {op}")
+    if kind == "binop":
+        return _compile_binop(ast[1], ast[2], ast[3], env)
+    raise ValueError(f"unknown AST node {kind}")
+
+
+def _literal_values(ast):
+    """Literal array → python values (for isin), else None."""
+    if ast[0] != "array":
+        return None
+    vals = []
+    for item in ast[1]:
+        if item[0] in ("num", "str"):
+            vals.append(item[1])
+        else:
+            return None
+    return vals
+
+
+def _compile_binop(op, l_ast, r_ast, env: Env) -> tuple[Column, str]:
+    if op in ("and", "or"):
+        lc, _ = _compile(_scalarize(l_ast), env)
+        rc, _ = _compile(_scalarize(r_ast), env)
+        lb, rb = lc.cast("boolean"), rc.cast("boolean")
+        return (lb & rb) if op == "and" else (lb | rb), "B"
+
+    if op in ("==", "!=") and r_ast[0] == "array":
+        # membership test (evalStrArrayCmp, rainerscript.c:3903): string
+        # compare of each element
+        lc, lt = _compile(_scalarize(l_ast), env)
+        vals = _literal_values(r_ast)
+        ls = _to_str(lc, lt)
+        if vals is not None:
+            pred = ls.isin([str(v) for v in vals])
+        else:
+            arr, _ = _compile(r_ast, env)
+            pred = F.array_contains(arr.cast("array<string>"), ls)
+        return (pred if op == "==" else ~pred), "B"
+
+    if op in ("contains", "contains_i", "startswith", "startswith_i", "endswith"):
+        lc, lt = _compile(_scalarize(l_ast), env)
+        ls = _to_str(lc, lt)
+        items = r_ast[1] if r_ast[0] == "array" else [r_ast]
+        preds = []
+        for item in items:
+            rc, rt = _compile(_scalarize(item), env)
+            rs = _to_str(rc, rt)
+            a, b = (F.lower(ls), F.lower(rs)) if op.endswith("_i") else (ls, rs)
+            base = op.rstrip("_i") if op.endswith("_i") else op
+            if base == "contains":
+                preds.append(a.contains(b))
+            elif base == "startswith":
+                preds.append(a.startswith(b))
+            else:
+                preds.append(a.endswith(b))
+        out = preds[0]
+        for p in preds[1:]:
+            out = out | p
+        return out, "B"
+
+    l_ast, r_ast = _scalarize(l_ast), _scalarize(r_ast)
+    lc, lt = _compile(l_ast, env)
+    rc, rt = _compile(r_ast, env)
+
+    if op == "&":
+        return F.concat(_to_str(lc, lt), _to_str(rc, rt)), "S"
+    if op in ("+", "-", "*", "/", "%"):
+        ln, rn = _to_num(lc, lt), _to_num(rc, rt)
+        if op == "+":
+            return ln + rn, "N"
+        if op == "-":
+            return ln - rn, "N"
+        if op == "*":
+            return ln * rn, "N"
+        if op == "/":
+            return F.when(rn != 0, (ln / rn).cast("long")), "N"
+        return F.when(rn != 0, ln % rn), "N"
+
+    if op in ("==", "!="):
+        pred = _cmp_eq(lc, lt, rc, rt, l_ast, r_ast)
+        return (pred if op == "==" else ~pred), "B"
+    if op in ("<", "<=", ">", ">="):
+        return _cmp_rel(op, lc, lt, rc, rt), "B"
+    raise ValueError(f"unknown binop {op}")
+
+
+def _cmp_eq(lc, lt, rc, rt, l_ast, r_ast) -> Column:
+    """rainerscript.c:3893-3916 equality coercion."""
+    if lt == "N" and rt == "N":
+        return lc.eqNullSafe(rc)
+    if lt == "S" and rt == "S":
+        # if one side is a string *literal* → plain string compare
+        return lc.eqNullSafe(rc)
+    # mixed: try numeric conversion of the string side first
+    s_col, n_col = (lc, rc) if lt != "N" else (rc, lc)
+    s_num = s_col.try_cast("long")
+    return F.when(s_num.isNotNull(), s_num == n_col.cast("long")).otherwise(
+        s_col.cast("string") == n_col.cast("string")
+    )
+
+
+def _cmp_rel(op, lc, lt, rc, rt) -> Column:
+    """eval_strcmp_like (rainerscript.c:3839): numeric if both sides
+    coerce, else lexicographic."""
+    ops = {
+        "<": lambda a, b: a < b,
+        "<=": lambda a, b: a <= b,
+        ">": lambda a, b: a > b,
+        ">=": lambda a, b: a >= b,
+    }
+    f = ops[op]
+    if lt == "N" and rt == "N":
+        return f(lc, rc)
+    ln = lc.cast("long") if lt == "N" else lc.try_cast("long")
+    rn = rc.cast("long") if rt == "N" else rc.try_cast("long")
+    return F.when(
+        ln.isNotNull() & rn.isNotNull(), f(ln, rn)
+    ).otherwise(f(_to_str(lc, lt), _to_str(rc, rt)))
+
+
+def _compile_call(name: str, args: list, env: Env) -> tuple[Column, str]:
+    name = name.lower()
+    if name == "prifilt":
+        if args[0][0] != "str":
+            raise ValueError("prifilt() needs a literal selector")
+        fac, _ = env.resolve("$syslogfacility")
+        sev, _ = env.resolve("$syslogseverity")
+        return prifilt(args[0][1], fac, sev), "B"
+    if name == "lookup":
+        if args[0][0] != "str":
+            raise ValueError("lookup() needs a literal table name")
+        tbl = env.lookups.get(args[0][1])
+        if tbl is None:
+            raise ValueError(f"lookup table {args[0][1]!r} not registered")
+        key, _ = _compile(_scalarize(args[1]), env)
+        return tbl.lookup_col(key), "S"
+    if name == "exists":
+        c, _ = _compile(args[0], env)
+        return c.isNotNull(), "B"
+    if name == "getenv":
+        # folded at parse time in the reference (rainerscript.c:2165)
+        import os
+
+        val = os.environ.get(args[0][1], "") if args[0][0] == "str" else ""
+        return F.lit(val), "S"
+    if name == "script_error":
+        return F.lit(0).cast("long"), "N"
+    fn = REGISTRY.get(name)
+    if fn is None:
+        raise ValueError(f"unknown function {name!r}")
+    compiled = []
+    for a in args:
+        if a[0] in ("num", "str"):
+            compiled.append(a[1])  # pass literals natively (regex args etc.)
+        else:
+            compiled.append(_compile(_scalarize(a), env)[0])
+    out = fn(*compiled)
+    tag = "N" if name in ("strlen", "cnum", "ipv42num", "ip42num",
+                          "hash64", "hash32", "hash64mod", "hash32mod",
+                          "parse_time", "random") else "S"
+    return out, tag

@@ -1,0 +1,209 @@
+"""Route compiler: statement list → per-sink predicate Columns.
+
+rsyslog executes statements sequentially per message with mutable
+state (`scriptExec`, /root/reference/runtime/ruleset.c:536-593):
+``set`` mutates variables, ``stop`` halts processing, actions fire for
+whatever reaches them. We compile this imperative program to pure
+dataflow by symbolic execution over Column expressions:
+
+- a *path condition* ``pc`` tracks the enclosing if/else branch
+- a *liveness* predicate tracks ``stop`` (ruleset.c:553-555): a stop
+  under condition C removes C-rows from every later statement
+- ``set $.x`` becomes SSA-style conditional rebinding:
+  ``x' = when(pc & live, expr).otherwise(x)`` — exactly the hard part
+  called out in SURVEY.md §7
+- ``call ruleset`` inlines the callee (depth-capped like
+  RULESET_CALL_DEPTH_MAX=1024, ruleset.c:64)
+- ``action(...)`` records (sink, pc & live, params); omdiscard is
+  rewritten to stop, mirroring cnfstmtOptimize
+  (/root/reference/grammar/rainerscript.c:5889-5898)
+
+The result is a single-pass plan: every predicate is evaluated once
+over one scan, then either summed (`route_counts`) or fanned out to
+sink tables (`write_sinks`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rsyslog_spark.rules.compiler import Env, _compile, _scalarize
+from rsyslog_spark.rules.rscript import parse_script
+
+MAX_CALL_DEPTH = 1024  # ruleset.c:64
+
+
+@dataclass
+class Action:
+    sink: str
+    predicate: Column
+    params: dict = field(default_factory=dict)
+
+
+class _State:
+    def __init__(self, env: Env):
+        self.env = env
+        self.live: Column = F.lit(True)
+        self.actions: list[Action] = []
+        self.rulesets: dict[str, list] = {}
+        self.n_anon = 0
+
+
+def _sink_name(params: dict, state: _State) -> str:
+    for k in ("name", "file", "topic", "table"):
+        if k in params:
+            return str(params[k])
+    state.n_anon += 1
+    return f"action{state.n_anon}"
+
+
+def _walk(stmts: list, pc: Column, state: _State, depth: int = 0) -> None:
+    if depth > MAX_CALL_DEPTH:
+        raise RecursionError("ruleset call depth exceeded (ref cap 1024)")
+    for st in stmts:
+        kind = st[0]
+        if kind == "nop":
+            continue
+        if kind == "if":
+            cond, _ = _compile(_scalarize(st[1]), state.env)
+            cond = F.coalesce(cond.cast("boolean"), F.lit(False))
+            _walk(st[2], pc & cond, state, depth)
+            if st[3]:
+                _walk(st[3], pc & ~cond, state, depth)
+        elif kind == "set":
+            var = st[1]
+            if not var.startswith("$."):
+                raise ValueError(f"can only set local $. variables, got {var}")
+            name = var[2:]
+            new, tag = _compile(_scalarize(st[2]), state.env)
+            old = state.env.locals.get(name)
+            eff = pc & state.live
+            if old is None:
+                col = F.when(eff, new)
+            else:
+                col = F.when(eff, new).otherwise(old[0])
+            state.env.locals[name] = (col, tag)
+        elif kind == "unset":
+            name = st[1][2:]
+            old = state.env.locals.get(name)
+            if old is not None:
+                eff = pc & state.live
+                state.env.locals[name] = (
+                    F.when(~eff, old[0]),
+                    old[1],
+                )
+        elif kind == "stop":
+            state.live = state.live & ~pc
+        elif kind == "action":
+            params = st[1]
+            if str(params.get("type", "")).lower() == "omdiscard":
+                state.live = state.live & ~pc
+                continue
+            state.actions.append(
+                Action(_sink_name(params, state), pc & state.live, params)
+            )
+        elif kind == "call_rs":
+            callee = state.rulesets.get(st[1])
+            if callee is None:
+                raise ValueError(f"unknown ruleset {st[1]!r}")
+            _walk(callee, pc, state, depth + 1)
+        elif kind == "ruleset":
+            state.rulesets[st[1]] = st[2]
+        else:
+            raise ValueError(f"unsupported statement {kind}")
+
+
+def compile_routes(
+    script: str | list, env: Env | None = None
+) -> tuple[list[Action], Env]:
+    """Compile a RainerScript routing program.
+
+    Top-level ``ruleset(name=...){...}`` blocks are registered and a
+    ruleset named "main" (if present) is the entry point; otherwise the
+    bare top-level statements are the program.
+    """
+    stmts = parse_script(script) if isinstance(script, str) else script
+    env = env or Env()
+    state = _State(env)
+    top = [s for s in stmts if s[0] != "ruleset"]
+    for s in stmts:
+        if s[0] == "ruleset":
+            state.rulesets[s[1]] = s[2]
+    entry = state.rulesets.get("main", top)
+    _walk(entry, F.lit(True), state)
+    return state.actions, env
+
+
+class Router:
+    """Applies compiled routes to a DataFrame as boolean columns."""
+
+    def __init__(self, script: str, env: Env | None = None):
+        self.actions, self.env = compile_routes(script, env)
+
+    @property
+    def sinks(self) -> list[str]:
+        return [a.sink for a in self.actions]
+
+    def apply(self, df: DataFrame, keep_locals: bool = False) -> DataFrame:
+        """Add one boolean ``route_<sink>`` column per action — a single
+        narrow projection, no shuffle, evaluated in one pass."""
+        cols = [
+            F.coalesce(a.predicate, F.lit(False)).alias(f"route_{a.sink}")
+            for a in self.actions
+        ]
+        if keep_locals:
+            cols += [
+                col.alias(f"local_{name}")
+                for name, (col, _t) in self.env.locals.items()
+            ]
+        return df.select("*", *cols)
+
+    def route_counts(self, df: DataFrame) -> DataFrame:
+        """Per-sink routed-row counts in ONE aggregation job (no cache,
+        no second scan): sum of predicate ints."""
+        routed = self.apply(df)
+        aggs = [
+            F.sum(F.col(f"route_{a.sink}").cast("long")).alias(a.sink)
+            for a in self.actions
+        ]
+        wide = routed.agg(*aggs)
+        # unpivot to (sink, n) rows
+        pairs = []
+        for a in self.actions:
+            pairs += [F.lit(a.sink), F.col(a.sink)]
+        return wide.select(
+            F.explode(F.create_map(*pairs)).alias("sink", "n")
+        )
+
+    def write_sinks(
+        self,
+        df: DataFrame,
+        base_path: str,
+        fmt: str = "parquet",
+        partition_by: dict[str, list[str]] | None = None,
+    ) -> dict[str, str]:
+        """Single-pass multi-sink write (SURVEY.md §2.10): materialize
+        the routed scan once, then each sink writes its filtered slice.
+        ``partition_by`` maps sink → partition columns (the omfile
+        dynafile-template ≙ partitionBy analogy, tools/omfile.c:133)."""
+        routed = self.apply(df)
+        routed.persist()
+        try:
+            out = {}
+            for a in self.actions:
+                path = f"{base_path}/{a.sink}"
+                w = routed.filter(F.col(f"route_{a.sink}")).drop(
+                    *[f"route_{x.sink}" for x in self.actions]
+                )
+                pb = (partition_by or {}).get(a.sink)
+                writer = w.write.mode("overwrite")
+                if pb:
+                    writer = writer.partitionBy(*pb)
+                writer.format(fmt).save(path)
+                out[a.sink] = path
+            return out
+        finally:
+            routed.unpersist()

@@ -1,0 +1,216 @@
+"""Rule engine tests: selectors, coercion matrix, routing semantics.
+
+Coercion matrix mirrors the reference's 12-file test grid
+tests/rscript_compare_{num,numstr,str}-{num,numstr,str}.sh; expected
+truth values follow grammar/rainerscript.c:3893-4041."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from rsyslog_spark.rules import Router, compile_expr, prifilt, selector_mask
+from rsyslog_spark.rules.compiler import Env
+from rsyslog_spark.rules.selectors import mask_predicate, mask_sql
+
+
+def _eval(spark, expr_src, row=None, schema="facility int, severity int"):
+    """Evaluate a rule expression against a one-row DataFrame."""
+    row = row or [(2, 6)]
+    df = spark.createDataFrame(row, schema)
+    return df.select(compile_expr_auto(expr_src, df).alias("r")).first().r
+
+
+def compile_expr_auto(src, df):
+    from rsyslog_spark.rules.rscript import parse_expr
+
+    env = Env()
+    return compile_expr_with_env(parse_expr(src), env)
+
+
+def compile_expr_with_env(ast, env):
+    from rsyslog_spark.rules.compiler import _compile
+
+    col, _ = _compile(ast, env)
+    return col
+
+
+# ---------------- selectors ----------------
+
+def test_selector_masks():
+    # mail.info: facility 2, severities 0..6
+    m = selector_mask("mail.info")
+    assert m[2] == 0b01111111 and m[0] == 0
+    # *.=err : all facilities, exactly err(3)
+    m = selector_mask("*.=err")
+    assert all(x == 0b1000 for x in m)
+    # combined with none-clear
+    m = selector_mask("*.info;kern.none")
+    assert m[0] == 0 and m[1] == 0b01111111
+    # negation: mail.*;mail.!err clears err-and-more-important
+    m = selector_mask("mail.*;mail.!err")
+    assert m[2] == 0b11110000
+    # exact negation
+    m = selector_mask("mail.*;mail.!=err")
+    assert m[2] == 0b11110111
+
+
+def test_selector_predicate(spark):
+    df = spark.createDataFrame(
+        [(2, 6), (2, 3), (0, 3), (5, 1)], "facility int, severity int"
+    )
+    got = df.filter(prifilt("mail.info")).count()
+    assert got == 2  # (2,6) and (2,3)
+    got = df.filter(prifilt("*.=err")).count()
+    assert got == 2  # severity 3 rows
+    # SQL rendering agrees
+    import duckdb
+
+    m = selector_mask("mail.info;*.=err;kern.none")
+    sql = mask_sql(m)
+    rows = duckdb.sql(
+        "select count(*) from (values (2,6),(2,3),(0,3),(5,1)) "
+        f"t(facility, severity) where {sql}"
+    ).fetchone()[0]
+    # (2,6) via mail.info, (2,3) via both; (0,3) killed by kern.none
+    assert rows == df.filter(mask_predicate(m)).count() == 2
+
+
+# ---------------- coercion matrix ----------------
+
+@pytest.mark.parametrize(
+    "expr,expected",
+    [
+        # num vs num
+        ("100 == 100", True),
+        ("100 <= 99", False),
+        # numstr vs num: numeric conversion of the string side
+        ('"100" == 100', True),
+        ('"0100" == 100', True),  # numeric compare, not string
+        ('"100" >= 99', True),
+        # str vs num: not coercible → string compare
+        ('"abc" == 100', False),
+        ('"abc" != 100', True),
+        # str vs str lexicographic
+        ('"abc" < "abd"', True),
+        ('"20" < "9"', False),  # both coercible → numeric (20 < 9 false)
+        ('"zz" > "aa"', True),
+        # array membership
+        ('"b" == ["a","b","c"]', True),
+        ('"d" == ["a","b","c"]', False),
+        ('"d" != ["a","b","c"]', True),
+        # string ops
+        ('"hello world" contains "lo w"', True),
+        ('"HELLO" contains_i "hell"', True),
+        ('"hello" startswith "he"', True),
+        ('"Hello" startswith_i "he"', True),
+        ('"hello" endswith "llo"', True),
+        ('"hello" contains ["x","ell"]', True),
+        # arithmetic & concat
+        ("1 + 2 * 3 == 7", True),
+        ('"a" & "b" == "ab"', True),
+        ('cnum("12abc") == 0', True),  # var2Number: bad → 0
+        ("7 % 3 == 1", True),
+        ("not (1 == 2)", True),
+        ("1 == 1 and 2 == 2", True),
+        ("1 == 2 or 2 == 2", True),
+    ],
+)
+def test_coercion_matrix(spark, expr, expected):
+    got = _eval(spark, expr)
+    assert bool(got) == expected, f"{expr} → {got}"
+
+
+def test_division_semantics(spark):
+    assert _eval(spark, "7 / 2") == 3  # int64 division
+    assert _eval(spark, "10 / 0") is None  # divergence: NULL not error
+
+
+# ---------------- routing ----------------
+
+SCRIPT = """
+set $.sev_class = "low";
+if $syslogseverity <= 3 then {
+    set $.sev_class = "high";
+    action(name="urgent")
+}
+if prifilt("mail.info") then {
+    action(name="mail")
+    stop
+}
+if $msg contains "drop-me" then stop
+action(name="catchall")
+"""
+
+
+def test_router_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            # facility, severity, msg
+            (2, 2, "mail crit"),      # urgent + mail, stopped before catchall
+            (2, 6, "mail info"),      # mail, stopped
+            (0, 3, "kern err"),       # urgent + catchall
+            (5, 6, "drop-me please"), # dropped before catchall
+            (5, 6, "normal"),         # catchall only
+        ],
+        "facility int, severity int, msg string",
+    )
+    r = Router(SCRIPT)
+    routed = r.apply(df, keep_locals=True)
+    rows = {
+        (x.facility, x.severity): x
+        for x in routed.collect()
+    }
+    assert rows[(2, 2)].route_urgent and rows[(2, 2)].route_mail
+    assert not rows[(2, 2)].route_catchall  # stop in mail branch
+    assert rows[(2, 6)].route_mail and not rows[(2, 6)].route_catchall
+    assert rows[(0, 3)].route_urgent and rows[(0, 3)].route_catchall
+    assert not rows[(5, 6)].route_urgent
+    d = [x for x in routed.collect() if x.msg.startswith("drop-me")][0]
+    assert not d.route_catchall
+    n = [x for x in routed.collect() if x.msg == "normal"][0]
+    assert n.route_catchall and not n.route_mail
+    # set/SSA: locals reflect branch
+    assert rows[(2, 2)].local_sev_class == "high"
+    assert rows[(2, 6)].local_sev_class == "low"
+
+
+def test_router_counts_one_pass(spark):
+    df = spark.createDataFrame(
+        [(2, 6, "x")] * 10 + [(0, 3, "y")] * 5,
+        "facility int, severity int, msg string",
+    )
+    r = Router(SCRIPT)
+    counts = dict(r.route_counts(df).collect())
+    assert counts["mail"] == 10
+    assert counts["urgent"] == 5
+    assert counts["catchall"] == 5
+
+
+def test_ruleset_call(spark):
+    script = """
+ruleset(name="sub") {
+    if $syslogseverity == 0 then action(name="panic")
+}
+ruleset(name="main") {
+    call sub
+    action(name="all")
+}
+"""
+    df = spark.createDataFrame([(0,), (5,)], "severity int")
+    r = Router(script)
+    routed = r.apply(df)
+    got = {(x.severity): (x.route_panic, x.route_all) for x in routed.collect()}
+    assert got[0] == (True, True)
+    assert got[5] == (False, True)
+
+
+def test_omdiscard_rewrite(spark):
+    script = """
+if $msg contains "junk" then action(type="omdiscard")
+action(name="keep")
+"""
+    df = spark.createDataFrame([("junk here",), ("fine",)], "msg string")
+    r = Router(script)
+    counts = dict(r.route_counts(df).collect())
+    assert counts["keep"] == 1
