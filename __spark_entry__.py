@@ -1,10 +1,20 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship query (per-sink routed counts) on sf0.001
+queries()    — one entry per implemented operator (SURVEY.md §2)
+oracle_sql() — DuckDB-equivalent SQL per query (pre-registered views:
+               region nation customer supplier part orders lineitem
+               events documents embeddings)
+
+The log-pipeline queries run the FULL engine path (events → rendered
+syslog lines → int32 tokens → decode → parse → route/aggregate) while
+their oracles derive expected values *arithmetically* from the raw
+events columns (fragments in rsyslog_spark.corpus.ORACLE) — the oracle
+never parses anything, so agreement genuinely certifies the engine.
+
+All numeric outputs are BIGINT/long on both sides; float columns are
+avoided (integer cents for value aggregates) so value-hash comparison
+is exact.
 """
 
 from __future__ import annotations
@@ -12,27 +22,599 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from rsyslog_spark import corpus, flagship
+from rsyslog_spark import aggregates as agg
+from rsyslog_spark import mm
+from rsyslog_spark import functions as fn
+from rsyslog_spark.templates import compile_template
+
+O = corpus.ORACLE  # duckdb derivation fragments
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full decode→parse→route pipeline, per-sink counts."""
+    return flagship.route_counts(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# spark-side query builders
+# ---------------------------------------------------------------------------
+
+def _events(spark, sf):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+def _docs(spark, sf):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _emb(spark, sf):
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+def q_parse_headers(spark, sf):
+    p = flagship.build_parsed(spark, sf)
+    return p.select(
+        "doc_id",
+        F.col("pri").cast("long").alias("pri"),
+        F.col("facility").cast("long").alias("facility"),
+        F.col("severity").cast("long").alias("severity"),
+        "hostname",
+        "programname",
+        "syslogtag",
+        "procid",
+        "msgid",
+        "msg",
+        "timereported_str",
+        F.col("protocol_version").cast("long").alias("protocol_version"),
+    )
+
+
+def q_route_counts(spark, sf):
+    return flagship.route_counts(spark, sf)
+
+
+def q_agg_fac_sev_source(spark, sf):
+    p = flagship.build_parsed(spark, sf)
+    return agg.salted_counts(p, ["facility", "severity", "source"]).select(
+        F.col("facility").cast("long").alias("facility"),
+        F.col("severity").cast("long").alias("severity"),
+        "source",
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def q_dynstats_prog(spark, sf):
+    p = flagship.build_parsed(spark, sf)
+    return agg.dyn_stats(p, ["programname"]).select(
+        "programname", F.col("n").cast("long").alias("n")
+    )
+
+
+def q_lookup_site(spark, sf):
+    r = flagship.routed(spark, sf)
+    return r.groupBy(F.col("local_site").alias("site")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def q_lookup_sparse_quartile(spark, sf):
+    p = flagship.build_parsed(spark, sf)
+    env = flagship.make_env()
+    k = fn.cnum(fn.ltrim(fn.field(F.col("msg"), "=", 2)))
+    quart = env.lookups["kquart"].lookup_col(k)
+    return p.select(quart.alias("quartile")).groupBy("quartile").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def q_ratelimit(spark, sf):
+    ev = _events(spark, sf)
+    out = agg.ratelimit(
+        ev, ["user_id"], "ts", interval_seconds=3600, burst=5, tiebreak="event_id"
+    )
+    return out.filter("rl_pass").groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pass")
+    )
+
+
+def q_repeat_runs(spark, sf):
+    ev = _events(spark, sf)
+    out = agg.last_message_repeated(ev, ["user_id"], "event_type", ["event_id"])
+    return out.select(
+        "user_id",
+        "event_type",
+        F.col("n_repeats").cast("long").alias("n_repeats"),
+        F.col("event_id").cast("long").alias("event_id"),
+    )
+
+
+def q_perctile_value(spark, sf):
+    ev = _events(spark, sf).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    out = agg.perctile_batch(ev, ["event_type"], "cents", [0.5, 0.95])
+    return out.select(
+        "event_type",
+        F.col("w_min").cast("long").alias("w_min"),
+        F.col("w_max").cast("long").alias("w_max"),
+        F.col("w_sum").cast("long").alias("w_sum"),
+        F.col("w_count").cast("long").alias("w_count"),
+        F.col("p50").cast("long").alias("p50"),
+        F.col("p95").cast("long").alias("p95"),
+    )
+
+
+def q_template_lines(spark, sf):
+    p = flagship.build_parsed(spark, sf)
+    line = compile_template("RSYSLOG_TraditionalFileFormat")
+    return p.select("doc_id", line.alias("line"))
+
+
+def q_msg_field(spark, sf):
+    p = flagship.build_parsed(spark, sf)
+    return p.select(
+        "doc_id", fn.field(F.col("msg"), ":", 2).alias("msgnum")
+    )
+
+
+def q_sd_params(spark, sf):
+    p = mm.mmpstrucdata(flagship.build_parsed(spark, sf))
+    return p.filter(F.col("sd_params").isNotNull()).select(
+        "doc_id",
+        F.try_element_at("sd_params", F.lit("k")).alias("sd_k"),
+        F.try_element_at("sd_params", F.lit("src")).alias("sd_src"),
+        "sd_id",
+    )
+
+
+def q_json_k(spark, sf):
+    ev = _events(spark, sf)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select((k % 10).alias("k_mod")).groupBy("k_mod").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def q_functions_showcase(spark, sf):
+    ev = _events(spark, sf)
+    et = F.col("event_type")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        fn.toupper(et).alias("up_type"),
+        fn.substring(et, 1, 3).alias("sub3"),
+        fn.replace(et, "e", "E").alias("repl"),
+        fn.strlen(et).cast("long").alias("slen"),
+        fn.int2hex(k).alias("khex"),
+        fn.num2ipv4(F.col("event_id") % 4294967296).alias("ipstr"),
+        fn.wrap(et, '"').alias("wrapped"),
+    )
+
+
+def q_prifilt_mail_daemon(spark, sf):
+    from rsyslog_spark.rules import prifilt
+
+    p = flagship.build_parsed(spark, sf)
+    return p.filter(prifilt("mail,daemon.warning")).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def q_propfilt_startswith(spark, sf):
+    p = flagship.build_parsed(spark, sf)
+    return p.filter(F.col("programname").startswith("p")).groupBy(
+        "programname"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+def q_mmanon_hosts(spark, sf):
+    ev = _events(spark, sf)
+    ip = fn.num2ipv4((F.col("event_id") * 7919) % 4294967296)
+    anon = mm.mmanon_ip(ip, bits=16)
+    return ev.select(anon.alias("anon_ip")).groupBy("anon_ip").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def q_mm_count(spark, sf):
+    ev = _events(spark, sf)
+    out = agg.mm_count(ev, ["user_id"], ["event_id"])
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("mmcount").cast("long").alias("mmcount"),
+    )
+
+
+def q_sender_stats(spark, sf):
+    p = flagship.build_parsed(spark, sf)
+    out = agg.sender_stats(p, "hostname", "doc_id")
+    return out.select(
+        "hostname",
+        F.col("n_msgs").cast("long").alias("n_msgs"),
+        F.col("first_seen").alias("first_doc"),
+        F.col("last_seen").alias("last_doc"),
+    )
+
+
+# --- training-data pipeline -------------------------------------------------
+
+def q_dedup_exact_docs(spark, sf):
+    from rsyslog_spark.datapipe import exact_dedup
+
+    return exact_dedup(_docs(spark, sf)).select(
+        "fingerprint",
+        F.col("n_dups").cast("long").alias("n_dups"),
+        F.col("keep_id").cast("long").alias("keep_id"),
+    )
+
+
+def q_doc_token_stats(spark, sf):
+    from rsyslog_spark.datapipe import token_count
+    from rsyslog_spark.datapipe.textstats import bpe_ish_token_count
+
+    d = _docs(spark, sf)
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def q_langid_docs(spark, sf):
+    from rsyslog_spark.datapipe import language_id
+
+    d = language_id(_docs(spark, sf))
+    return d.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def q_quality_components(spark, sf):
+    d = _docs(spark, sf)
+    t = F.col("text")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.split(F.trim(t), r"\s+")).cast("long").alias("n_words"),
+        F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).cast("long").alias(
+            "alpha_chars"
+        ),
+        F.length(F.regexp_replace(t, r"[^!-/:-@\[-`{-~]", "")).cast("long").alias(
+            "punct_chars"
+        ),
+    )
+
+
+def q_simsearch_topk(spark, sf):
+    from rsyslog_spark.datapipe import brute_force_topk
+
+    emb = _emb(spark, sf)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = brute_force_topk(emb, queries, k=5)
+    return out.select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# rows-only checks (no SQL-expressible oracle): hash-based sketches
+def q_minhash_pairs(spark, sf):
+    from rsyslog_spark.datapipe import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _docs(spark, sf), num_hashes=32, bands=8, shingle_k=3, threshold=0.8
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    )
+
+
+def q_embedding_dup_pairs(spark, sf):
+    from rsyslog_spark.datapipe import embedding_dedup_pairs
+
+    return embedding_dedup_pairs(
+        _emb(spark, sf), threshold=0.99, n_planes=10, dim=64
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    )
+
+
+def q_media_decode(spark, sf):
+    from rsyslog_spark.datapipe import decode_media_batch
+    from rsyslog_spark.datapipe.multimodal import synth_media
+
+    return decode_media_batch(synth_media(spark, 64), n_features=8).select(
+        "media_id", "modality", F.col("n_bytes").cast("long").alias("n_bytes"),
+        "decode_ok",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "parse_headers": q_parse_headers,
+        "route_counts": q_route_counts,
+        "agg_fac_sev_source": q_agg_fac_sev_source,
+        "dynstats_prog": q_dynstats_prog,
+        "lookup_site": q_lookup_site,
+        "lookup_sparse_quartile": q_lookup_sparse_quartile,
+        "ratelimit": q_ratelimit,
+        "repeat_runs": q_repeat_runs,
+        "perctile_value": q_perctile_value,
+        "template_lines": q_template_lines,
+        "msg_field": q_msg_field,
+        "sd_params": q_sd_params,
+        "json_k": q_json_k,
+        "functions_showcase": q_functions_showcase,
+        "prifilt_mail_daemon": q_prifilt_mail_daemon,
+        "propfilt_startswith": q_propfilt_startswith,
+        "mmanon_hosts": q_mmanon_hosts,
+        "mm_count": q_mm_count,
+        "sender_stats": q_sender_stats,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "doc_token_stats": q_doc_token_stats,
+        "langid_docs": q_langid_docs,
+        "quality_components": q_quality_components,
+        "simsearch_topk": q_simsearch_topk,
+        "minhash_pairs": q_minhash_pairs,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        "media_decode": q_media_decode,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# duckdb oracles
+# ---------------------------------------------------------------------------
+
+_SITE_CASE = (
+    f"CASE {O['source']} WHEN 'src0' THEN 'siteA' WHEN 'src1' THEN 'siteB' "
+    "WHEN 'src2' THEN 'siteC' ELSE 'siteX' END"
+)
+_K = "CAST(json_extract(props, '$.k') AS VARCHAR)"
+_KN = "CAST(json_extract(props, '$.k') AS BIGINT)"
+_COMMERCE = "event_type IN ('error','purchase')"
+
+_LANG_MARKERS_SQL = {
+    "en": "('the','and','of','to','is','in','that','it')",
+    "es": "('el','la','de','que','y','los','en','un')",
+    "de": "('der','die','und','das','ist','nicht','ein','zu')",
+    "fr": "('le','la','les','de','et','est','un','une')",
+}
+
+
+def _lang_score(lang: str) -> str:
+    return (
+        "(len(list_filter(string_split_regex(lower(text), '\\s+'), "
+        f"x -> x IN {_LANG_MARKERS_SQL[lang]})) * 1.0 / "
+        "greatest(len(string_split_regex(lower(text), '\\s+')), 1))"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sev, fac = O["severity"], O["facility"]
+    return {
+        "parse_headers": f"""
+            SELECT {O['doc_id']} AS doc_id,
+                   CAST({O['pri']} AS BIGINT) AS pri,
+                   CAST({fac} AS BIGINT) AS facility,
+                   CAST({sev} AS BIGINT) AS severity,
+                   {O['hostname']} AS hostname,
+                   {O['programname']} AS programname,
+                   {O['syslogtag']} AS syslogtag,
+                   CASE WHEN event_id % 7 = 0 THEN {O['procid']} END AS procid,
+                   {O['msgid']} AS msgid,
+                   {O['msg']} AS msg,
+                   {O['timereported_str']} AS timereported_str,
+                   CAST(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT)
+                       AS protocol_version
+            FROM events
+        """,
+        "route_counts": f"""
+            SELECT 'commerce' AS sink,
+                   CAST(count(*) FILTER (WHERE {_COMMERCE}) AS BIGINT) AS n
+            FROM events
+            UNION ALL
+            SELECT 'k7', CAST(count(*) FILTER (
+                       WHERE NOT {_COMMERCE} AND {_K} LIKE '7%') AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'rest', CAST(count(*) FILTER (WHERE NOT {_COMMERCE}) AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'urgent', CAST(count(*) FILTER (WHERE {sev} <= 3) AS BIGINT)
+            FROM events
+        """,
+        "agg_fac_sev_source": f"""
+            SELECT CAST({fac} AS BIGINT) AS facility,
+                   CAST({sev} AS BIGINT) AS severity,
+                   {O['source']} AS source,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2, 3
+        """,
+        "dynstats_prog": """
+            SELECT event_type AS programname, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        """,
+        "lookup_site": f"""
+            SELECT {_SITE_CASE} AS site, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        """,
+        "lookup_sparse_quartile": f"""
+            SELECT CASE WHEN {_KN} >= 75 THEN 'q4'
+                        WHEN {_KN} >= 50 THEN 'q3'
+                        WHEN {_KN} >= 25 THEN 'q2'
+                        ELSE 'q1' END AS quartile,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        """,
+        "ratelimit": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_pass FROM (
+                SELECT user_id,
+                       row_number() OVER (
+                           PARTITION BY user_id, date_trunc('hour', ts)
+                           ORDER BY ts, event_id) AS rn
+                FROM events) WHERE rn <= 5 GROUP BY user_id
+        """,
+        "repeat_runs": """
+            WITH marked AS (
+                SELECT user_id, event_type, event_id,
+                       CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                            THEN 1 ELSE 0 END AS new_run
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+            ), runs AS (
+                SELECT *, sum(new_run) OVER (
+                    PARTITION BY user_id ORDER BY event_id
+                    ROWS UNBOUNDED PRECEDING) AS run_id
+                FROM marked
+            )
+            SELECT user_id, event_type,
+                   CAST(count(*) AS BIGINT) AS n_repeats,
+                   CAST(min(event_id) AS BIGINT) AS event_id
+            FROM runs GROUP BY user_id, event_type, run_id
+        """,
+        "perctile_value": """
+            SELECT event_type,
+                   CAST(min(cents) AS BIGINT) AS w_min,
+                   CAST(max(cents) AS BIGINT) AS w_max,
+                   CAST(sum(cents) AS BIGINT) AS w_sum,
+                   CAST(count(*) AS BIGINT) AS w_count,
+                   CAST(quantile_disc(cents, 0.5) AS BIGINT) AS p50,
+                   CAST(quantile_disc(cents, 0.95) AS BIGINT) AS p95
+            FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events) GROUP BY event_type
+        """,
+        "template_lines": f"""
+            SELECT {O['doc_id']} AS doc_id,
+                   {O['timereported_str']} || ' ' || {O['hostname']} || ' ' ||
+                   {O['syslogtag']} || ' ' || {O['body']} AS line
+            FROM events
+        """,
+        "msg_field": f"""
+            SELECT {O['doc_id']} AS doc_id,
+                   lpad(CAST(event_id AS VARCHAR), 8, '0') AS msgnum
+            FROM events
+        """,
+        "sd_params": f"""
+            SELECT {O['doc_id']} AS doc_id,
+                   {_K} AS sd_k,
+                   CAST({corpus._SRC_CASE} AS VARCHAR) AS sd_src,
+                   'ex@32473' AS sd_id
+            FROM events WHERE event_id % 14 = 0
+        """,
+        "json_k": f"""
+            SELECT {_KN} % 10 AS k_mod, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        """,
+        "functions_showcase": f"""
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   upper(event_type) AS up_type,
+                   substring(event_type, 2, 3) AS sub3,
+                   replace(event_type, 'e', 'E') AS repl,
+                   CAST(length(event_type) AS BIGINT) AS slen,
+                   lower(printf('%x', {_KN})) AS khex,
+                   CAST((event_id % 4294967296) // 16777216 % 256 AS VARCHAR) || '.' ||
+                   CAST((event_id % 4294967296) // 65536 % 256 AS VARCHAR) || '.' ||
+                   CAST((event_id % 4294967296) // 256 % 256 AS VARCHAR) || '.' ||
+                   CAST((event_id % 4294967296) % 256 AS VARCHAR) AS ipstr,
+                   '"' || event_type || '"' AS wrapped
+            FROM events
+        """,
+        "prifilt_mail_daemon": f"""
+            SELECT {O['source']} AS source, CAST(count(*) AS BIGINT) AS n
+            FROM events WHERE {fac} IN (2, 3) AND {sev} <= 4
+            GROUP BY 1
+        """,
+        "propfilt_startswith": """
+            SELECT event_type AS programname, CAST(count(*) AS BIGINT) AS n
+            FROM events WHERE event_type LIKE 'p%' GROUP BY 1
+        """,
+        "mmanon_hosts": """
+            SELECT CAST(n // 16777216 % 256 AS VARCHAR) || '.' ||
+                   CAST(n // 65536 % 256 AS VARCHAR) || '.0.0' AS anon_ip,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT (event_id * 7919) % 4294967296 AS n FROM events)
+            GROUP BY 1
+        """,
+        "mm_count": """
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY event_id) AS BIGINT)
+                       AS mmcount
+            FROM events
+        """,
+        "sender_stats": f"""
+            SELECT {O['hostname']} AS hostname,
+                   CAST(count(*) AS BIGINT) AS n_msgs,
+                   min({O['doc_id']}) AS first_doc,
+                   max({O['doc_id']}) AS last_doc
+            FROM events GROUP BY 1
+        """,
+        "dedup_exact_docs": r"""
+            SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                       AS fingerprint,
+                   CAST(count(*) AS BIGINT) AS n_dups,
+                   CAST(min(doc_id) AS BIGINT) AS keep_id
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "doc_token_stats": r"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END
+                        AS BIGINT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS BIGINT)
+                        AS n_bpe_tokens
+            FROM documents
+        """,
+        "langid_docs": f"""
+            WITH scored AS (
+                SELECT {_lang_score('en')} AS s_en, {_lang_score('es')} AS s_es,
+                       {_lang_score('de')} AS s_de, {_lang_score('fr')} AS s_fr
+                FROM documents
+            )
+            SELECT CASE
+                WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0
+                    THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+                WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+                WHEN s_fr > 0 THEN 'fr'
+                ELSE 'und' END AS lang_pred,
+                CAST(count(*) AS BIGINT) AS n
+            FROM scored GROUP BY 1
+        """,
+        "quality_components": r"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                       AS n_words,
+                   CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       AS BIGINT) AS alpha_chars,
+                   CAST(length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))
+                       AS BIGINT) AS punct_chars
+            FROM documents
+        """,
+        "simsearch_topk": """
+            SELECT CAST(q_id AS BIGINT) AS q_id,
+                   CAST(cid AS BIGINT) AS vec_id,
+                   CAST(rnk AS BIGINT) AS rank
+            FROM (
+                SELECT q.vec_id AS q_id, c.vec_id AS cid,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                               c.embedding, q.embedding) DESC, c.vec_id) AS rnk
+                FROM embeddings c
+                CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
+            ) WHERE rnk <= 5
+        """,
+        # minhash_pairs, embedding_dup_pairs, media_decode: rows-only
+        # (hash-based sketches have no DuckDB-expressible oracle)
+    }

@@ -1,0 +1,248 @@
+"""Deduplication operators over a documents table (doc_id, text).
+
+Scale notes: every variant generates candidate pairs via an equi-join
+on a bucket key (shuffle on bucket hash — uniform by construction),
+then verifies candidates. No cross joins; the pair count is bounded by
+bucket collision rates, not n².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _norm_text(col: Column) -> Column:
+    """Canonicalize: lowercase, collapse whitespace, strip."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicates by normalized-text hash. Returns one row per
+    duplicate *group* (n_dups>1): (fingerprint, n_dups, keep_id, dup_ids).
+    keep_id = min id (deterministic survivor)."""
+    fp = F.md5(_norm_text(F.col(text_col))).alias("fingerprint")
+    return (
+        df.select(fp, F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("dup_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def _shingles(col: Column, k: int) -> Column:
+    """Word k-shingles of normalized text (distinct)."""
+    words = F.split(_norm_text(col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.array_join(F.slice(words, i + 1, k), " ")
+    )
+    return F.array_distinct(sh)
+
+
+def minhash_signature(
+    shingles_col: Column, num_hashes: int = 64
+) -> Column:
+    """MinHash signature from a *materialized* shingles array column:
+    sig[i] = min over shingles of xxhash64(shingle, i).
+
+    One expression, one pass structure: transform over the seed range
+    with an inner transform over the (column-referenced) shingle array.
+    IMPORTANT: pass a real column reference, not the shingle-building
+    expression — Catalyst's projection collapse would otherwise inline
+    and recompute the shingle construction num_hashes times (measured
+    140× slowdown at sf0.1 before this was restructured)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(shingles_col, lambda s: F.xxhash64(s, i))
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs.
+
+    shingle → minhash(num_hashes) → band rows of r=num_hashes/bands →
+    bucket-join on (band_idx, band_hash) → estimate Jaccard from full
+    signatures → keep est ≥ threshold. Returns (id_a, id_b, est_jaccard)
+    with id_a < id_b.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    # two shuffle barriers force each expensive array to be computed
+    # exactly once: shingle construction, then the 64-hash signature.
+    # (repartition(id) also pre-spreads hot partitions for the join.)
+    shingled = (
+        df.select(
+            F.col(id_col).alias("id"),
+            _shingles(F.col(text_col), shingle_k).alias("shingles"),
+        )
+        .filter(F.size("shingles") > 0)
+        .repartition("id")
+    )
+    sig = shingled.select(
+        "id", minhash_signature(F.col("shingles"), num_hashes).alias("sig")
+    ).repartition("id")
+
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice("sig", b * r + 1, r),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("id", "sig", F.explode(band_entries).alias("be")).select(
+        "id", "sig", F.col("be.band").alias("band"), F.col("be.bucket").alias("bucket")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(num_hashes)
+    ).alias("est_jaccard")
+    return cand.select("id_a", "id_b", est).filter(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+def word_hashes(col: Column) -> Column:
+    """xxhash64 of each word of normalized text."""
+    return F.transform(
+        F.split(_norm_text(col), " "), lambda w: F.xxhash64(w)
+    )
+
+
+def simhash(hashes_col: Column, bits: int = 32) -> Column:
+    """SimHash from a *materialized* word-hash array column: bit i of
+    the output is set iff a majority of word hashes have bit i set.
+
+    Pass a column reference (see minhash_signature note on projection
+    collapse); each bit test is one pass over the in-memory array."""
+    n = F.size(hashes_col)
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        mask = 1 << i if i < 63 else -(2**63)
+        cnt = F.size(
+            F.filter(hashes_col, lambda h: h.bitwiseAND(F.lit(mask)) != 0)
+        )
+        out = out + F.when(cnt * 2 > n, F.lit(mask)).otherwise(F.lit(0)).cast(
+            "long"
+        )
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup candidate pairs: bucket on the top prefix_bits
+    of the simhash (near-dups agree on a prefix with high probability in
+    this corpus regime), then verify exact Hamming distance ≤ max_hamming.
+
+    Returns (id_a, id_b, hamming). NOTE: single-prefix blocking is a
+    recall/scale tradeoff; multi-table rotations would raise recall."""
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        word_hashes(F.col(text_col)).alias("hashes"),
+    ).repartition("id")  # barrier: hash words once
+    sh = hashed.select("id", simhash(F.col("hashes"), 32).alias("sh"))
+    bucket = F.shiftrightunsigned("sh", 32 - prefix_bits)
+    sh = sh.withColumn("bucket", bucket)
+    a, b = sh.alias("a"), sh.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+    )
+    ham = F.bit_count(
+        F.col("a.sh").bitwiseXOR(F.col("b.sh"))
+    ).alias("hamming")
+    return cand.select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), ham
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs sharing ≥1 shingle.
+
+    explode(shingles) → self-join on shingle (counts shared shingles
+    per pair in one aggregation) → |A∩B| from the join, |A∪B| =
+    |A|+|B|−|A∩B|. Scales with shared-shingle pair count, not n²."""
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            _shingles(F.col(text_col), shingle_k).alias("shingles"),
+        )
+        .repartition("id")  # barrier: build shingles once
+        .withColumn("n_sh", F.size("shingles"))
+    )
+    ex = sh.select("id", "n_sh", F.explode("shingles").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = (
+        F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    ).alias("jaccard")
+    return inter.select("id_a", "id_b", jac).filter(F.col("jaccard") >= threshold)

@@ -1,0 +1,156 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute_force_topk: exact cosine top-k. The query set is broadcast;
+  the corpus is scanned once with a JVM-side dot product
+  (F.zip_with + F.aggregate) — embarrassingly parallel, zero corpus
+  shuffle; top-k via a window over (query, score) with AQE handling
+  the final small sort.
+- cosine_lsh_topk: random-hyperplane LSH buckets prune the corpus
+  before exact scoring (the IVF-ish scale path).
+- embedding_dedup_pairs: near-duplicate vectors by cosine ≥ threshold
+  within LSH buckets.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    broadcast(queries) × corpus — the corpus side never shuffles for
+    the scoring; only (n_queries × k) rows reach the final window."""
+    j = corpus.crossJoin(broadcast(queries))
+    scored = j.select(
+        F.col(q_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(q_vec_col)).alias("score"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.desc("score"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (LCG — keeps the
+    whole pipeline seed-stable without numpy RNG state)."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        v = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            v.append(((state >> 33) / float(1 << 31)) - 1.0)
+        norm = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / norm for x in v])
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: bit i = sign(v·p_i). Returns long."""
+    out = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(x) for x in p]), lambda a, b: a * b),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        out = out + F.when(d >= 0, F.lit(2**i)).otherwise(F.lit(0)).cast("long")
+    return out
+
+
+def cosine_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors sharing the query's
+    LSH bucket (plus Hamming-1 neighbor buckets for recall)."""
+    planes = _hyperplanes(dim, n_planes)
+    c = corpus.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+    q = queries.withColumn("q_bucket", lsh_bucket(F.col(q_vec_col), planes))
+    # probe buckets: exact + Hamming-1 ring (multi-probe LSH)
+    probes = F.array(
+        F.col("q_bucket"),
+        *[F.col("q_bucket").bitwiseXOR(F.lit(2**i)) for i in range(n_planes)],
+    )
+    q = q.withColumn("probe", F.explode(probes))
+    j = c.join(broadcast(q), c["bucket"] == q["probe"])
+    scored = j.select(
+        F.col(q_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(q_vec_col)).alias("score"),
+    ).dropDuplicates([q_id_col, id_col])
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("score"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def embedding_dedup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate vectors: bucket-join on LSH signature, verify
+    exact cosine ≥ threshold. Returns (id_a, id_b, cos)."""
+    planes = _hyperplanes(dim, n_planes)
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    cand = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
+    )
+    cos = cosine(F.col("a.v"), F.col("b.v")).alias("cos")
+    return cand.select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cos
+    ).filter(F.col("cos") >= threshold)

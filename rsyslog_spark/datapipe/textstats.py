@@ -1,0 +1,123 @@
+"""Text analysis: language-ID, quality scoring, token counting,
+document fingerprinting. Pure Column expressions (SQL-oracle-friendly
+and whole-stage-codegen'd)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language marker-word lists (n-gram heuristic stand-in); the
+# real corpus is synthetic so the *mechanism* is what matters here
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "es": ["el", "la", "de", "que", "y", "los", "en", "un"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "de", "et", "est", "un", "une"],
+}
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (0 for empty/blank)."""
+    t = F.trim(col)
+    return F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish regex token count: words, numbers, and single
+    punctuation marks counted separately (a cheap proxy for subword
+    tokenizers)."""
+    return F.size(
+        F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"), F.lit(0))
+    )
+
+
+def _marker_hits(words: Column, markers: list[str]) -> Column:
+    return F.size(F.filter(words, lambda w: w.isin(markers)))
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", out_col: str = "lang_pred"
+) -> DataFrame:
+    """Marker-word language ID: argmax over per-language hit ratios;
+    'und' when nothing matches. Adds ``lang_pred`` and ``lang_score``."""
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    n = F.greatest(F.size(words), F.lit(1))
+    scores = [
+        (_marker_hits(words, m) / n).alias(f"score_{lang}")
+        for lang, m in LANG_MARKERS.items()
+    ]
+    df = df.select("*", *scores)
+    langs = list(LANG_MARKERS)
+    best_score = F.greatest(*[F.col(f"score_{x}") for x in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier language wins ties
+        pred = F.when(
+            (F.col(f"score_{lang}") == best_score) & (best_score > 0),
+            F.lit(lang),
+        ).otherwise(pred)
+    return df.withColumn(out_col, pred).withColumn("lang_score", best_score)
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", out_col: str = "quality"
+) -> DataFrame:
+    """Heuristic document quality in [0,1] from length, alpha ratio,
+    punctuation density, mean word length, and stopword presence —
+    the standard cheap pre-filter for training corpora. Also emits the
+    raw component columns for downstream thresholds."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    words = F.split(F.trim(t), r"\s+")
+    n_words = F.size(words)
+    alpha_ratio = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")) / F.greatest(
+        n_chars, F.lit(1)
+    )
+    punct_ratio = F.length(
+        F.regexp_replace(t, r"[^!-/:-@\[-`{-~]", "")
+    ) / F.greatest(n_chars, F.lit(1))
+    mean_word_len = n_chars / F.greatest(n_words, F.lit(1))
+    stop_ratio = _marker_hits(words, LANG_MARKERS["en"]) / F.greatest(
+        n_words, F.lit(1)
+    )
+    # piecewise scores, each in [0,1]
+    len_score = F.least(n_words / F.lit(20.0), F.lit(1.0))
+    wlen_score = F.when(
+        (mean_word_len >= 3) & (mean_word_len <= 12), F.lit(1.0)
+    ).otherwise(F.lit(0.3))
+    punct_score = F.when(punct_ratio <= 0.2, F.lit(1.0)).otherwise(
+        F.greatest(F.lit(0.0), F.lit(1.0) - (punct_ratio - 0.2) * 4)
+    )
+    q = (
+        len_score * 0.3
+        + alpha_ratio * 0.25
+        + wlen_score * 0.2
+        + punct_score * 0.15
+        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.1
+    )
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("alpha_ratio", alpha_ratio)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("mean_word_len", mean_word_len)
+        .withColumn("stop_ratio", stop_ratio)
+        .withColumn(out_col, q)
+    )
+
+
+def doc_fingerprint(col: Column, rolling_k: int = 8) -> Column:
+    """Document fingerprint: xxhash64 over the k-gram winnowing-style
+    minimum — min over rolling word-k-gram hashes (one stable 64-bit id
+    robust to small appends). Falls back to whole-text hash for short
+    docs."""
+    words = F.split(F.trim(F.lower(col)), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - rolling_k, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.xxhash64(F.array_join(F.slice(words, i + 1, rolling_k), " "))
+    )
+    return F.when(n >= rolling_k, F.array_min(grams)).otherwise(
+        F.xxhash64(F.array_join(words, " "))
+    )

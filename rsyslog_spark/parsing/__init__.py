@@ -30,10 +30,17 @@ from rsyslog_spark.parsing.core import (  # noqa: F401
 from rsyslog_spark.parsing.full import parse_full  # noqa: F401
 
 
-def parse(df, tokens_col="tokens", mode="sql"):
-    """Decode + parse. ``mode`` in {"sql", "full"} (see module doc)."""
+def parse(df, tokens_col="tokens", mode="sql", decode_backend=None):
+    """Decode + parse. ``mode`` in {"sql", "full"}; ``decode_backend``
+    in {"jvm", "arrow"} (default: $SPARK_GRAFT_DECODE or "jvm")."""
+    import os
+
+    if decode_backend is None:
+        decode_backend = os.environ.get("SPARK_GRAFT_DECODE", "jvm")
     if mode == "sql":
-        return parse_sql(df, tokens_col=tokens_col)
+        return parse_sql(
+            df, tokens_col=tokens_col, decode_backend=decode_backend
+        )
     if mode == "full":
         return parse_full(df, tokens_col=tokens_col)
     raise ValueError(f"unknown parse mode: {mode!r}")

@@ -1,0 +1,227 @@
+"""mm* transforms + training-data pipeline operators."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from rsyslog_spark import mm
+from rsyslog_spark.datapipe import (
+    brute_force_topk,
+    cosine_lsh_topk,
+    decode_media_batch,
+    doc_fingerprint,
+    exact_dedup,
+    language_id,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    quality_score,
+    simhash_pairs,
+    token_count,
+)
+from rsyslog_spark.datapipe.multimodal import synth_media
+
+
+# ---------------- mm* ----------------
+
+def test_mmjsonparse(spark):
+    df = spark.createDataFrame(
+        [('@cee: {"a":"1","b":"x"}',), ("plain text",)], "msg string"
+    )
+    out = mm.mmjsonparse(df)
+    rows = out.orderBy(F.desc("parse_json_success")).collect()
+    assert rows[0].cee == {"a": "1", "b": "x"} and rows[0].parse_json_success
+    assert rows[1].cee is None and not rows[1].parse_json_success
+
+
+def test_mmfields(spark):
+    df = spark.createDataFrame([("a,b,c",)], "msg string")
+    out = mm.mmfields(df, sep=",", max_fields=4).first()
+    assert (out.f1, out.f2, out.f3, out.f4) == ("a", "b", "c", None)
+
+
+def test_mmpstrucdata(spark):
+    df = spark.createDataFrame(
+        [('[ex@32473 k="87" src="0"]',), ("-",), (None,)],
+        "structured_data string",
+    )
+    rows = mm.mmpstrucdata(df).collect()
+    assert rows[0].sd_params == {"k": "87", "src": "0"}
+    assert rows[0].sd_id == "ex@32473"
+    assert rows[1].sd_params is None and rows[2].sd_params is None
+
+
+def test_mmanon(spark):
+    df = spark.createDataFrame(
+        [("src 192.168.17.42 dst 10.0.0.7 done",)], "msg string"
+    )
+    got = mm.mmanon(df, ["msg"], bits=16).first().msg
+    assert got == "src 192.168.0.0 dst 10.0.0.0 done"
+    got8 = mm.mmanon(df, ["msg"], bits=8).first().msg
+    assert got8 == "src 192.168.17.0 dst 10.0.0.0 done"
+    ip = mm.mmanon_ip(F.lit("192.168.17.42"), bits=12)
+    one = spark.range(1)
+    assert one.select(ip.alias("r")).first().r == "192.168.16.0"
+
+
+def test_mmrm1stspace_and_utf8fix(spark):
+    df = spark.createDataFrame([(" leading",), ("none",)], "msg string")
+    got = [r.msg for r in mm.mmrm1stspace(df).collect()]
+    assert got == ["leading", "none"]
+    df2 = spark.createDataFrame([("bad\x01char",)], "msg string")
+    assert mm.mmutf8fix(df2).first().msg == "bad char"
+
+
+def test_mmnormalize(spark):
+    rules = [
+        mm.NormalizeRule("connection from %ip:ipv4% port %port:number%"),
+        mm.NormalizeRule("user %user:word% logged %action:rest%"),
+    ]
+    df = spark.createDataFrame(
+        [
+            ("connection from 10.1.2.3 port 22",),
+            ("user alice logged in from console",),
+            ("something else entirely",),
+        ],
+        "msg string",
+    )
+    rows = mm.mmnormalize(df, rules).collect()
+    assert rows[0].norm == {"ip": "10.1.2.3", "port": "22"} and rows[0].norm_rule == 0
+    assert rows[1].norm == {"user": "alice", "action": "in from console"}
+    assert rows[1].norm_rule == 1
+    assert rows[2].norm is None and rows[2].norm_rule == -1
+
+
+# ---------------- datapipe: dedup ----------------
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (4, "completely different text about spark engines and shuffles"),
+        (5, "THE QUICK  BROWN fox jumps over the lazy dog"),  # norm dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_docs(spark)).collect()
+    assert len(out) == 1
+    assert out[0].n_dups == 3 and out[0].keep_id == 1
+    assert out[0].dup_ids == [1, 2, 5]
+
+
+def test_minhash_lsh_pairs(spark):
+    pairs = minhash_lsh_pairs(
+        _docs(spark), num_hashes=32, bands=16, shingle_k=2, threshold=0.5
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 5) in got and (2, 5) in got
+    assert (1, 3) in got  # near dup shares most shingles
+    assert not any(4 in p for p in got)
+
+
+def test_ngram_jaccard_pairs(spark):
+    pairs = ngram_jaccard_pairs(_docs(spark), shingle_k=2, threshold=0.5)
+    rows = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert rows[(1, 2)] == 1.0
+    assert 0.5 <= rows[(1, 3)] < 1.0
+    assert not any(4 in k for k in rows)
+
+
+def test_simhash_pairs(spark):
+    pairs = simhash_pairs(_docs(spark), max_hamming=6, prefix_bits=8)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 5) in got
+
+
+# ---------------- datapipe: simsearch ----------------
+
+def _vectors(spark):
+    import math
+
+    rows = []
+    for i in range(50):
+        angle = (i % 10) * math.pi / 20
+        rows.append((i, [math.cos(angle), math.sin(angle)] + [0.0] * 6))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(spark):
+    corpus = _vectors(spark)
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0] + [0.0] * 6)], "q_id long, q_vec array<float>"
+    )
+    out = brute_force_topk(corpus, queries, k=5).collect()
+    assert len(out) == 5
+    # best matches are the angle-0 vectors (ids ≡ 0 mod 10)
+    assert out[0].vec_id % 10 == 0 and abs(out[0].score - 1.0) < 1e-6
+    assert all(out[i].score >= out[i + 1].score for i in range(4))
+
+
+def test_cosine_lsh_topk_approximates(spark):
+    corpus = _vectors(spark)
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0] + [0.0] * 6)], "q_id long, q_vec array<float>"
+    )
+    exact = {r.vec_id for r in brute_force_topk(corpus, queries, k=5).collect()}
+    approx = {
+        r.vec_id
+        for r in cosine_lsh_topk(corpus, queries, k=5, n_planes=6, dim=8).collect()
+    }
+    assert len(exact & approx) >= 3  # decent recall on this easy set
+
+
+# ---------------- datapipe: text stats ----------------
+
+def test_token_count_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [("one two  three",), ("",), ("single",)], "text string"
+    )
+    got = [r.n for r in df.select(token_count(F.col("text")).alias("n")).collect()]
+    assert got == [3, 0, 1]
+    fps = df.select(doc_fingerprint(F.col("text")).alias("fp")).collect()
+    assert len({r.fp for r in fps}) == 3
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog is in that house",),
+            ("el que la de los y un en",),
+            ("zzz qqq xxx",),
+        ],
+        "text string",
+    )
+    got = [r.lang_pred for r in language_id(df).collect()]
+    assert got == ["en", "es", "und"]
+
+
+def test_quality_score(spark):
+    df = spark.createDataFrame(
+        [
+            ("The quick brown fox jumps over the lazy dog near the river bank "
+             "while the sun sets over distant hills in the evening light",),
+            ("!!! ??? ### $$$ %%%",),
+        ],
+        "text string",
+    )
+    rows = quality_score(df).collect()
+    assert rows[0].quality > 0.7 > rows[1].quality
+
+
+# ---------------- datapipe: multimodal ----------------
+
+def test_decode_media_batch(spark):
+    media = synth_media(spark, 16)
+    out = decode_media_batch(media, n_features=4).collect()
+    ok = [r for r in out if r.decode_ok == "ok"]
+    bad = [r for r in out if r.decode_ok != "ok"]
+    assert len(ok) == 12 and len(bad) == 4  # hologram modality unstubbed
+    assert all(len(r.features) == 4 for r in ok)
+    assert all(r.features is None for r in bad)
+    # deterministic: same payload → same features
+    again = decode_media_batch(synth_media(spark, 16), n_features=4).collect()
+    assert {r.media_id: tuple(r.features or ()) for r in out} == {
+        r.media_id: tuple(r.features or ()) for r in again
+    }

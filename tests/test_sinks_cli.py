@@ -1,0 +1,71 @@
+"""Sink writers (omfile dynafiles, kafka frames, failover) + CLI."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from rsyslog_spark import flagship, sinks
+
+
+def test_omfile_dynafile_partitioning(spark, sf_dir, tmp_path):
+    parsed = flagship.build_parsed(spark, sf_dir)
+    out = str(tmp_path / "dyna")
+    # dynafile template by programname ≙ partitionBy
+    sinks.omfile(parsed, out, dynafile_parts={"prog": "%programname%"})
+    got = spark.read.parquet(out)
+    assert got.count() == 1000
+    import os
+
+    parts = {p for p in os.listdir(out) if p.startswith("prog=")}
+    assert {"prog=error", "prog=signup", "prog=purchase", "prog=click",
+            "prog=view"} == parts
+
+
+def test_omfile_text_template(spark, sf_dir, tmp_path):
+    parsed = flagship.build_parsed(spark, sf_dir).limit(10)
+    out = str(tmp_path / "txt")
+    sinks.omfile(parsed, out, template="RSYSLOG_TraditionalFileFormat")
+    lines = [r.value for r in spark.read.text(out).collect()]
+    assert len(lines) == 10
+    assert all(" host" in ln for ln in lines)
+
+
+def test_omkafka_frame(spark, sf_dir):
+    parsed = flagship.build_parsed(spark, sf_dir).limit(5)
+    frame = sinks.omkafka_frame(
+        parsed,
+        template="%msg%",
+        dynakey="%hostname%",
+        dynatopic="logs-%programname%",
+    )
+    assert frame.columns == ["key", "value", "topic"]
+    r = frame.first()
+    assert r.topic.startswith("logs-") and r.key.startswith("host")
+
+
+def test_failover_chain(spark):
+    df = spark.createDataFrame([(1,), (2,), (3,)], "x int")
+    a = F.col("x") == 1
+    b = F.col("x") <= 2
+    c = F.lit(True)
+    chain = sinks.failover_chain(df, a, b, c)
+    got = df.select(
+        *[p.alias(f"p{i}") for i, p in enumerate(chain)]
+    ).orderBy("p0").collect()
+    fired = [sum(1 for i in range(3) if row[f"p{i}"]) for row in got]
+    assert fired == [1, 1, 1]  # exactly one action fires per row
+
+
+def test_cli_main(spark, sf_dir, tmp_path):
+    from rsyslog_spark import cli
+
+    rc = cli.main(
+        [
+            "--sf-dir", sf_dir,
+            "--out", str(tmp_path / "cli_sinks"),
+            "--master", "local[4]",
+        ]
+    )
+    assert rc == 0
+    got = spark.read.parquet(str(tmp_path / "cli_sinks" / "rest"))
+    assert got.count() > 0

@@ -1,0 +1,116 @@
+"""Streaming equivalents + lineage/observe metrics + checkpoint resume."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from rsyslog_spark import corpus, flagship
+from rsyslog_spark.lineage import run_with_lineage
+from rsyslog_spark.parsing import parse
+from rsyslog_spark.streaming import (
+    run_stream_to_table,
+    stateful_ratelimit,
+    stream_logtokens,
+    windowed_dynstats,
+)
+
+
+def test_lineage_run(spark, sf_dir, tmp_path):
+    parsed = flagship.build_parsed(spark, sf_dir)
+    router = flagship.make_router()
+    snap = run_with_lineage(router, parsed, str(tmp_path / "sinks"))
+    assert snap["rows_in"] == 1000
+    assert snap["parse_failures"] == 0
+    # stop semantics: commerce+rest partition the corpus
+    assert snap["routed_commerce"] + snap["routed_rest"] == 1000
+    # sink files exist and counts match the observe() numbers
+    for a in router.actions:
+        n = spark.read.parquet(str(tmp_path / "sinks" / a.sink)).count()
+        assert n == snap[f"routed_{a.sink}"]
+    lin = spark.read.parquet(str(tmp_path / "sinks" / "_lineage"))
+    assert lin.count() == 1 and lin.first().rows_in == 1000
+
+
+def test_stream_parse_route_resume(spark, sf_dir, tmp_path):
+    """File-stream the tokens, parse+route in streaming mode, then
+    verify checkpoint resume processes nothing new."""
+    tokens_path = str(tmp_path / "tokens")
+    corpus.logtokens(spark, sf_dir).write.parquet(tokens_path)
+
+    stream = stream_logtokens(spark, tokens_path)
+    parsed = parse(stream)
+    routed = flagship.make_router().apply(parsed)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    run_stream_to_table(routed.select("doc_id", "route_urgent"), out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 1000
+    # resume: no new files → no new rows appended
+    run_stream_to_table(
+        stream_logtokens(spark, tokens_path).transform(parse)
+        .transform(lambda d: flagship.make_router().apply(d))
+        .select("doc_id", "route_urgent"),
+        out,
+        ckpt,
+    )
+    assert spark.read.parquet(out).count() == n1
+
+
+def test_windowed_dynstats_stream(spark, tmp_path):
+    src = str(tmp_path / "ev")
+    rows = [
+        (f"d{i}", "2024-01-01 00:%02d:00" % (i % 3), "hostA" if i % 2 else "hostB")
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, ts string, host string")
+    df.withColumn("event_ts", F.to_timestamp("ts")).write.parquet(src)
+    static = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .parquet(src)
+    )
+    agg = windowed_dynstats(stream, ["host"], "event_ts", "60 seconds")
+    # watermark-append only emits *closed* windows — a single
+    # availableNow batch closes none, so inspect running state via the
+    # complete-mode memory sink (the impstats snapshot view)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("dynstats_mem")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select * from dynstats_mem")
+    assert got.count() == 6  # 3 windows × 2 hosts
+    assert got.agg(F.sum("n")).first()[0] == 12
+
+
+def test_stateful_ratelimit_stream(spark, tmp_path):
+    src = str(tmp_path / "rl")
+    rows = [
+        (f"d{i:02d}", "h1", "2024-01-01 00:00:%02d" % i) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, host string, ts string")
+    df.withColumn("ts", F.to_timestamp("ts")).write.parquet(src)
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    rl = stateful_ratelimit(
+        stream, "host", "ts", interval_seconds=60, burst=4
+    )
+    out = str(tmp_path / "rlout")
+    q = (
+        rl.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 10
+    assert got.filter("rl_pass").count() == 4  # one 60s window, burst 4
