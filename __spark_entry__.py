@@ -338,6 +338,23 @@ def q_media_decode(spark, sf):
     )
 
 
+def q_foreach_sevens(spark, sf):
+    """foreach statement: count msg ':'-fields containing '7', per
+    element (ruleset.c:310-401 semantics)."""
+    from rsyslog_spark.rules import Router
+
+    script = """
+foreach ($.f in split($msg, ":")) do {
+    if $.f contains "7" then { action(name="sevens") }
+}
+action(name="all")
+"""
+    p = flagship.build_parsed(spark, sf)
+    return Router(script).route_counts(p).select(
+        "sink", F.col("n").cast("long").alias("n")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_headers": q_parse_headers,
@@ -367,6 +384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "media_decode": q_media_decode,
+        "foreach_sevens": q_foreach_sevens,
     }
 
 
@@ -614,6 +632,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings c
                 CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
             ) WHERE rnk <= 5
+        """,
+        "foreach_sevens": f"""
+            SELECT 'sevens' AS sink,
+                   CAST(sum(len(list_filter(
+                       string_split({O['msg']}, ':'),
+                       x -> contains(x, '7')))) AS BIGINT) AS n
+            FROM events
+            UNION ALL
+            SELECT 'all', CAST(count(*) AS BIGINT) FROM events
         """,
         # minhash_pairs, embedding_dup_pairs, media_decode: rows-only
         # (hash-based sketches have no DuckDB-expressible oracle)

@@ -25,6 +25,37 @@ def dyn_stats(df: DataFrame, bucket_keys: list[str | Column]) -> DataFrame:
     return df.groupBy(*bucket_keys).agg(F.count(F.lit(1)).alias("n"))
 
 
+def dyn_stats_capped(
+    df: DataFrame,
+    bucket_keys: list[str],
+    max_cardinality: int,
+    overflow_key: str = "_overflow_",
+) -> DataFrame:
+    """dynstats maxCardinality (dynstats.c:117-126, ops_overflow ctr):
+    at most `max_cardinality` distinct key rows; everything beyond is
+    merged into one overflow row.
+
+    Batch divergence (documented): the reference admits the FIRST
+    maxCardinality keys to arrive; a batch has no arrival order, so we
+    keep the top-N by count (ties broken by key) — deterministic and
+    the natural batch analog."""
+    counts = dyn_stats(df, bucket_keys)
+    w = Window.orderBy(F.desc("n"), *bucket_keys)
+    ranked = counts.withColumn("_rank", F.row_number().over(w))
+    kept = ranked.filter(F.col("_rank") <= max_cardinality).drop("_rank")
+    over = (
+        ranked.filter(F.col("_rank") > max_cardinality)
+        .agg(F.sum("n").alias("n"))
+        .filter(F.col("n").isNotNull())
+        .select(
+            *[F.lit(overflow_key).alias(k if isinstance(k, str) else "key")
+              for k in bucket_keys],
+            "n",
+        )
+    )
+    return kept.unionByName(over)
+
+
 def _salt(buckets: int) -> Column:
     # deterministic per-row salt from a cheap monotonic id; avoids
     # rand() (non-reproducible across retries — a correctness bug at

@@ -62,12 +62,33 @@ class LineageTracker:
         return snap
 
 
+def per_partition_lineage(routed: DataFrame, sinks: list[str]) -> DataFrame:
+    """Per-input-partition counters (north_star: per-partition lineage):
+    one row per physical partition with rows_in, parse_failures, and
+    routed counts per sink — the statsobj-per-component analog, keyed
+    by partition instead of component."""
+    aggs = [
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum(F.when(~F.col("parse_success"), 1).otherwise(0)).alias(
+            "parse_failures"
+        ),
+    ] + [
+        F.sum(F.col(f"route_{s}").cast("long")).alias(f"routed_{s}")
+        for s in sinks
+    ]
+    return routed.groupBy(
+        F.spark_partition_id().alias("partition_id")
+    ).agg(*aggs)
+
+
 def run_with_lineage(
     router, parsed: DataFrame, base_path: str, lineage_path: str | None = None
 ) -> dict:
-    """Route + write all sinks + append one _lineage row. Returns the
-    metrics snapshot (rows_in, parse_failures, routed_<sink>, wall_ms)."""
-    tracker = LineageTracker([a.sink for a in router.actions])
+    """Route + write all sinks + append run-level and per-partition
+    _lineage rows. Returns the run-level snapshot (rows_in,
+    parse_failures, routed_<sink>, wall_ms)."""
+    sinks = [a.sink for a in router.actions]
+    tracker = LineageTracker(sinks)
     routed = tracker.instrument(router.apply(parsed))
     routed.persist()
     try:
@@ -79,8 +100,10 @@ def run_with_lineage(
                 .parquet(f"{base_path}/{a.sink}")
             )
         spark = parsed.sparkSession
-        return tracker.write(
-            spark, lineage_path or f"{base_path}/_lineage"
-        )
+        lp = lineage_path or f"{base_path}/_lineage"
+        per_partition_lineage(routed, sinks).withColumn(
+            "run_id", F.lit(tracker.run_id)
+        ).write.mode("append").parquet(f"{lp}_partitions")
+        return tracker.write(spark, lp)
     finally:
         routed.unpersist()

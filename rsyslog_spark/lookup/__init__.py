@@ -161,6 +161,31 @@ class LookupTable:
         raise ValueError(f"unknown lookup kind {self.kind}")
 
 
+class ReloadingLookup:
+    """reload_lookup_table / reloadOnHUP analog (lookup.c:910-1050):
+    the table file is re-read at every (micro-)batch boundary, so a
+    changed file takes effect on the next batch — use inside
+    foreachBatch for streams, or call ``fresh()`` per batch job.
+    ``stub_on_failure`` mirrors lookupReloadOrStub: a broken file
+    swaps in an empty table with only the nomatch default."""
+
+    def __init__(self, name: str, path: str, stub_on_failure: bool = True):
+        self.name = name
+        self.path = path
+        self.stub_on_failure = stub_on_failure
+
+    def fresh(self) -> LookupTable:
+        try:
+            return LookupTable.from_file(self.name, self.path)
+        except Exception:
+            if self.stub_on_failure:
+                return LookupTable(self.name, "string", [], nomatch="")
+            raise
+
+    def enrich(self, df: DataFrame, key_col, out_col: str) -> DataFrame:
+        return self.fresh().enrich(df, key_col, out_col)
+
+
 def enrich_sources(df: DataFrame, sources: DataFrame, on: str = "source") -> DataFrame:
     """Per-source metadata broadcast join (north_star requirement;
     dnscache / per-source config analog, runtime/dnscache.c)."""

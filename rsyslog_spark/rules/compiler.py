@@ -67,6 +67,7 @@ class Env:
             self.props.update(props)
         self.locals: dict[str, tuple[Column, str]] = {}
         self.lookups: dict[str, object] = {}  # name → LookupTable
+        self.templates: dict[str, str] = {}  # name → template string
 
     def resolve(self, name: str) -> tuple[Column, str]:
         if name.startswith("$."):
@@ -267,6 +268,19 @@ def _compile_call(name: str, args: list, env: Env) -> tuple[Column, str]:
             raise ValueError(f"lookup table {args[0][1]!r} not registered")
         key, _ = _compile(_scalarize(args[1]), env)
         return tbl.lookup_col(key), "S"
+    if name == "exec_template":
+        # rainerscript.c:1784 — render a named template into a string.
+        # Accepts a registered name, a BUILTIN name, or an inline
+        # template string (contains '%').
+        if args[0][0] != "str":
+            raise ValueError("exec_template() needs a literal name")
+        from rsyslog_spark.templates import BUILTIN, compile_template
+
+        ref = args[0][1]
+        tpl = env.templates.get(ref, ref)
+        if tpl == ref and ref not in BUILTIN and "%" not in ref:
+            raise ValueError(f"unknown template {ref!r}")
+        return compile_template(tpl, env), "S"
     if name == "exists":
         c, _ = _compile(args[0], env)
         return c.isNotNull(), "B"

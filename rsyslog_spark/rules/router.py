@@ -41,6 +41,13 @@ class Action:
     sink: str
     predicate: Column
     params: dict = field(default_factory=dict)
+    # set for actions inside `foreach`: the array expression and a
+    # function elem_col -> per-element predicate. The action fires once
+    # per matching ELEMENT (ruleset.c:330-360 iterates and re-executes
+    # the body), so counting uses size(filter(arr, pred)) and writing
+    # explodes.
+    foreach_arr: Column | None = None
+    elem_pred: object | None = None
 
 
 class _State:
@@ -105,6 +112,8 @@ def _walk(stmts: list, pc: Column, state: _State, depth: int = 0) -> None:
             state.actions.append(
                 Action(_sink_name(params, state), pc & state.live, params)
             )
+        elif kind == "foreach":
+            _compile_foreach(st, pc, state)
         elif kind == "call_rs":
             callee = state.rulesets.get(st[1])
             if callee is None:
@@ -114,6 +123,70 @@ def _walk(stmts: list, pc: Column, state: _State, depth: int = 0) -> None:
             state.rulesets[st[1]] = st[2]
         else:
             raise ValueError(f"unsupported statement {kind}")
+
+
+def _compile_foreach(st, pc: Column, state: _State) -> None:
+    """foreach ($.x in expr) do BODY — body actions fire per element.
+
+    The loop variable is bound lazily: each body action's element
+    predicate is a *function* of the lambda variable, evaluated inside
+    size(filter(arr, ...)) (counting) or on the exploded element
+    (writing). Body subset: if / action / nop — `set` of outer locals
+    inside foreach is not supported (would need per-element state
+    folding; the reference mutates a shared var which is rarely sane)."""
+    _, var, arr_ast, body = st
+    arr_col, _ = _compile(_scalarize(arr_ast), state.env)
+
+    def walk_body(stmts, elem, epc):
+        """Walk body with $.var bound to `elem`; returns list of
+        (sink, elem_predicate, params)."""
+        found = []
+        saved = state.env.locals.get(var[2:])
+        state.env.locals[var[2:]] = (elem, "S")
+        try:
+            for s in stmts:
+                if s[0] == "nop":
+                    continue
+                if s[0] == "if":
+                    cond, _ = _compile(_scalarize(s[1]), state.env)
+                    cond = F.coalesce(cond.cast("boolean"), F.lit(False))
+                    found += walk_body(s[2], elem, epc & cond)
+                    if s[3]:
+                        found += walk_body(s[3], elem, epc & ~cond)
+                elif s[0] == "action":
+                    found.append((_sink_name(s[1], state), epc, s[1]))
+                else:
+                    raise ValueError(
+                        f"unsupported statement {s[0]!r} inside foreach"
+                    )
+        finally:
+            if saved is None:
+                state.env.locals.pop(var[2:], None)
+            else:
+                state.env.locals[var[2:]] = saved
+        return found
+
+    # discover actions once to fix sink names, then rebind per call
+    probe = walk_body(body, F.lit(None), F.lit(True))
+    for idx, (sink, _p, params) in enumerate(probe):
+        def make_pred(i=idx):
+            def elem_pred(elem: Column) -> Column:
+                got = walk_body(body, elem, F.lit(True))
+                return got[i][1]
+
+            return elem_pred
+
+        ep = make_pred()
+        any_match = F.size(F.filter(arr_col, lambda e: ep(e))) > 0
+        state.actions.append(
+            Action(
+                sink,
+                pc & state.live & F.coalesce(any_match, F.lit(False)),
+                params,
+                foreach_arr=arr_col,
+                elem_pred=ep,
+            )
+        )
 
 
 def compile_routes(
@@ -163,12 +236,21 @@ class Router:
 
     def route_counts(self, df: DataFrame) -> DataFrame:
         """Per-sink routed-row counts in ONE aggregation job (no cache,
-        no second scan): sum of predicate ints."""
+        no second scan): sum of predicate ints. foreach actions count
+        per matching ELEMENT (size of the filtered array)."""
         routed = self.apply(df)
-        aggs = [
-            F.sum(F.col(f"route_{a.sink}").cast("long")).alias(a.sink)
-            for a in self.actions
-        ]
+        aggs = []
+        for a in self.actions:
+            if a.foreach_arr is not None:
+                per_row = F.when(
+                    F.col(f"route_{a.sink}"),
+                    F.size(F.filter(a.foreach_arr, lambda e: a.elem_pred(e))),
+                ).otherwise(F.lit(0))
+                aggs.append(F.sum(per_row.cast("long")).alias(a.sink))
+            else:
+                aggs.append(
+                    F.sum(F.col(f"route_{a.sink}").cast("long")).alias(a.sink)
+                )
         wide = routed.agg(*aggs)
         # unpivot to (sink, n) rows
         pairs = []
@@ -198,6 +280,14 @@ class Router:
                 w = routed.filter(F.col(f"route_{a.sink}")).drop(
                     *[f"route_{x.sink}" for x in self.actions]
                 )
+                if a.foreach_arr is not None:
+                    # one output row per matching element
+                    w = w.withColumn(
+                        "item",
+                        F.explode(
+                            F.filter(a.foreach_arr, lambda e: a.elem_pred(e))
+                        ),
+                    )
                 pb = (partition_by or {}).get(a.sink)
                 writer = w.write.mode("overwrite")
                 if pb:

@@ -253,6 +253,20 @@ class Parser:
             name = self.expect("name").val
             self.accept(";")
             return ("call_rs", name)
+        if t.kind == "foreach":
+            # foreach ($.x in expr) do { ... }   (ruleset.c:310-401)
+            self.next()
+            self.expect("(")
+            var = self.expect("var").val
+            inkw = self.expect("name")
+            if inkw.val != "in":
+                raise SyntaxError(f"expected 'in', got {inkw!r}")
+            arr = self.expr()
+            self.expect(")")
+            do = self.expect("do")
+            del do
+            body = self.block()
+            return ("foreach", var, arr, body)
         if t.kind == "action":
             self.next()
             self.expect("(")

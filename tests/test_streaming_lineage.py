@@ -31,6 +31,16 @@ def test_lineage_run(spark, sf_dir, tmp_path):
         assert n == snap[f"routed_{a.sink}"]
     lin = spark.read.parquet(str(tmp_path / "sinks" / "_lineage"))
     assert lin.count() == 1 and lin.first().rows_in == 1000
+    # per-partition lineage sums to the run totals
+    pp = spark.read.parquet(str(tmp_path / "sinks" / "_lineage_partitions"))
+    import pyspark.sql.functions as F2
+
+    agg = pp.agg(
+        F2.sum("rows_in").alias("rows"),
+        F2.sum("routed_urgent").alias("u"),
+    ).first()
+    assert agg.rows == 1000 and agg.u == snap["routed_urgent"]
+    assert pp.select("partition_id").distinct().count() == pp.count()
 
 
 def test_stream_parse_route_resume(spark, sf_dir, tmp_path):
