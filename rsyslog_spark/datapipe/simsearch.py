@@ -59,12 +59,35 @@ def brute_force_topk(
         F.col(id_col),
         cosine(F.col(vec_col), F.col(q_vec_col)).alias("score"),
     )
-    w = Window.partitionBy(q_id_col).orderBy(
-        F.desc("score"), F.col(id_col)
+    # two-phase top-k: a per-input-partition partial top-k first, so the
+    # shuffle carries only (n_partitions × k) rows per query instead of
+    # the full corpus×queries score set (the difference between a 100 TB
+    # shuffle and a few MB). Sorting by (-score, id) matches the
+    # deterministic (score desc, id asc) tiebreak.
+    entry = F.struct(
+        (-F.col("score")).alias("ns"),
+        F.col(id_col).alias("id"),
+        F.col("score").alias("score"),
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    partial = (
+        scored.groupBy(q_id_col, F.spark_partition_id().alias("_p"))
+        .agg(
+            F.slice(F.sort_array(F.collect_list(entry)), 1, k).alias("top")
+        )
+        .drop("_p")
+    )
+    merged = (
+        partial.select(q_id_col, F.explode("top").alias("t"))
+        .groupBy(q_id_col)
+        .agg(F.slice(F.sort_array(F.collect_list("t")), 1, k).alias("top"))
+    )
+    return merged.select(
+        q_id_col, F.posexplode("top").alias("_pos", "t")
+    ).select(
+        q_id_col,
+        F.col("t.id").alias(id_col),
+        F.col("t.score").alias("score"),
+        (F.col("_pos") + 1).alias("rank"),
     )
 
 
