@@ -355,6 +355,59 @@ action(name="all")
     )
 
 
+def q_window_counts(spark, sf):
+    """Tumbling event-time window × event_type counts (the streaming
+    windowed_dynstats shape, run in batch)."""
+    ev = _events(spark, sf)
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def q_ngram_jaccard(spark, sf):
+    """Exact 3-gram Jaccard pairs ≥ 0.5 as integer triples (id_a, id_b,
+    n_inter, na, nb) — integer outputs keep the hash compare exact."""
+    from rsyslog_spark.datapipe.dedup import _shingles
+
+    d = _docs(spark, sf)
+    sh = (
+        d.select(
+            F.col("doc_id").alias("id"),
+            _shingles(F.col("text"), 3).alias("shingles"),
+        )
+        .repartition("id")
+        .withColumn("n_sh", F.size("shingles"))
+    )
+    ex = sh.select("id", "n_sh", F.explode("shingles").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    keep = F.col("n_inter") * 2 >= (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return inter.filter(keep).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("n_inter").cast("long").alias("n_inter"),
+        F.col("na").cast("long").alias("na"),
+        F.col("nb").cast("long").alias("nb"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_headers": q_parse_headers,
@@ -385,6 +438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "media_decode": q_media_decode,
         "foreach_sevens": q_foreach_sevens,
+        "window_counts": q_window_counts,
+        "ngram_jaccard": q_ngram_jaccard,
     }
 
 
@@ -641,6 +696,41 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             UNION ALL
             SELECT 'all', CAST(count(*) AS BIGINT) FROM events
+        """,
+        "window_counts": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                       AS win_start,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "ngram_jaccard": r"""
+            WITH base AS (
+                SELECT doc_id AS id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(string_split(
+                               trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                               ' ')) - 2, 1) + 1),
+                           i -> array_to_string(string_split(
+                               trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                               ' ')[i:i+2], ' '))) AS shingles
+                FROM documents
+            ), ex AS (
+                SELECT id, len(shingles) AS n_sh, unnest(shingles) AS s
+                FROM base
+            ), inter AS (
+                SELECT a.id AS id_a, b.id AS id_b,
+                       a.n_sh AS na, b.n_sh AS nb,
+                       count(*) AS n_inter
+                FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+                GROUP BY 1, 2, 3, 4
+            )
+            SELECT CAST(id_a AS BIGINT) AS id_a,
+                   CAST(id_b AS BIGINT) AS id_b,
+                   CAST(n_inter AS BIGINT) AS n_inter,
+                   CAST(na AS BIGINT) AS na,
+                   CAST(nb AS BIGINT) AS nb
+            FROM inter WHERE n_inter * 2 >= (na + nb - n_inter)
         """,
         # minhash_pairs, embedding_dup_pairs, media_decode: rows-only
         # (hash-based sketches have no DuckDB-expressible oracle)

@@ -59,10 +59,18 @@ class _State:
         self.n_anon = 0
 
 
+def _sanitize_sink(name: str) -> str:
+    """Sink names become `route_<sink>` columns — strip chars that
+    F.col would parse as nested-field syntax."""
+    import re
+
+    return re.sub(r"[^A-Za-z0-9_]", "_", name).strip("_") or "sink"
+
+
 def _sink_name(params: dict, state: _State) -> str:
     for k in ("name", "file", "topic", "table"):
         if k in params:
-            return str(params[k])
+            return _sanitize_sink(str(params[k]))
     state.n_anon += 1
     return f"action{state.n_anon}"
 
