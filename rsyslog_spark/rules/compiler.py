@@ -78,7 +78,7 @@ class Env:
             path = name[2:].split("!")
             col = F.col("cee")
             for p in path:
-                col = F.try_element_at(col, p) if p else col
+                col = F.try_element_at(col, F.lit(p)) if p else col
             return col, "S"
         if name in self.props:
             cname, tag = self.props[name]

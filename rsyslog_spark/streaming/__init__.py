@@ -141,6 +141,57 @@ def stateful_ratelimit(
     )
 
 
+def run_routed_stream(
+    stream_df: DataFrame,
+    router,
+    base_path: str,
+    checkpoint: str,
+    parse_fn=None,
+) -> None:
+    """Streaming multi-sink fan-out: per micro-batch, parse → route →
+    write every sink slice + one _lineage row. foreachBatch gives each
+    epoch transactional semantics (the action-TX analog, action.c:462);
+    the checkpoint makes the whole pipeline resumable (queue .qi
+    analog)."""
+    from rsyslog_spark.parsing import parse as default_parse
+
+    parse_fn = parse_fn or default_parse
+    sinks = [a.sink for a in router.actions]
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import functions as FF
+
+        routed = router.apply(parse_fn(batch_df))
+        routed.persist()
+        try:
+            counts = {}
+            for a in router.actions:
+                part = routed.filter(FF.col(f"route_{a.sink}")).drop(
+                    *[f"route_{x.sink}" for x in router.actions]
+                )
+                part.write.mode("append").parquet(f"{base_path}/{a.sink}")
+            agg = routed.agg(
+                FF.count(FF.lit(1)).alias("rows_in"),
+                *[
+                    FF.sum(FF.col(f"route_{s}").cast("long")).alias(
+                        f"routed_{s}"
+                    )
+                    for s in sinks
+                ],
+            ).withColumn("epoch_id", FF.lit(epoch_id))
+            agg.write.mode("append").parquet(f"{base_path}/_lineage")
+        finally:
+            routed.unpersist()
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_stream_to_table(
     stream_df: DataFrame, out_path: str, checkpoint: str,
     mode: str = "append",
