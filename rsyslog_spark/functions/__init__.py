@@ -244,6 +244,19 @@ def unflatten(s, sep=".") -> Column:
     return parse_json(s)
 
 
+def append_json(src, dst) -> Column:
+    """rainerscript.c:3614 — merge two CEE maps; dst values win on key
+    collision (reference merges src INTO dst)."""
+    return F.map_zip_with(
+        _c(src), _c(dst), lambda k, v1, v2: F.coalesce(v2, v1)
+    )
+
+
+def get_property(obj, name) -> Column:
+    """rainerscript.c:1930 — dynamic property access on a map column."""
+    return F.try_element_at(_c(obj), _c(name))
+
+
 # --- hashing (contrib/fmhash, xxhash) ---------------------------------------
 
 def hash64(s) -> Column:
@@ -299,5 +312,5 @@ REGISTRY = {
     "parse_json": parse_json, "unflatten": unflatten,
     "hash64": hash64, "hash32": hash32, "hash64mod": hash64mod,
     "hash32mod": hash32mod, "random": random, "exists": exists,
-    "tocef": tocef,
+    "tocef": tocef, "append_json": append_json, "get_property": get_property,
 }

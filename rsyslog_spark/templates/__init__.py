@@ -93,6 +93,16 @@ def _apply_date_opt(col: Column, opt: str) -> Column:
         "date-wday": lambda: (F.dayofweek(ts) - 1).cast("string"),
         "date-mysql": lambda: F.date_format(ts, "yyyyMMddHHmmss"),
         "date-pgsql": lambda: F.date_format(ts, "yyyy-MM-dd HH:mm:ss"),
+        "date-ordinal": lambda: F.date_format(ts, "DDD"),
+        "date-week": lambda: F.weekofyear(ts).cast("string"),
+        "date-isoweek": lambda: F.weekofyear(ts).cast("string"),
+        "date-isoweekyear": lambda: F.date_format(ts, "YYYY"),
+        "date-wdayname": lambda: F.date_format(ts, "EEE"),
+        "date-tzoffshour": lambda: F.date_format(ts, "xx").substr(1, 3),
+        "date-tzoffsmin": lambda: F.date_format(ts, "xx").substr(4, 2),
+        "date-tzoffsdirection": lambda: F.date_format(ts, "xx").substr(1, 1),
+        "date-subseconds": lambda: F.date_format(ts, "S"),
+        "date-secfrac": lambda: F.date_format(ts, "SSS"),
     }
     if opt not in m:
         raise ValueError(f"unsupported date option {opt!r}")
