@@ -194,6 +194,11 @@ def q_functions_showcase(spark, sf):
         fn.int2hex(k).alias("khex"),
         fn.num2ipv4(F.col("event_id") % 4294967296).alias("ipstr"),
         fn.wrap(et, '"').alias("wrapped"),
+        fn.get_property(fn.parse_json(F.col("props")), F.lit("k")).alias(
+            "k_prop"
+        ),
+        fn.field(F.concat(et, F.lit(",tail")), ",", 2).alias("f2"),
+        fn.ltrim(F.concat(F.lit("  "), et)).alias("trimmed"),
     )
 
 
@@ -598,7 +603,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST((event_id % 4294967296) // 65536 % 256 AS VARCHAR) || '.' ||
                    CAST((event_id % 4294967296) // 256 % 256 AS VARCHAR) || '.' ||
                    CAST((event_id % 4294967296) % 256 AS VARCHAR) AS ipstr,
-                   '"' || event_type || '"' AS wrapped
+                   '"' || event_type || '"' AS wrapped,
+                   CAST(json_extract(props, '$.k') AS VARCHAR) AS k_prop,
+                   'tail' AS f2,
+                   event_type AS trimmed
             FROM events
         """,
         "prifilt_mail_daemon": f"""
