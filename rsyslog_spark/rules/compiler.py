@@ -58,6 +58,36 @@ DEFAULT_PROPS: dict[str, tuple[str, str]] = {
 }
 
 
+# system properties ($now family, typedefs.h:221-243; impl getNOW
+# runtime/msg.c:2922) — evaluated per batch at the driver's clock like
+# the reference evaluates per message at the wall clock
+def _sys(fmt_or_fn, tag="S"):
+    def get():
+        col = fmt_or_fn() if callable(fmt_or_fn) else F.date_format(
+            F.current_timestamp(), fmt_or_fn
+        )
+        return col, tag
+
+    return get
+
+
+_SYS_PROPS = {
+    "$now": _sys("yyyy-MM-dd"),
+    "$year": _sys("yyyy"),
+    "$month": _sys("MM"),
+    "$day": _sys("dd"),
+    "$hour": _sys("HH"),
+    "$minute": _sys("mm"),
+    "$wday": _sys(lambda: (F.dayofweek(F.current_date()) - 1).cast("string")),
+    "$now-unixtimestamp": _sys(
+        lambda: F.unix_timestamp(F.current_timestamp()), "N"
+    ),
+    "$now-utc": _sys("yyyy-MM-dd"),
+    "$myhostname": _sys(lambda: F.lit("spark-driver")),
+    "$bom": _sys(lambda: F.lit("﻿")),
+}
+
+
 class Env:
     """Compilation environment: property map + `$.` local variables."""
 
@@ -70,6 +100,8 @@ class Env:
         self.templates: dict[str, str] = {}  # name → template string
 
     def resolve(self, name: str) -> tuple[Column, str]:
+        if name.lower() in _SYS_PROPS:
+            return _SYS_PROPS[name.lower()]()
         if name.startswith("$."):
             if name[2:] in self.locals:
                 return self.locals[name[2:]]

@@ -46,6 +46,18 @@ BUILTIN = {
         "<%pri%>1 %timereported:::date-rfc3339% %hostname% %app-name% "
         "%procid% %msgid% %structured-data% %msg%"
     ),
+    # JSON/DB output templates (rsconf.c:203-260). StdDBFmt is literally
+    # SQL INSERT text in the reference — same here (sql escaping on msg).
+    "RSYSLOG_StdJSONFmt": (
+        '{"message":"%msg:::json%","fromhost":"%hostname:::json%",'
+        '"facility":"%syslogfacility-text%","priority":"%syslogseverity-text%",'
+        '"timereported":"%timereported:::date-rfc3339%"}'
+    ),
+    "RSYSLOG_StdDBFmt": (
+        "insert into SystemEvents (Message, Facility, FromHost, "
+        "SysLogTag) values ('%msg:::sql%', %syslogfacility%, "
+        "'%hostname:::sql%', '%syslogtag:::sql%')"
+    ),
 }
 
 _FIELD_RE = re.compile(r"%([^%]*)%")
@@ -159,6 +171,16 @@ def compile_field(spec: str, env: Env) -> Column:
             col = _csv_escape(col)
         elif opt == "json":
             col = _json_escape(col)
+        elif opt == "jsonf":
+            # name/value pair emission (template.h:170-178)
+            col = F.concat(
+                F.lit(f'"{prop}":"'), _json_escape(col), F.lit('"')
+            )
+        elif opt in ("sql", "stdsql"):
+            # MySQL-style escaping (template.h:50-55): quote ' and \
+            col = F.regexp_replace(
+                F.regexp_replace(col, r"\\", r"\\\\"), "'", "''"
+            )
         elif opt == "drop-last-lf":
             col = F.regexp_replace(col, r"\n$", "")
         elif opt == "sp-if-no-1st-sp":
