@@ -43,12 +43,13 @@ TS3339_RE = (
     r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:\d{2})?"
 )
 
-# full-line regexes; group numbers documented inline
+# full-line regexes; group numbers documented inline. (?s) = DOTALL so
+# multiline MSG bodies (imfile startmsg.regex assembly) stay one match.
 _RE_PRI = r"^<(\d{1,3})>"
 # after-PRI RFC3164:  (ts) SP (host) SP (tag[':' kept]) (msg)
-_RE_3164 = rf"^({TS3164_RE}) (\S+) ([^: ]*:?)(.*)$"
+_RE_3164 = rf"(?s)^({TS3164_RE}) (\S+) ([^: ]*:?)(.*)$"
 # after-PRI RFC5424: 1 SP ts SP host SP app SP procid SP msgid SP sd SP msg
-_RE_5424 = r"^1 (\S+) (\S+) (\S+) (\S+) (\S+) (-|\[.*\])(?: (.*))?$"
+_RE_5424 = r"(?s)^1 (\S+) (\S+) (\S+) (\S+) (\S+) (-|\[.*\])(?: (.*))?$"
 
 
 def decode_tokens(tokens: Column | str, backend: str = "jvm") -> Column:
