@@ -198,13 +198,13 @@ def _compile_foreach(st, pc: Column, state: _State) -> None:
 
 
 def compile_routes(
-    script: str | list, env: Env | None = None
+    script: str | list, env: Env | None = None, entry: str | None = None
 ) -> tuple[list[Action], Env]:
     """Compile a RainerScript routing program.
 
-    Top-level ``ruleset(name=...){...}`` blocks are registered and a
-    ruleset named "main" (if present) is the entry point; otherwise the
-    bare top-level statements are the program.
+    Top-level ``ruleset(name=...){...}`` blocks are registered; the
+    entry point is ``entry`` if given, else a ruleset named "main",
+    else the bare top-level statements.
     """
     stmts = parse_script(script) if isinstance(script, str) else script
     env = env or Env()
@@ -213,9 +213,14 @@ def compile_routes(
     for s in stmts:
         if s[0] == "ruleset":
             state.rulesets[s[1]] = s[2]
-    entry = state.rulesets.get("main", top)
-    _walk(entry, F.lit(True), state)
+    if entry is not None:
+        program = state.rulesets[entry]
+    else:
+        program = state.rulesets.get("main", top)
+    _walk(program, F.lit(True), state)
     return state.actions, env
+
+
 
 
 class Router:
@@ -305,3 +310,66 @@ class Router:
             return out
         finally:
             routed.unpersist()
+
+
+class BoundRouter(Router):
+    """Per-input ruleset binding (SURVEY §2.5: each message carries its
+    ruleset, ruleset.c:614 / msg.h:104).
+
+    ``bindings`` maps a `source` value to a ruleset name from the
+    script; unbound sources run ``default`` (or the bare "main"
+    program). Each ruleset's actions are compiled independently and
+    gated on `source == value`; actions landing in the same sink from
+    different rulesets are merged with OR — matching the reference,
+    where two rulesets writing the same file append to it.
+    """
+
+    def __init__(
+        self,
+        script: str,
+        bindings: dict[str, str],
+        default: str | None = None,
+        env: Env | None = None,
+        source_col: str = "source",
+    ):
+        from rsyslog_spark.rules.rscript import parse_script as _ps
+
+        stmts = _ps(script)
+        base_env = env or Env()
+        merged: dict[str, Action] = {}
+
+        def add(actions: list[Action], gate: Column):
+            for a in actions:
+                pred = a.predicate & gate
+                if a.sink in merged:
+                    prev = merged[a.sink]
+                    merged[a.sink] = Action(
+                        a.sink, prev.predicate | pred, prev.params,
+                        prev.foreach_arr, prev.elem_pred,
+                    )
+                else:
+                    merged[a.sink] = Action(
+                        a.sink, pred, a.params, a.foreach_arr, a.elem_pred
+                    )
+
+        for src_value, rs_name in bindings.items():
+            sub_env = Env()
+            sub_env.props.update(base_env.props)
+            sub_env.lookups = base_env.lookups
+            sub_env.templates = base_env.templates
+            actions, _ = compile_routes(stmts, sub_env, entry=rs_name)
+            add(actions, F.col(source_col) == src_value)
+
+        unbound = ~F.col(source_col).isin(list(bindings)) | F.col(
+            source_col
+        ).isNull()
+        if default is not None:
+            sub_env = Env()
+            sub_env.props.update(base_env.props)
+            sub_env.lookups = base_env.lookups
+            sub_env.templates = base_env.templates
+            actions, _ = compile_routes(stmts, sub_env, entry=default)
+            add(actions, unbound)
+
+        self.env = base_env
+        self.actions = list(merged.values())
