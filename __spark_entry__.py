@@ -413,6 +413,44 @@ def q_ngram_jaccard(spark, sf):
     )
 
 
+def q_legacy_conf(spark, sf):
+    """Classic sysklogd-style conf routed through LegacyRouter."""
+    from rsyslog_spark.rules.legacy import LegacyRouter
+
+    conf = """
+mail,daemon.warning      /var/log/facilities
+:programname, isequal, "error"   @@central:514
+*.=debug                 ~
+*.*                      /var/log/catchall
+"""
+    p = flagship.build_parsed(spark, sf)
+    return LegacyRouter(conf).route_counts(p).select(
+        "sink", F.col("n").cast("long").alias("n")
+    )
+
+
+def q_bound_rulesets(spark, sf):
+    """Per-source ruleset binding: src0 and src1 get their own rule
+    programs, everything else falls back."""
+    from rsyslog_spark.rules.router import BoundRouter
+
+    script = """
+ruleset(name="hot") {
+    if $syslogseverity <= 5 then { action(name="hot_important") }
+    action(name="hot_all")
+}
+ruleset(name="warm") { action(name="warm_all") }
+ruleset(name="cold") { action(name="cold_all") }
+"""
+    p = flagship.build_parsed(spark, sf)
+    r = BoundRouter(
+        script, bindings={"src0": "hot", "src1": "warm"}, default="cold"
+    )
+    return r.route_counts(p).select(
+        "sink", F.col("n").cast("long").alias("n")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_headers": q_parse_headers,
@@ -445,6 +483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "foreach_sevens": q_foreach_sevens,
         "window_counts": q_window_counts,
         "ngram_jaccard": q_ngram_jaccard,
+        "legacy_conf": q_legacy_conf,
+        "bound_rulesets": q_bound_rulesets,
     }
 
 
@@ -739,6 +779,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(na AS BIGINT) AS na,
                    CAST(nb AS BIGINT) AS nb
             FROM inter WHERE n_inter * 2 >= (na + nb - n_inter)
+        """,
+        "legacy_conf": f"""
+            SELECT 'var_log_facilities' AS sink,
+                   CAST(count(*) FILTER (
+                       WHERE {fac} IN (2,3) AND {sev} <= 4) AS BIGINT) AS n
+            FROM events
+            UNION ALL
+            SELECT 'fwd_tcp_central_514',
+                   CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'var_log_catchall',
+                   CAST(count(*) FILTER (WHERE {sev} != 7) AS BIGINT)
+            FROM events
+        """,
+        "bound_rulesets": f"""
+            SELECT 'hot_important' AS sink,
+                   CAST(count(*) FILTER (
+                       WHERE event_id % 2 = 0 AND {sev} <= 5) AS BIGINT) AS n
+            FROM events
+            UNION ALL
+            SELECT 'hot_all',
+                   CAST(count(*) FILTER (WHERE event_id % 2 = 0) AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'warm_all',
+                   CAST(count(*) FILTER (WHERE event_id % 4 = 1) AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'cold_all',
+                   CAST(count(*) FILTER (
+                       WHERE event_id % 2 != 0 AND event_id % 4 != 1) AS BIGINT)
+            FROM events
         """,
         # minhash_pairs, embedding_dup_pairs, media_decode: rows-only
         # (hash-based sketches have no DuckDB-expressible oracle)
