@@ -451,6 +451,43 @@ ruleset(name="cold") { action(name="cold_all") }
     )
 
 
+def q_mmnormalize(spark, sf):
+    """Rulebase template extraction (the mmnormalize/grok flagship):
+    first-match-wins rules pull typed fields out of MSG."""
+    rules = [
+        mm.NormalizeRule("msgnum:%num:number%: k=%kval:number%"),
+        mm.NormalizeRule("%head:word% %rest:rest%"),
+    ]
+    p = flagship.build_parsed(spark, sf)
+    out = mm.mmnormalize(p.withColumn("msg", F.ltrim("msg")), rules)
+    return out.select(
+        "doc_id",
+        F.col("norm_rule").cast("long").alias("norm_rule"),
+        F.try_element_at("norm", F.lit("num")).alias("num"),
+        F.try_element_at("norm", F.lit("kval")).alias("kval"),
+    )
+
+
+def q_perctile_window(spark, sf):
+    """Sliding ring-buffer percentile window (perctile_stats analog):
+    per event_type, last-5-rows min/max/count/p50 ordered by event_id."""
+    ev = _events(spark, sf).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    out = agg.perctile_window(
+        ev, "event_type", "cents", "event_id", window_size=5,
+        percentiles=[0.5],
+    )
+    return out.select(
+        "event_type",
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("w_min").cast("long").alias("w_min"),
+        F.col("w_max").cast("long").alias("w_max"),
+        F.col("w_count").cast("long").alias("w_count"),
+        F.col("p50").cast("long").alias("p50"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_headers": q_parse_headers,
@@ -485,6 +522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "legacy_conf": q_legacy_conf,
         "bound_rulesets": q_bound_rulesets,
+        "mmnormalize": q_mmnormalize,
+        "perctile_window": q_perctile_window,
     }
 
 
@@ -812,6 +851,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (
                        WHERE event_id % 2 != 0 AND event_id % 4 != 1) AS BIGINT)
             FROM events
+        """,
+        "mmnormalize": f"""
+            SELECT {O['doc_id']} AS doc_id,
+                   CAST(0 AS BIGINT) AS norm_rule,
+                   lpad(CAST(event_id AS VARCHAR), 8, '0') AS num,
+                   {_K} AS kval
+            FROM events
+        """,
+        "perctile_window": """
+            SELECT event_type,
+                   CAST(event_id AS BIGINT) AS event_id,
+                   CAST(min(cents) OVER w AS BIGINT) AS w_min,
+                   CAST(max(cents) OVER w AS BIGINT) AS w_max,
+                   CAST(count(*) OVER w AS BIGINT) AS w_count,
+                   CAST(quantile_disc(cents, 0.5) OVER w AS BIGINT) AS p50
+            FROM (SELECT event_type, event_id,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events)
+            WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         """,
         # minhash_pairs, embedding_dup_pairs, media_decode: rows-only
         # (hash-based sketches have no DuckDB-expressible oracle)
