@@ -87,6 +87,48 @@ def om_foreach_batch(
     )
 
 
+def upsert_aggregate(
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    merge: dict[str, str] | None = None,
+) -> DataFrame:
+    """Idempotent aggregate upsert without a table format — the
+    Iceberg-MERGE analog for omsendertrack-style state
+    (plugins/omsendertrack: periodic counter state files).
+
+    Existing state at `path` is merged with `df` on `keys`; `merge`
+    maps column → one of sum|min|max|last (default sum for numerics).
+    The rewrite is write-temp-then-swap, so a retried job converges to
+    the same state (at-least-once becomes effectively idempotent for
+    these algebraic merges)."""
+    import os
+    import shutil
+
+    spark = df.sparkSession
+    if os.path.isdir(path):
+        old = spark.read.parquet(path)
+        unioned = old.unionByName(df, allowMissingColumns=True)
+    else:
+        unioned = df
+    merge = merge or {}
+    aggs = []
+    for c in unioned.columns:
+        if c in keys:
+            continue
+        how = merge.get(c, "sum")
+        fn = {"sum": F.sum, "min": F.min, "max": F.max, "last": F.last}[how]
+        aggs.append(fn(c).alias(c))
+    merged = unioned.groupBy(*keys).agg(*aggs)
+    tmp = path + ".tmp_upsert"
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+    return spark.read.parquet(path)
+
+
 def failover_chain(
     df: DataFrame, primary_pred: Column, *fallback_preds: Column
 ) -> list[Column]:
