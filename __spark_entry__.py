@@ -377,9 +377,17 @@ def q_window_counts(spark, sf):
     )
 
 
+NGRAM_DF_MAX = 100  # candidate-generation document-frequency cap
+
+
 def q_ngram_jaccard(spark, sf):
     """Exact 3-gram Jaccard pairs ≥ 0.5 as integer triples (id_a, id_b,
-    n_inter, na, nb) — integer outputs keep the hash compare exact."""
+    n_inter, na, nb) — integer outputs keep the hash compare exact.
+
+    Candidate pairs come ONLY from shingles with document frequency in
+    [2, NGRAM_DF_MAX] (bounds the k² blowup of a hot shingle); the
+    jaccard itself is verified EXACTLY on the full shingle arrays via
+    array_intersect. The oracle SQL applies the identical cap."""
     from rsyslog_spark.datapipe.dedup import _shingles
 
     d = _docs(spark, sf)
@@ -391,20 +399,37 @@ def q_ngram_jaccard(spark, sf):
         .repartition("id")
         .withColumn("n_sh", F.size("shingles"))
     )
-    ex = sh.select("id", "n_sh", F.explode("shingles").alias("s"))
-    a, b = ex.alias("a"), ex.alias("b")
-    inter = (
+    ex = sh.select("id", F.explode("shingles").alias("s"))
+    rare = (
+        ex.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter((F.col("_df") >= 2) & (F.col("_df") <= NGRAM_DF_MAX))
+        .select("s")
+    )
+    rare_ex = ex.join(rare, "s")
+    a, b = rare_ex.alias("a"), rare_ex.alias("b")
+    cand = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = (
+        cand.join(
+            sh.select(F.col("id").alias("id_a"),
+                      F.col("shingles").alias("_sa"),
+                      F.col("n_sh").alias("na")),
+            "id_a",
         )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .join(
+            sh.select(F.col("id").alias("id_b"),
+                      F.col("shingles").alias("_sb"),
+                      F.col("n_sh").alias("nb")),
+            "id_b",
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("_sa", "_sb")))
     )
     keep = F.col("n_inter") * 2 >= (F.col("na") + F.col("nb") - F.col("n_inter"))
-    return inter.filter(keep).select(
+    return pairs.filter(keep).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
         F.col("n_inter").cast("long").alias("n_inter"),
@@ -803,21 +828,29 @@ def oracle_sql() -> dict[str, str]:
                                ' ')[i:i+2], ' '))) AS shingles
                 FROM documents
             ), ex AS (
-                SELECT id, len(shingles) AS n_sh, unnest(shingles) AS s
-                FROM base
-            ), inter AS (
-                SELECT a.id AS id_a, b.id AS id_b,
-                       a.n_sh AS na, b.n_sh AS nb,
-                       count(*) AS n_inter
-                FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
-                GROUP BY 1, 2, 3, 4
+                SELECT id, unnest(shingles) AS s FROM base
+            ), rare AS (
+                SELECT s FROM ex GROUP BY s
+                HAVING count(*) BETWEEN 2 AND 100
+            ), cand AS (
+                SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                FROM ex a
+                JOIN rare r ON a.s = r.s
+                JOIN ex b ON a.s = b.s AND a.id < b.id
+            ), pairs AS (
+                SELECT c.id_a, c.id_b,
+                       len(A.shingles) AS na, len(B.shingles) AS nb,
+                       len(list_intersect(A.shingles, B.shingles)) AS n_inter
+                FROM cand c
+                JOIN base A ON c.id_a = A.id
+                JOIN base B ON c.id_b = B.id
             )
             SELECT CAST(id_a AS BIGINT) AS id_a,
                    CAST(id_b AS BIGINT) AS id_b,
                    CAST(n_inter AS BIGINT) AS n_inter,
                    CAST(na AS BIGINT) AS na,
                    CAST(nb AS BIGINT) AS nb
-            FROM inter WHERE n_inter * 2 >= (na + nb - n_inter)
+            FROM pairs WHERE n_inter * 2 >= (na + nb - n_inter)
         """,
         "legacy_conf": f"""
             SELECT 'var_log_facilities' AS sink,

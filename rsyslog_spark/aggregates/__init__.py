@@ -38,19 +38,33 @@ def dyn_stats_capped(
     Batch divergence (documented): the reference admits the FIRST
     maxCardinality keys to arrive; a batch has no arrival order, so we
     keep the top-N by count (ties broken by key) — deterministic and
-    the natural batch analog."""
+    the natural batch analog. (For streaming first-seen admission see
+    streaming.dyn_stats_stream.)
+
+    Scale shape: the kept set is found with a distributed
+    ``orderBy(...).limit(N)`` (TakeOrderedAndProject: every partition
+    computes a partial top-N, only N rows per partition reach the
+    driver-side merge — no global single-task window). The overflow sum
+    subtracts the kept rows' total from the global total, so the big
+    `counts` relation is aggregated once and never re-joined."""
     counts = dyn_stats(df, bucket_keys)
-    w = Window.orderBy(F.desc("n"), *bucket_keys)
-    ranked = counts.withColumn("_rank", F.row_number().over(w))
-    kept = ranked.filter(F.col("_rank") <= max_cardinality).drop("_rank")
+    # TakeOrderedAndProject: partial top-N per partition, merge of
+    # N-row partials — the distributed top-N physical operator.
+    kept = counts.orderBy(F.desc("n"), *bucket_keys).limit(max_cardinality)
+    # overflow = total − kept_total. Two scalar aggregates (kept is at
+    # most max_cardinality rows) replace the anti-join: no shuffle of
+    # the full key space beyond the one groupBy in dyn_stats.
+    totals = counts.agg(
+        F.sum("n").alias("_total"), F.count(F.lit(1)).alias("_nkeys")
+    )
+    kept_tot = kept.agg(F.sum("n").alias("_kept"))
     over = (
-        ranked.filter(F.col("_rank") > max_cardinality)
-        .agg(F.sum("n").alias("n"))
-        .filter(F.col("n").isNotNull())
+        totals.crossJoin(kept_tot)
+        .filter(F.col("_nkeys") > max_cardinality)
         .select(
             *[F.lit(overflow_key).alias(k if isinstance(k, str) else "key")
               for k in bucket_keys],
-            "n",
+            (F.col("_total") - F.coalesce(F.col("_kept"), F.lit(0))).alias("n"),
         )
     )
     return kept.unionByName(over)

@@ -75,6 +75,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     threshold: float = 0.7,
+    bucket_cap: int | None = 512,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs.
 
@@ -82,6 +83,14 @@ def minhash_lsh_pairs(
     bucket-join on (band_idx, band_hash) → estimate Jaccard from full
     signatures → keep est ≥ threshold. Returns (id_a, id_b, est_jaccard)
     with id_a < id_b.
+
+    ``bucket_cap`` bounds the quadratic term: a bucket holding m docs
+    yields m(m-1)/2 candidates, and a cluster of mass exact-duplicates
+    (every band identical) makes m huge. Buckets larger than the cap
+    are dropped from candidate generation — by construction those are
+    near-identical clusters, which `exact_dedup` already catches, so
+    run exact dedup first and treat LSH as the near-dup pass. Pass
+    ``bucket_cap=None`` to disable (exhaustive, unbounded).
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -120,6 +129,17 @@ def minhash_lsh_pairs(
     banded = sig.select("id", "sig", F.explode(band_entries).alias("be")).select(
         "id", "sig", F.col("be.band").alias("band"), F.col("be.bucket").alias("bucket")
     )
+    if bucket_cap is not None:
+        # drop over-full buckets before the self-join: bounded candidate
+        # count even under mass-duplicate skew (each kept bucket yields
+        # at most cap² rows; dropped buckets are exact-dup clusters).
+        ok = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= bucket_cap)
+            .select("band", "bucket")
+        )
+        banded = banded.join(ok, ["band", "bucket"])
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -177,37 +197,85 @@ def simhash(hashes_col: Column, bits: int = 32) -> Column:
     return out
 
 
+def _block_bounds(bits: int, n_blocks: int) -> list[tuple[int, int]]:
+    """Split [0, bits) into n_blocks nearly-equal (start, width) ranges."""
+    base, extra = divmod(bits, n_blocks)
+    bounds, start = [], 0
+    for i in range(n_blocks):
+        width = base + (1 if i < extra else 0)
+        bounds.append((start, width))
+        start += width
+    return bounds
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    prefix_bits: int = 16,
+    bits: int = 64,
+    bucket_cap: int | None = 512,
 ) -> DataFrame:
-    """SimHash near-dup candidate pairs: bucket on the top prefix_bits
-    of the simhash (near-dups agree on a prefix with high probability in
-    this corpus regime), then verify exact Hamming distance ≤ max_hamming.
+    """SimHash near-dup pairs with multi-table block blocking
+    (Manku/Jain/Sarma, WWW'07 §3): split the `bits`-bit simhash into
+    max_hamming+1 blocks; by pigeonhole any pair within Hamming
+    distance max_hamming agrees EXACTLY on at least one block, so
+    bucketing each doc (max_hamming+1 times) on (table_idx, block
+    value) has FULL recall — then verify exact Hamming ≤ max_hamming
+    with bit_count(xor).
 
-    Returns (id_a, id_b, hamming). NOTE: single-prefix blocking is a
-    recall/scale tradeoff; multi-table rotations would raise recall."""
+    Returns (id_a, id_b, hamming). Scale shape: the self-join key is
+    (table, block value) — 64/(d+1) bits of entropy per table, so
+    buckets stay small on diverse corpora; ``bucket_cap`` drops
+    pathological buckets (mass near-identical clusters — run
+    exact_dedup first) to bound the quadratic term."""
+    n_blocks = max_hamming + 1
     hashed = df.select(
         F.col(id_col).alias("id"),
         word_hashes(F.col(text_col)).alias("hashes"),
     ).repartition("id")  # barrier: hash words once
-    sh = hashed.select("id", simhash(F.col("hashes"), 32).alias("sh"))
-    bucket = F.shiftrightunsigned("sh", 32 - prefix_bits)
-    sh = sh.withColumn("bucket", bucket)
-    a, b = sh.alias("a"), sh.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+    sh = hashed.select("id", simhash(F.col("hashes"), bits).alias("sh"))
+    # one row per (doc, table): block t = bits [start, start+width)
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                F.shiftrightunsigned("sh", start)
+                .bitwiseAND(F.lit((1 << width) - 1) if width < 64 else F.lit(-1))
+                .alias("block"),
+            )
+            for t, (start, width) in enumerate(_block_bounds(bits, n_blocks))
+        ]
     )
-    ham = F.bit_count(
-        F.col("a.sh").bitwiseXOR(F.col("b.sh"))
-    ).alias("hamming")
-    return cand.select(
-        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), ham
-    ).filter(F.col("hamming") <= max_hamming)
+    banded = sh.select("id", "sh", F.explode(tables).alias("tb")).select(
+        "id", "sh", F.col("tb.t").alias("t"), F.col("tb.block").alias("block")
+    )
+    if bucket_cap is not None:
+        ok = (
+            banded.groupBy("t", "block")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= bucket_cap)
+            .select("t", "block")
+        )
+        banded = banded.join(ok, ["t", "block"])
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias(
+                "hamming"
+            ),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
 
 
 def ngram_jaccard_pairs(
@@ -216,12 +284,26 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.5,
+    df_max: int = 1000,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs sharing ≥1 shingle.
+    """Exact n-gram Jaccard over candidate pairs sharing ≥1 *rare*
+    shingle (document frequency in [2, df_max]).
 
-    explode(shingles) → self-join on shingle (counts shared shingles
-    per pair in one aggregation) → |A∩B| from the join, |A∪B| =
-    |A|+|B|−|A∩B|. Scales with shared-shingle pair count, not n²."""
+    Two-stage shape (the standard document-frequency / prefix-filter
+    trick): (1) candidate generation self-joins ONLY shingles whose
+    document frequency is ≤ df_max — a shingle in k docs contributes
+    k² join rows, so capping k bounds the quadratic term that a
+    stop-word shingle would otherwise explode (df=1 shingles are also
+    dropped: they cannot form a pair); (2) verification joins the full
+    shingle ARRAYS back by id and computes |A∩B| exactly with
+    array_intersect — so jaccard is EXACT for every surviving pair,
+    over the full (uncapped) shingle sets.
+
+    Recall note: a pair whose every shared shingle is hotter than
+    df_max is missed — such pairs share only near-ubiquitous n-grams
+    and sit far below any useful threshold; route true near-dup
+    discovery through minhash_lsh_pairs and use this as the exact
+    verifier."""
     sh = (
         df.select(
             F.col(id_col).alias("id"),
@@ -230,19 +312,42 @@ def ngram_jaccard_pairs(
         .repartition("id")  # barrier: build shingles once
         .withColumn("n_sh", F.size("shingles"))
     )
-    ex = sh.select("id", "n_sh", F.explode("shingles").alias("s"))
-    a, b = ex.alias("a"), ex.alias("b")
-    inter = (
+    ex = sh.select("id", F.explode("shingles").alias("s"))
+    rare = (
+        ex.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter((F.col("_df") >= 2) & (F.col("_df") <= df_max))
+        .select("s")
+    )
+    rare_ex = ex.join(rare, "s")
+    a, b = rare_ex.alias("a"), rare_ex.alias("b")
+    cand = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = (
+        cand.join(
+            sh.select(
+                F.col("id").alias("id_a"),
+                F.col("shingles").alias("_sh_a"),
+                F.col("n_sh").alias("na"),
+            ),
+            "id_a",
         )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .join(
+            sh.select(
+                F.col("id").alias("id_b"),
+                F.col("shingles").alias("_sh_b"),
+                F.col("n_sh").alias("nb"),
+            ),
+            "id_b",
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("_sh_a", "_sh_b")))
     )
     jac = (
         F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
     ).alias("jaccard")
-    return inter.select("id_a", "id_b", jac).filter(F.col("jaccard") >= threshold)
+    return pairs.select("id_a", "id_b", jac).filter(
+        F.col("jaccard") >= threshold
+    )

@@ -29,6 +29,11 @@ SCALE_CONF: dict[str, str] = {
     # tiny dimensions, so joins against them must never shuffle.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",
+    # RFC 5424 allows repeated SD param names and rsyslog keeps the
+    # last occurrence; default EXCEPTION policy would abort the whole
+    # job on the first repeated key in map_from_arrays/_entries
+    # (mmpstrucdata, mmnormalize).
+    "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
 }
 
 

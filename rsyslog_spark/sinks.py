@@ -87,46 +87,116 @@ def om_foreach_batch(
     )
 
 
+def _upsert_recover(path: str) -> None:
+    """Finish an interrupted bucket swap: any bucket dir still parked
+    in `path`.bak and missing from `path` is restored; leftover .bak
+    and .tmp dirs are then cleared."""
+    import os
+    import shutil
+
+    bak = path + ".bak"
+    if os.path.isdir(bak):
+        for d in os.listdir(bak):
+            if d.startswith("_bucket=") and not os.path.isdir(
+                os.path.join(path, d)
+            ):
+                os.rename(os.path.join(bak, d), os.path.join(path, d))
+        shutil.rmtree(bak, ignore_errors=True)
+    shutil.rmtree(path + ".tmp_upsert", ignore_errors=True)
+
+
 def upsert_aggregate(
     df: DataFrame,
     path: str,
     keys: list[str],
     merge: dict[str, str] | None = None,
+    num_buckets: int = 16,
+    batch_id: str | int | None = None,
 ) -> DataFrame:
-    """Idempotent aggregate upsert without a table format — the
-    Iceberg-MERGE analog for omsendertrack-style state
-    (plugins/omsendertrack: periodic counter state files).
+    """Aggregate upsert without a table format — the Iceberg-MERGE
+    analog for omsendertrack-style state (plugins/omsendertrack:
+    periodic counter state files). On a real cluster this is one
+    Iceberg/Delta MERGE INTO; this sandbox analog keeps the MERGE's
+    two scale properties:
 
-    Existing state at `path` is merged with `df` on `keys`; `merge`
-    maps column → one of sum|min|max|last (default sum for numerics).
-    The rewrite is write-temp-then-swap, so a retried job converges to
-    the same state (at-least-once becomes effectively idempotent for
-    these algebraic merges)."""
+    * **O(touched), not O(state)**: state is hash-partitioned on
+      ``pmod(xxhash64(keys), num_buckets)``; only buckets present in
+      `df` are read (partition-pruned scan), merged, and rewritten.
+    * **Crash-safe swap**: per touched bucket, the old dir is parked
+      in `path`.bak before the new dir moves in, and the backup is
+      removed last — a crash at any point leaves a state that
+      `_upsert_recover` (run automatically on entry) completes.
+
+    Replay semantics: pass ``batch_id`` to make re-application a true
+    no-op (committed ids are tracked in `path`.batches markers) —
+    without it, replaying a batch double-counts `sum` merges (min/max
+    are naturally convergent). `merge` maps column → sum|min|max|last
+    (default sum)."""
     import os
     import shutil
 
     spark = df.sparkSession
-    if os.path.isdir(path):
-        old = spark.read.parquet(path)
-        unioned = old.unionByName(df, allowMissingColumns=True)
+    _upsert_recover(path)
+
+    batches_dir = path + ".batches"
+    if batch_id is not None:
+        marker = os.path.join(batches_dir, str(batch_id))
+        if os.path.exists(marker):  # replay of a committed batch: no-op
+            return spark.read.parquet(path).drop("_bucket")
+
+    bucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(num_buckets))
+    new = df.withColumn("_bucket", bucket)
+    exists = os.path.isdir(path) and any(
+        d.startswith("_bucket=") for d in os.listdir(path)
+    )
+    if exists:
+        # touched bucket ids: at most num_buckets ints — tiny driver list
+        touched = sorted(
+            r._bucket for r in new.select("_bucket").distinct().collect()
+        )
+        old = spark.read.parquet(path).filter(F.col("_bucket").isin(touched))
+        unioned = old.unionByName(new, allowMissingColumns=True)
     else:
-        unioned = df
+        touched = None  # first write: all buckets
+        unioned = new
     merge = merge or {}
     aggs = []
     for c in unioned.columns:
-        if c in keys:
+        if c in keys or c == "_bucket":
             continue
         how = merge.get(c, "sum")
         fn = {"sum": F.sum, "min": F.min, "max": F.max, "last": F.last}[how]
         aggs.append(fn(c).alias(c))
-    merged = unioned.groupBy(*keys).agg(*aggs)
+    merged = unioned.groupBy(*keys).agg(*aggs).withColumn("_bucket", bucket)
+
     tmp = path + ".tmp_upsert"
     shutil.rmtree(tmp, ignore_errors=True)
-    merged.write.mode("overwrite").parquet(tmp)
-    if os.path.isdir(path):
-        shutil.rmtree(path)
-    os.rename(tmp, path)
-    return spark.read.parquet(path)
+    merged.write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
+
+    if touched is None:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+    else:
+        bak = path + ".bak"
+        os.makedirs(bak, exist_ok=True)
+        for b in touched:
+            d = f"_bucket={b}"
+            src, dst = os.path.join(tmp, d), os.path.join(path, d)
+            if not os.path.isdir(src):
+                continue  # bucket merged away to empty (never for aggs)
+            if os.path.isdir(dst):
+                os.rename(dst, os.path.join(bak, d))
+            os.rename(src, dst)
+        shutil.rmtree(bak, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    if batch_id is not None:
+        os.makedirs(batches_dir, exist_ok=True)
+        with open(os.path.join(batches_dir, str(batch_id)), "w") as fh:
+            fh.write("committed")
+    return spark.read.parquet(path).drop("_bucket")
 
 
 def failover_chain(

@@ -130,9 +130,78 @@ def test_ngram_jaccard_pairs(spark):
 
 
 def test_simhash_pairs(spark):
-    pairs = simhash_pairs(_docs(spark), max_hamming=6, prefix_bits=8)
+    pairs = simhash_pairs(_docs(spark), max_hamming=6)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert (1, 2) in got and (1, 5) in got
+
+
+def test_simhash_pairs_full_recall_within_hamming(spark):
+    # multi-table pigeonhole blocking must find EVERY pair within the
+    # hamming budget — compare against the exhaustive cross join
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta token{i % 4} "
+             f"eta theta iota kappa word{i % 3}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    from rsyslog_spark.datapipe.dedup import simhash, word_hashes
+
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        simhash(word_hashes(F.col("text")), 64).alias("sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("h"),
+        )
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(docs, max_hamming=3, bucket_cap=None).collect()
+    }
+    assert got == exact and len(exact) > 0
+
+
+def _mass_dup_docs(spark, n=400):
+    # adversarial fixture: one mass-duplicate cluster + a tail of
+    # distinct docs. Uncapped LSH would make ~n²/2 candidates.
+    rows = [(i, "identical replicated payload common tokens here") for i in range(n)]
+    rows += [(n + i, f"unique document number {i} with words w{i} v{i} u{i}")
+             for i in range(20)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_bucket_cap_bounds_candidates(spark):
+    docs = _mass_dup_docs(spark)
+    capped = minhash_lsh_pairs(docs, num_hashes=32, bands=8, shingle_k=2,
+                               threshold=0.5, bucket_cap=50)
+    # the 400-doc identical cluster is dropped from LSH (exact_dedup
+    # territory); candidate pairs stay bounded by cap² per bucket
+    assert capped.count() <= 50 * 50
+    # normal corpus unaffected by the default cap
+    normal = minhash_lsh_pairs(
+        _docs(spark), num_hashes=32, bands=16, shingle_k=2, threshold=0.5
+    )
+    got = {(r.id_a, r.id_b) for r in normal.collect()}
+    assert (1, 2) in got and (1, 5) in got
+
+
+def test_ngram_jaccard_df_cap_bounds_candidates(spark):
+    docs = _mass_dup_docs(spark)
+    # every shingle of the mass cluster has df≈400 > df_max → no
+    # candidates from it; distinct tail docs share no rare shingle
+    out = ngram_jaccard_pairs(docs, shingle_k=2, threshold=0.5, df_max=100)
+    assert all(r.id_a >= 400 or r.id_b >= 400 for r in out.collect()) or out.count() == 0
+    # exactness preserved on the normal corpus (df cap not binding)
+    pairs = ngram_jaccard_pairs(_docs(spark), shingle_k=2, threshold=0.5)
+    rows = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert rows[(1, 2)] == 1.0 and 0.5 <= rows[(1, 3)] < 1.0
 
 
 # ---------------- datapipe: simsearch ----------------

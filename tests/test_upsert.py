@@ -27,8 +27,75 @@ def test_upsert_aggregate(spark, tmp_path):
     assert state["h3"].n_msgs == 1
     assert len(state) == 3
 
-    # replaying batch 2 is NOT idempotent for sum (at-least-once adds);
-    # but the merge itself converges: min/max stay fixed
+    # replaying batch 2 WITHOUT a batch_id is NOT idempotent for sum
+    # (at-least-once adds); min/max converge
     got = upsert_aggregate(b2, path, ["sender"], merge)
     state = {r.sender: r for r in got.collect()}
     assert state["h1"].first_seen == 100 and state["h1"].last_seen == 110
+
+
+def test_upsert_batch_id_makes_replay_noop(spark, tmp_path):
+    path = str(tmp_path / "state")
+    merge = {"n": "sum"}
+    b = spark.createDataFrame([("k1", 5), ("k2", 2)], "key string, n long")
+    upsert_aggregate(b, path, ["key"], merge, batch_id="epoch-1")
+    got = upsert_aggregate(b, path, ["key"], merge, batch_id="epoch-1")
+    state = {r.key: r.n for r in got.collect()}
+    assert state == {"k1": 5, "k2": 2}  # true no-op on replay
+    got = upsert_aggregate(b, path, ["key"], merge, batch_id="epoch-2")
+    state = {r.key: r.n for r in got.collect()}
+    assert state == {"k1": 10, "k2": 4}
+
+
+def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "state")
+    big = spark.createDataFrame(
+        [(f"key{i}", 1) for i in range(200)], "key string, n long"
+    )
+    upsert_aggregate(big, path, ["key"], {"n": "sum"}, num_buckets=8)
+    mtimes = {
+        d: os.path.getmtime(os.path.join(path, d))
+        for d in os.listdir(path) if d.startswith("_bucket=")
+    }
+    assert len(mtimes) == 8
+    import time
+
+    time.sleep(1.1)
+    one = spark.createDataFrame([("key0", 7)], "key string, n long")
+    upsert_aggregate(one, path, ["key"], {"n": "sum"}, num_buckets=8)
+    changed = [
+        d for d in mtimes
+        if os.path.getmtime(os.path.join(path, d)) != mtimes[d]
+    ]
+    assert len(changed) == 1  # only key0's bucket was rewritten
+    got = upsert_aggregate(
+        spark.createDataFrame([("key1", 0)], "key string, n long"),
+        path, ["key"], {"n": "sum"}, num_buckets=8,
+    )
+    state = {r.key: r.n for r in got.collect()}
+    assert state["key0"] == 8 and len(state) == 200
+
+
+def test_upsert_recovers_interrupted_swap(spark, tmp_path):
+    import os
+    import shutil
+
+    path = str(tmp_path / "state")
+    b = spark.createDataFrame(
+        [(f"key{i}", 1) for i in range(50)], "key string, n long"
+    )
+    upsert_aggregate(b, path, ["key"], {"n": "sum"}, num_buckets=4)
+    # simulate a crash mid-swap: one bucket parked in .bak, gone from state
+    bak = path + ".bak"
+    os.makedirs(bak, exist_ok=True)
+    victim = next(d for d in os.listdir(path) if d.startswith("_bucket="))
+    os.rename(os.path.join(path, victim), os.path.join(bak, victim))
+    # next upsert must first restore the parked bucket, losing nothing
+    got = upsert_aggregate(
+        spark.createDataFrame([("key0", 1)], "key string, n long"),
+        path, ["key"], {"n": "sum"}, num_buckets=4,
+    )
+    assert got.count() == 50
+    assert not os.path.isdir(bak)
