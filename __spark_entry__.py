@@ -493,6 +493,42 @@ def q_mmnormalize(spark, sf):
     )
 
 
+# liblognorm v1 rulebase (loaded via mm.load_rulebase — the
+# mmnormalize.c:102-172 file-loading path) over the RAW syslog line:
+# typed date fields, char-to, discard (%-) and annotate= constants.
+RULEBASE_TEXT = r"""version=1
+# RFC5424 frame: <pri>1 TS host prog pid msgid SD msg
+rule=r5424:<%pri:number%>1 %ts:date-rfc5424% %host:word% %prog:word% %pid:number% %-:word% %-:rest%
+annotate=r5424:+proto="5424"
+# RFC3164 frame: <pri>MMM _d HH:MM:SS host prog[pid]: msg
+rule=r3164:<%pri:number%>%ts:date-rfc3164% %host:word% %prog:char-to:\x5b%[%pid:number%]: %-:rest%
+annotate=r3164:+proto="3164"
+"""
+
+
+def q_rulebase_grok(spark, sf):
+    """Loaded-rulebase extraction over the raw line + mmgrok field pull
+    from MSG — the mmnormalize-file + mmgrok coverage query."""
+    p = flagship.build_parsed(spark, sf)
+    rules = mm.load_rulebase(RULEBASE_TEXT)
+    out = mm.mmnormalize(p, rules, msg_col="rawmsg")
+    out = mm.mmgrok(out, r"msgnum:%{NONNEGINT:msgnum}: k=%{NONNEGINT:kval}")
+    nval = lambda k: F.try_element_at("norm", F.lit(k))  # noqa: E731
+    gval = lambda k: F.try_element_at("grok", F.lit(k))  # noqa: E731
+    return out.select(
+        "doc_id",
+        F.col("norm_rule").cast("long").alias("norm_rule"),
+        nval("pri").try_cast("long").alias("pri"),
+        nval("host").alias("host"),
+        nval("prog").alias("prog"),
+        nval("pid").try_cast("long").alias("pid"),
+        nval("proto").alias("proto"),
+        F.col("grok_success").cast("long").alias("grok_ok"),
+        gval("msgnum").alias("msgnum"),
+        gval("kval").alias("kval"),
+    )
+
+
 def q_perctile_window(spark, sf):
     """Sliding ring-buffer percentile window (perctile_stats analog):
     per event_type, last-5-rows min/max/count/p50 ordered by event_id."""
@@ -548,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "legacy_conf": q_legacy_conf,
         "bound_rulesets": q_bound_rulesets,
         "mmnormalize": q_mmnormalize,
+        "rulebase_grok": q_rulebase_grok,
         "perctile_window": q_perctile_window,
     }
 
@@ -889,6 +926,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT {O['doc_id']} AS doc_id,
                    CAST(0 AS BIGINT) AS norm_rule,
                    lpad(CAST(event_id AS VARCHAR), 8, '0') AS num,
+                   {_K} AS kval
+            FROM events
+        """,
+        "rulebase_grok": f"""
+            SELECT {O['doc_id']} AS doc_id,
+                   CAST(CASE WHEN event_id % 7 = 0 THEN 0 ELSE 1 END
+                        AS BIGINT) AS norm_rule,
+                   CAST({O['pri']} AS BIGINT) AS pri,
+                   {O['hostname']} AS host,
+                   event_type AS prog,
+                   CAST(event_id % 997 AS BIGINT) AS pid,
+                   CASE WHEN event_id % 7 = 0 THEN '5424' ELSE '3164' END
+                       AS proto,
+                   CAST(1 AS BIGINT) AS grok_ok,
+                   lpad(CAST(event_id AS VARCHAR), 8, '0') AS msgnum,
                    {_K} AS kval
             FROM events
         """,

@@ -164,47 +164,160 @@ def mmtaghostname(df: DataFrame) -> DataFrame:
 
 # --- mmnormalize (plugins/mmnormalize, liblognorm rulebases) ------------------
 
-_TYPE_PATTERNS = {
-    "number": r"(\d+)",
-    "word": r"(\S+)",
-    "alpha": r"([A-Za-z]+)",
-    "rest": r"(.*)",
-    "ipv4": r"(\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3})",
+_HEXESC = re.compile(r"\\x([0-9a-fA-F]{2})")
+
+
+def _unescape(s: str) -> str:
+    """liblognorm \\xNN escapes (rulebase char-to:\\x3a etc.)."""
+    return _HEXESC.sub(lambda m: chr(int(m.group(1), 16)), s)
+
+
+def _noncapture(rx: str) -> str:
+    """Turn every plain capturing group of a user regex into a
+    non-capturing one so it can't shift our field group indices."""
+    return re.sub(r"(?<!\\)\((?!\?)", "(?:", rx)
+
+
+# Groupless token patterns per liblognorm field type
+# (liblognorm parser.c; the set mmnormalize rulebases actually use).
+_RAW_TYPES = {
+    "number": r"\d+",
+    "float": r"[+-]?\d+(?:\.\d+)?",
+    "hexnumber": r"0x[0-9A-Fa-f]+",
+    "word": r"\S+",
+    "alpha": r"[A-Za-z]+",
+    "rest": r".*",
+    "ipv4": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    # pragmatic IPv6 (liblognorm validates octet groups; this accepts a
+    # slight superset — documented divergence)
+    "ipv6": r"(?:[0-9A-Fa-f]{0,4}:){2,7}[0-9A-Fa-f]{0,4}"
+            r"(?:\d{1,3}(?:\.\d{1,3}){3})?",
+    "date-rfc3164": r"[A-Z][a-z]{2} (?: \d|\d{2}) \d{2}:\d{2}:\d{2}",
+    "date-rfc5424": r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?"
+                    r"(?:Z|[+-]\d{2}:\d{2})?",
+    # one JSON object, greedy to the final brace (liblognorm walks
+    # nesting; a regex can't — fine for the one-object-per-line shape)
+    "json": r"\{.*\}",
+    "mac48": r"(?:[0-9A-Fa-f]{2}[:-]){5}[0-9A-Fa-f]{2}",
+    "quoted-string": r'"(?:[^"\\]|\\.)*"',
+    "op-quoted-string": r'(?:"(?:[^"\\]|\\.)*"|\S+)',
+    "whitespace": r"\s+",
+}
+# when capturing, these strip delimiters from the captured value
+_CAPTURE_OVERRIDE = {
     "quoted-string": r'"((?:[^"\\]|\\.)*)"',
 }
 
 
-class NormalizeRule:
-    """One liblognorm-style rule: literal text with %field:type% or
-    %field:char-to:X% placeholders. Compiles to a single Java regex with
-    one capture group per field."""
+def _type_pattern(ftype: str) -> str:
+    """Groupless regex for a (possibly parameterized) field-type spec."""
+    if ftype.startswith(("char-to:", "char-sep:")):
+        stop = re.escape(_unescape(ftype.split(":", 1)[1]))
+        return f"[^{stop}]*"
+    if ftype.startswith("regex:"):
+        return _noncapture(_unescape(ftype.split(":", 1)[1]))
+    if ftype.startswith("tokenized:"):
+        # tokenized:SEP:INNER — INNER may itself be parameterized
+        _, sep, inner = ftype.split(":", 2)
+        sp = re.escape(_unescape(sep))
+        ip = _type_pattern(inner)
+        return f"(?:{ip})(?:{sp}(?:{ip}))*"
+    pat = _RAW_TYPES.get(ftype)
+    if pat is None:
+        raise ValueError(f"unsupported lognorm type {ftype!r}")
+    return pat
 
-    def __init__(self, pattern: str, tags: list[str] | None = None):
+
+class NormalizeRule:
+    """One liblognorm-style rule: literal text with %field:type%
+    placeholders (char-to/char-sep/tokenized/regex parameterized types
+    included). Compiles to a single Java regex with one capture group
+    per named field; '%-:type%' matches without capturing (liblognorm
+    dash = discard). ``const_fields`` carries annotate= constants."""
+
+    def __init__(
+        self,
+        pattern: str,
+        tags: list[str] | None = None,
+        const_fields: dict[str, str] | None = None,
+    ):
         self.pattern = pattern
         self.tags = tags or []
+        self.const_fields = dict(const_fields or {})
         self.fields: list[str] = []
         out = []
         pos = 0
         for m in re.finditer(r"%([^%:]+):([^%]+)%", pattern):
-            out.append(re.escape(pattern[pos : m.start()]))
+            out.append(re.escape(_unescape(pattern[pos : m.start()])))
             name, ftype = m.group(1), m.group(2)
-            self.fields.append(name)
-            if ftype.startswith("char-to:"):
-                stop = re.escape(ftype.split(":", 1)[1])
-                out.append(f"([^{stop}]*)")
+            if name == "-":
+                out.append(f"(?:{_type_pattern(ftype)})")
+            elif ftype in _CAPTURE_OVERRIDE:
+                self.fields.append(name)
+                out.append(_CAPTURE_OVERRIDE[ftype])
             else:
-                pat = _TYPE_PATTERNS.get(ftype)
-                if pat is None:
-                    raise ValueError(f"unsupported lognorm type {ftype!r}")
-                out.append(pat)
+                self.fields.append(name)
+                out.append(f"({_type_pattern(ftype)})")
             pos = m.end()
-        out.append(re.escape(pattern[pos:]))
+        out.append(re.escape(_unescape(pattern[pos:])))
         self.regex = "^" + "".join(out) + "$"
+
+
+def load_rulebase(text: str) -> list[NormalizeRule]:
+    """Parse a liblognorm .rulebase (v1 syntax) into NormalizeRules
+    (plugins/mmnormalize/mmnormalize.c:102-172 loads these via
+    ln_loadSamples; fixtures tests/testsuites/mmnormalize_*.rulebase).
+
+    Supported lines: ``rule=<tags>:<pattern>``, ``annotate=<tag>:
+    +<field>="<value>"``, ``prefix=``, ``version=``, comments/blank.
+    The v2 inline-JSON parser syntax (%{"type":"repeat",...}%) is out
+    of scope — detected and rejected explicitly."""
+    rules: list[NormalizeRule] = []
+    annotations: dict[str, dict[str, str]] = {}
+    prefix = ""
+    for raw in text.splitlines():
+        line = raw.rstrip("\n")
+        if not line.strip() or line.lstrip().startswith("#"):
+            continue
+        if line.startswith("version="):
+            continue
+        if line.startswith("prefix="):
+            prefix = line[len("prefix="):]
+            continue
+        if line.startswith("rule="):
+            body = line[len("rule="):]
+            if '%{"' in body or "%{'" in body:
+                raise ValueError(
+                    "liblognorm v2 inline-JSON parser syntax is not "
+                    "supported (use v1 %field:type% rules)"
+                )
+            tags_str, _, pattern = body.partition(":")
+            tags = [t for t in tags_str.split(",") if t]
+            rules.append(NormalizeRule(prefix + pattern, tags=tags))
+            continue
+        if line.startswith("annotate="):
+            body = line[len("annotate="):]
+            tag, _, ann = body.partition(":")
+            m = re.match(r'\+([\w.]+)="((?:[^"\\]|\\.)*)"', ann.strip())
+            if not m:
+                raise ValueError(f"bad annotate line: {line!r}")
+            annotations.setdefault(tag, {})[m.group(1)] = m.group(2)
+            continue
+        raise ValueError(f"unrecognized rulebase line: {line!r}")
+    for r in rules:
+        for t in r.tags:
+            r.const_fields.update(annotations.get(t, {}))
+    return rules
+
+
+def load_rulebase_file(path: str) -> list[NormalizeRule]:
+    with open(path, encoding="utf-8") as fh:
+        return load_rulebase(fh.read())
 
 
 def mmnormalize(
     df: DataFrame, rules: list[NormalizeRule], msg_col: str = "msg",
-    out_col: str = "norm",
+    out_col: str = "norm", rule_col: str = "norm_rule",
 ) -> DataFrame:
     """First matching rule wins (parser-chain order, mmnormalize.c:146-172);
     extracted fields land in a map column ``norm`` plus ``norm_rule``
@@ -225,7 +338,110 @@ def mmnormalize(
                     F.regexp_extract(msg, r.regex, gi).alias("value"),
                 )
             )
+        for k, v in getattr(r, "const_fields", {}).items():
+            entries.append(
+                F.struct(F.lit(k).alias("key"), F.lit(v).alias("value"))
+            )
         m = F.map_from_entries(F.array(*entries)) if entries else F.create_map()
         result = F.when(hit, m).otherwise(result)
         rule_idx = F.when(hit, F.lit(i)).otherwise(rule_idx)
-    return df.withColumn(out_col, result).withColumn("norm_rule", rule_idx)
+    return df.withColumn(out_col, result).withColumn(rule_col, rule_idx)
+
+
+# --- mmgrok (contrib/mmgrok/mmgrok.c) -----------------------------------------
+
+# Public grok base patterns (the logstash/grok standard library subset
+# the reference's libgrok ships). All groupless; %{NAME} refs expand.
+GROK_PATTERNS: dict[str, str] = {
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "USER": r"%{USERNAME}",
+    "INT": r"[+-]?[0-9]+",
+    "POSINT": r"\b[1-9][0-9]*\b",
+    "NONNEGINT": r"\b[0-9]+\b",
+    "BASE10NUM": r"[+-]?(?:[0-9]+(?:\.[0-9]+)?|\.[0-9]+)",
+    "NUMBER": r"%{BASE10NUM}",
+    "BASE16NUM": r"(?:0[xX])?[0-9A-Fa-f]+",
+    "WORD": r"\b\w+\b",
+    "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "QUOTEDSTRING": r'"(?:[^"\\]|\\.)*"',
+    "UUID": r"[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
+    "IPV4": r"(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)(?:\.(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)){3}",
+    "IPV6": r"(?:[0-9A-Fa-f]{0,4}:){2,7}[0-9A-Fa-f]{0,4}(?:%{IPV4})?",
+    "IP": r"(?:%{IPV6}|%{IPV4})",
+    "HOSTNAME": r"\b[0-9A-Za-z][0-9A-Za-z-]{0,62}(?:\.[0-9A-Za-z][0-9A-Za-z-]{0,62})*\.?\b",
+    "IPORHOST": r"(?:%{IP}|%{HOSTNAME})",
+    "HOSTPORT": r"%{IPORHOST}:%{POSINT}",
+    "MONTH": r"\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)\b",
+    "MONTHDAY": r"(?:0[1-9]|[12][0-9]|3[01]|[1-9])",
+    "YEAR": r"(?:\d\d){1,2}",
+    "HOUR": r"(?:2[0123]|[01]?[0-9])",
+    "MINUTE": r"(?:[0-5][0-9])",
+    "SECOND": r"(?:[0-5][0-9]|60)(?:[:.,][0-9]+)?",
+    "TIME": r"%{HOUR}:%{MINUTE}:%{SECOND}",
+    "SYSLOGTIMESTAMP": r"%{MONTH} +%{MONTHDAY} %{TIME}",
+    "TIMESTAMP_ISO8601": r"%{YEAR}-(?:0[1-9]|1[0-2])-%{MONTHDAY}[T ]%{HOUR}:?%{MINUTE}(?::?%{SECOND})?(?:Z|[+-]%{HOUR}(?::?%{MINUTE})?)?",
+    "LOGLEVEL": r"(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE|[Ii]nfo|INFO|[Ww]arn(?:ing)?|WARN(?:ING)?|[Ee]rr(?:or)?|ERR(?:OR)?|[Cc]rit(?:ical)?|CRIT(?:ICAL)?|[Ff]atal|FATAL|[Ss]evere|SEVERE|EMERG(?:ENCY)?|[Ee]merg(?:ency)?)",
+    "SYSLOGPROG": r"%{WORD}(?:\[%{POSINT}\])?",
+}
+
+_GROK_REF = re.compile(r"%\{(\w+)(?::([\w.\[\]:]+))?\}")
+
+
+class GrokRule:
+    """A grok match string (%{SYNTAX:name} refs) compiled to one regex
+    + ordered field names — mmgrok's grok_compile/grok_exec analog
+    (contrib/mmgrok/mmgrok.c:226-272; named captures walk to JSON).
+    Unlike NormalizeRule the regex is UNANCHORED (grok_exec searches).
+    A three-part %{SYNTAX:name:type} keeps the name, drops the type
+    (all values land as strings — mmgrok.c stores strings too)."""
+
+    def __init__(
+        self, match: str, extra_patterns: dict[str, str] | None = None
+    ):
+        lib = dict(GROK_PATTERNS)
+        lib.update(extra_patterns or {})
+        self.pattern = match
+        self.const_fields: dict[str, str] = {}
+        self.fields: list[str] = []
+
+        def expand(rx: str, depth: int = 0) -> str:
+            if depth > 20:
+                raise ValueError("grok pattern recursion too deep")
+
+            def sub(m: re.Match) -> str:
+                name, field = m.group(1), m.group(2)
+                body = lib.get(name)
+                if body is None:
+                    raise ValueError(f"unknown grok pattern %{{{name}}}")
+                inner = expand(body, depth + 1)
+                if field and depth == 0:
+                    self.fields.append(field.split(":")[0])
+                    return f"({inner})"
+                return f"(?:{inner})"
+
+            return _GROK_REF.sub(sub, rx)
+
+        self.regex = expand(match)
+
+
+def mmgrok(
+    df: DataFrame,
+    match: str,
+    source: str = "msg",
+    target: str = "grok",
+    extra_patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """contrib/mmgrok: compile `match` against the grok pattern library
+    and extract named captures from `source` into map column `target`
+    (+ boolean ``grok_success``). Non-matching rows get a null map —
+    mmgrok aborts the action on GROK_OK failure, i.e. leaves the
+    message unannotated."""
+    rule = GrokRule(match, extra_patterns)
+    out = mmnormalize(df, [rule], msg_col=source, out_col=target,
+                      rule_col="_grok_rule")
+    return out.withColumn("grok_success", F.col("_grok_rule") == 0).drop(
+        "_grok_rule"
+    )

@@ -91,6 +91,107 @@ def test_mmnormalize(spark):
     assert rows[2].norm is None and rows[2].norm_rule == -1
 
 
+RULEBASE = r"""# sample v1 rulebase (shape of tests/testsuites/mmnormalize_*.rulebase)
+version=1
+rule=WIN,prod:<%n1:number%>1 %-:date-rfc5424% %host:word% %v_tag:word% %v_msg:rest%
+annotate=WIN:+v_prefix="EvntSLog: "
+annotate=prod:+env="production"
+rule=ESX:<%-:number%>%ts:date-rfc3164% %host:word% %v_tag:char-to:\x3a%: %v_msg:rest%
+rule=IPS:local ips are %ips:tokenized:, :ipv4%
+rule=RX:host ports are %hps:regex:([0-9.\x3a]+(, )?)+% etc
+"""
+
+
+def test_load_rulebase_and_normalize(spark):
+    rules = mm.load_rulebase(RULEBASE)
+    assert [r.tags for r in rules] == [["WIN", "prod"], ["ESX"], ["IPS"], ["RX"]]
+    assert rules[0].const_fields == {
+        "v_prefix": "EvntSLog: ", "env": "production"
+    }
+    df = spark.createDataFrame(
+        [
+            ("<107>1 2024-01-01T00:09:58Z host13 error msgnum:00000000",),
+            ("<13>Jan  5 10:11:12 web01 sshd[17]: accepted",),
+            ("local ips are 10.0.0.1, 10.0.0.2, 192.168.1.9",),
+            ("host ports are 10.0.0.1:443, 10.0.0.2:80 etc",),
+            ("nothing matches this",),
+        ],
+        "msg string",
+    )
+    rows = mm.mmnormalize(df, rules).collect()
+    assert rows[0].norm_rule == 0
+    assert rows[0].norm["n1"] == "107" and rows[0].norm["host"] == "host13"
+    assert rows[0].norm["v_prefix"] == "EvntSLog: "  # annotation applied
+    assert rows[0].norm["env"] == "production"
+    assert "ts" not in rows[0].norm  # %-:date-rfc5424% discarded
+    assert rows[1].norm_rule == 1
+    assert rows[1].norm["v_tag"] == "sshd[17]"
+    assert rows[1].norm["ts"] == "Jan  5 10:11:12"
+    assert rows[2].norm["ips"] == "10.0.0.1, 10.0.0.2, 192.168.1.9"
+    assert rows[3].norm["hps"] == "10.0.0.1:443, 10.0.0.2:80"
+    assert rows[4].norm_rule == -1 and rows[4].norm is None
+
+
+def test_load_rulebase_rejects_v2_json_parser():
+    import pytest
+
+    with pytest.raises(ValueError, match="v2"):
+        mm.load_rulebase('rule=:msg: %{"name":"n", "type":"repeat"}% b')
+
+
+def test_lognorm_extended_types(spark):
+    rules = [
+        mm.NormalizeRule("v6 %addr:ipv6% end"),
+        mm.NormalizeRule("js %payload:json% tail"),
+        mm.NormalizeRule("f %x:float% h %y:hexnumber%"),
+    ]
+    df = spark.createDataFrame(
+        [
+            ("v6 2001:db8::8a2e:370:7334 end",),
+            ('js {"a": {"b": 1}} tail',),
+            ("f -3.25 h 0xDEAD",),
+        ],
+        "msg string",
+    )
+    rows = mm.mmnormalize(df, rules).collect()
+    assert rows[0].norm == {"addr": "2001:db8::8a2e:370:7334"}
+    assert rows[1].norm == {"payload": '{"a": {"b": 1}}'}
+    assert rows[2].norm == {"x": "-3.25", "y": "0xDEAD"}
+
+
+def test_mmgrok(spark):
+    df = spark.createDataFrame(
+        [
+            ("Accepted password for root from 192.168.1.50 port 2244",),
+            ("ERROR took 12.5 ms on host web-01.example.com",),
+            ("no structure here",),
+        ],
+        "msg string",
+    )
+    out = mm.mmgrok(
+        df, r"from %{IPV4:src_ip} port %{POSINT:port}"
+    ).collect()
+    assert out[0].grok["src_ip"] == "192.168.1.50" and out[0].grok["port"] == "2244"
+    assert not out[2].grok_success
+
+    lvl = mm.mmgrok(
+        df, r"%{LOGLEVEL:level} took %{NUMBER:ms} ms on host %{HOSTNAME:host}"
+    ).collect()
+    assert lvl[1].grok == {
+        "level": "ERROR", "ms": "12.5", "host": "web-01.example.com"
+    }
+    # three-part %{SYNTAX:name:type} keeps the name, drops the type
+    typed = mm.mmgrok(df, r"port %{POSINT:port:int}").collect()
+    assert typed[0].grok["port"] == "2244"
+
+
+def test_mmgrok_unknown_pattern():
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown grok"):
+        mm.GrokRule("%{NOSUCHPATTERN:x}")
+
+
 # ---------------- datapipe: dedup ----------------
 
 def _docs(spark):
