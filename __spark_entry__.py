@@ -156,6 +156,32 @@ def q_template_lines(spark, sf):
     return p.select("doc_id", line.alias("line"))
 
 
+def q_template_options(spark, sf):
+    """Property-replacer option tail: fixed-width, pos-end-relative,
+    negative to-position, secpath-replace, escape-cc, jsonf with
+    dataType/onEmpty (template.c:1399-1545; msg.c:4277-4730)."""
+    p = flagship.build_parsed(spark, sf).withColumns(
+        {
+            # corpus values lack path/control chars — synthesize them so
+            # the escapes have something to bite on
+            "pathy": F.concat_ws("/", "source", "programname"),
+            "ctl": F.concat(F.col("programname"), F.lit("\tx")),
+        }
+    )
+    cols = {
+        "fw": compile_template("%hostname:1:10:fixed-width%"),
+        "tail3": compile_template("%doc_id:3:1:pos-end-relative%"),
+        "neg": compile_template("%msg:2:-2%"),
+        "sec": compile_template("%pathy:::secpath-replace%"),
+        "ccdec": compile_template("%ctl:::escape-cc%"),
+        "ccoct": compile_template("%ctl:::escape-cc-octal%"),
+        "jf_num": compile_template("%procid:::jsonf,datatype-number%"),
+        "jf_skip": compile_template("%msgid:::jsonf,onempty-skip%"),
+        "jf_null": compile_template("%msgid:::jsonf,onempty-null%"),
+    }
+    return p.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
 def q_msg_field(spark, sf):
     p = flagship.build_parsed(spark, sf)
     return p.select(
@@ -561,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeat_runs": q_repeat_runs,
         "perctile_value": q_perctile_value,
         "template_lines": q_template_lines,
+        "template_options": q_template_options,
         "msg_field": q_msg_field,
         "sd_params": q_sd_params,
         "json_k": q_json_k,
@@ -715,6 +742,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT {O['doc_id']} AS doc_id,
                    {O['timereported_str']} || ' ' || {O['hostname']} || ' ' ||
                    {O['syslogtag']} || ' ' || {O['body']} AS line
+            FROM events
+        """,
+        "template_options": f"""
+            SELECT {O['doc_id']} AS doc_id,
+                   rpad({O['hostname']}, 10, ' ') AS fw,
+                   right({O['doc_id']}, 3) AS tail3,
+                   CASE WHEN len({O['msg']}) >= 3
+                        THEN substring({O['msg']}, 2, len({O['msg']}) - 3)
+                        ELSE '' END AS neg,
+                   {O['source']} || '_' || event_type AS sec,
+                   event_type || '#009x' AS ccdec,
+                   event_type || '#011x' AS ccoct,
+                   '"procid":' || CASE WHEN event_id % 7 = 0
+                       THEN CAST(event_id % 997 AS VARCHAR)
+                       ELSE '0' END AS jf_num,
+                   CASE WHEN event_id % 7 = 0
+                       THEN '"msgid":"ID' || CAST(event_id % 100 AS VARCHAR) || '"'
+                       ELSE '' END AS jf_skip,
+                   CASE WHEN event_id % 7 = 0
+                       THEN '"msgid":"ID' || CAST(event_id % 100 AS VARCHAR) || '"'
+                       ELSE '"msgid":null' END AS jf_null
             FROM events
         """,
         "msg_field": f"""

@@ -51,6 +51,11 @@ DEFAULT_PROPS: dict[str, tuple[str, str]] = {
     "$structured-data": ("structured_data", "S"),
     "$timereported": ("timereported_str", "S"),
     "$timestamp": ("timereported_str", "S"),
+    # batch replay has no reception clock: timegenerated ≙ timereported
+    # (documented divergence; on a live stream map this to ingest time)
+    "$timegenerated": ("timereported_str", "S"),
+    # the corpus 'source' is the sender id — the fromhost-ip analog
+    "$fromhost-ip": ("source", "S"),
     "$protocol-version": ("protocol_version", "N"),
     "$parsesuccess": ("parse_success", "B"),
     "$doc_id": ("doc_id", "S"),
@@ -105,13 +110,19 @@ class Env:
         if name.startswith("$."):
             if name[2:] in self.locals:
                 return self.locals[name[2:]]
-            return F.lit(None).cast("string"), "S"  # unset local → ""
+            # reference var2String: an unset variable IS the empty
+            # string (rainerscript.c), so `$.x == ""` must be true and
+            # `&` concatenation must not null-propagate
+            return F.lit(""), "S"
         if name.startswith("$!"):
-            path = name[2:].split("!")
+            path = [p for p in name[2:].split("!") if p]
             col = F.col("cee")
+            if not path:  # whole tree: keep the map column as-is
+                return col, "A"
             for p in path:
-                col = F.try_element_at(col, F.lit(p)) if p else col
-            return col, "S"
+                col = F.try_element_at(col, F.lit(p))
+            # missing CEE path → "" (var2String), not NULL
+            return F.coalesce(col, F.lit("")), "S"
         if name in self.props:
             cname, tag = self.props[name]
             return (F.col(cname) if isinstance(cname, str) else cname), tag

@@ -24,7 +24,9 @@ from rsyslog_spark.functions import parse_time
 from rsyslog_spark.parsing.core import facility_text, severity_text
 from rsyslog_spark.rules.compiler import Env
 
-# built-in templates (reference: runtime/rsconf.c:203-260)
+# built-in templates (reference: runtime/rsconf.c:203-260, registered
+# rsconf.c:1568-1605; internal names like " StdJSONFmt" are exposed here
+# under the uniform RSYSLOG_ prefix, matching the documented aliases)
 BUILTIN = {
     "RSYSLOG_FileFormat": (
         "%timereported:::date-rfc3339% %hostname% "
@@ -58,6 +60,51 @@ BUILTIN = {
         "SysLogTag) values ('%msg:::sql%', %syslogfacility%, "
         "'%hostname:::sql%', '%syslogtag:::sql%')"
     ),
+    # rsconf.c:207-211 (the $!/$./$/ trailer is omitted: variable trees
+    # are corpus-dependent map columns, not universal message props)
+    "RSYSLOG_DebugFormat": (
+        "Debug line with all properties:\nFROMHOST: '%fromhost%', "
+        "fromhost-ip: '%fromhost-ip%', HOSTNAME: '%hostname%', PRI: %pri%,\n"
+        "syslogtag '%syslogtag%', programname: '%programname%', "
+        "APP-NAME: '%app-name%', PROCID: '%procid%', MSGID: '%msgid%',\n"
+        "TIMESTAMP: '%timereported%', STRUCTURED-DATA: '%structured-data%',\n"
+        "msg: '%msg%'\nescaped msg: '%msg:::drop-cc%'\n"
+        "inputname: %inputname% rawmsg: '%rawmsg%'\n\n"
+    ),
+    "RSYSLOG_SyslogRFC5424Format": (
+        "<%pri%>1 %timereported:::date-rfc3339% %hostname% %app-name% "
+        "%procid% %msgid% %structured-data% %msg%"
+    ),
+    "RSYSLOG_SysklogdFileFormat": (
+        "%timereported% %hostname% %syslogtag%%msg:::sp-if-no-1st-sp%%msg%\n"
+    ),
+    "RSYSLOG_WallFmt": (
+        "\r\n\x07Message from syslogd@%hostname% at %timegenerated% "
+        "...\r\n %syslogtag%%msg%\n\r"
+    ),
+    "RSYSLOG_StdUsrMsgFmt": " %syslogtag%%msg%\n\r",
+    "RSYSLOG_FullJSONFmt": (
+        '{"message":"%msg:::json%","fromhost":"%hostname:::json%",'
+        '"programname":"%programname%","procid":"%procid%",'
+        '"msgid":"%msgid%","facility":"%syslogfacility-text%",'
+        '"priority":"%syslogseverity-text%",'
+        '"timereported":"%timereported:::date-rfc3339%",'
+        '"timegenerated":"%timegenerated:::date-rfc3339%"}'
+    ),
+    "RSYSLOG_StdPgSQLFmt": (
+        "insert into SystemEvents (Message, Facility, FromHost, Priority, "
+        "DeviceReportedTime, SysLogTag) values ('%msg:::stdsql%', "
+        "%syslogfacility%, '%hostname:::stdsql%', %syslogpriority%, "
+        "'%timereported:::date-pgsql%', '%syslogtag:::stdsql%')"
+    ),
+    "RSYSLOG_StdClickHouseFmt": (
+        "INSERT INTO rsyslog.SystemEvents (severity, facility, timestamp, "
+        "hostname, tag, message) VALUES (%syslogseverity%, %syslogfacility%, "
+        "'%timereported:::date-unixtimestamp%', '%hostname:::stdsql%', "
+        "'%syslogtag:::stdsql%', '%msg:::stdsql%')"
+    ),
+    "RSYSLOG_StdOmSenderTrack-senderid": "%fromhost-ip%",
+    "RSYSLOG_PerSourceKey": "%hostname%",
 }
 
 _FIELD_RE = re.compile(r"%([^%]*)%")
@@ -135,8 +182,65 @@ def _json_escape(col: Column) -> Column:
     return F.regexp_extract(j, r'^\{"x":"(.*)"\}$', 1)
 
 
+_CC_CODES = list(range(0x00, 0x20)) + [0x7F]  # iscntrl() set, ASCII
+
+
+def _escape_cc(col: Column, octal: bool) -> Column:
+    """escape-cc / controlcharacters=escape-octal (msg.c:4461-4512):
+    each control char becomes '#' + 3 digits — decimal (cc/100,
+    cc/10%10, cc%10) or octal ((cc>>6)&7, (cc>>3)&7, cc&7). A chain of
+    literal replaces stays whole-stage-codegen (the option is rare and
+    each replace is a cheap JVM scan)."""
+    for cc in _CC_CODES:
+        rep = f"#{cc:03o}" if octal else f"#{cc:03d}"
+        col = F.replace(col, F.lit(chr(cc)), F.lit(rep))
+    return col
+
+
+def _secpath(col: Column, drop: bool) -> Column:
+    """secpath-drop / secpath-replace (msg.c:4519-4604): make a value
+    safe as a dynafile path component. drop: remove '/'; replace:
+    '/'→'_'. Then '' → '_', '.' → '_', '..' → '_.' (dot-dir traps)."""
+    col = F.regexp_replace(col, "/", "" if drop else "_")
+    return (
+        F.when(col.isNull() | (col == ""), F.lit("_"))
+        .when(col == ".", F.lit("_"))
+        .when(col == "..", F.lit("_."))
+        .otherwise(col)
+    )
+
+
+def _jsonf(col: Column, name: str, escape: bool, data_type: str,
+           on_empty: str) -> Column:
+    """jsonf/jsonfr name:value pair (msg.c jsonEncode:3525-3605) with
+    dataType string|number|bool|auto and onEmpty keep|skip|null."""
+    raw = F.coalesce(col, F.lit(""))
+    val = _json_escape(raw) if escape else raw
+    if data_type == "number":
+        trimmed = F.trim(raw)
+        body = F.when(trimmed == "", F.lit("0")).otherwise(trimmed)
+    elif data_type == "bool":
+        body = F.when(F.trim(raw) == "0", F.lit("false")).otherwise(
+            F.lit("true")
+        )
+    elif data_type == "auto":
+        body = F.when(
+            raw.rlike(r"^[0-9]+$"), raw
+        ).otherwise(F.concat(F.lit('"'), val, F.lit('"')))
+    else:  # string
+        body = F.concat(F.lit('"'), val, F.lit('"'))
+    if on_empty == "null":
+        body = F.when(raw == "", F.lit("null")).otherwise(body)
+    pair = F.concat(F.lit(f'"{name}":'), body)
+    if on_empty == "skip":
+        return F.when(raw == "", F.lit("")).otherwise(pair)
+    return pair
+
+
 def compile_field(spec: str, env: Env) -> Column:
-    """Compile one %...% field spec."""
+    """Compile one %prop:from:to:options% field spec (property
+    replacer, runtime/template.c:1399-1545 option table; applied
+    runtime/msg.c:4277-4730)."""
     parts = spec.split(":")
     prop = parts[0]
     frm = parts[1] if len(parts) > 1 else ""
@@ -144,6 +248,8 @@ def compile_field(spec: str, env: Env) -> Column:
     opts = [o for o in (parts[3] if len(parts) > 3 else "").split(",") if o]
 
     col = _resolve_prop(prop, env)
+    fixed_width = "fixed-width" in opts
+    pos_end_rel = "pos-end-relative" in opts
 
     if frm.startswith("F"):  # field mode: F[,<delim-decimal>] ; to = field#
         delim = chr(int(frm.split(",")[1])) if "," in frm else "\t"
@@ -155,13 +261,53 @@ def compile_field(spec: str, env: Env) -> Column:
         pattern = spec.split(",", 1)[1].rsplit("--end", 1)[0].rstrip(":")
         got = F.regexp_extract(col, pattern, 0)
         col = F.when(got != "", got).otherwise(F.lit("**NO MATCH**"))
-    elif frm:
-        # substring: from:to are 1-based char positions, inclusive
-        f_i, t_i = int(frm), int(to) if to else None
-        col = col.substr(F.lit(f_i), F.lit((t_i - f_i + 1) if t_i else 2**31 - 1))
+    elif pos_end_rel and (frm or to):
+        # from/to count backwards from the end (msg.c:4284-4286):
+        # iFrom = len-from, iTo = len-to (0-based), clamped at 0
+        f_i = int(frm) if frm else 0
+        t_i = int(to) if to else 0
+        ln = F.length(col)
+        s0 = F.when(ln < f_i, F.lit(0)).otherwise(ln - f_i)
+        e0 = F.when(ln < t_i, F.lit(0)).otherwise(ln - t_i)
+        col = col.substr(s0 + 1, F.greatest(e0 - s0 + 1, F.lit(0)))
+    elif frm or to:
+        # substring: from:to are 1-based char positions, inclusive;
+        # negative to is relative to the end (iTo = len-1+to, 0-based)
+        f_i = int(frm) if frm else 1
+        t_i = int(to) if to else None
+        if t_i is None:
+            col = col.substr(F.lit(f_i), F.lit(2**31 - 1))
+        elif t_i < 0:
+            # iTo = len-1+to (0-based) → iLen = len + to - from + 1
+            width = F.greatest(
+                F.length(col) + t_i - f_i + 1, F.lit(0)
+            )
+            col = col.substr(F.lit(f_i), width)
+        else:
+            col = col.substr(F.lit(f_i), F.lit(t_i - f_i + 1))
+            if fixed_width:
+                # space-pad to the full requested width (template.h
+                # bFixedWidth; msg.c:4306,4315)
+                col = F.rpad(F.coalesce(col, F.lit("")),
+                             t_i - f_i + 1, " ")
+
+    # jsonf modifiers (v6 property() params dataType=/onEmpty=,
+    # template.c:2252-2303 — spelled datatype-X / onempty-X in this
+    # engine's string syntax)
+    data_type = "string"
+    on_empty = "keep"
+    for opt in opts:
+        if opt.startswith("datatype-"):
+            data_type = opt[len("datatype-"):]
+        elif opt.startswith("onempty-"):
+            on_empty = opt[len("onempty-"):]
 
     for opt in opts:
-        if opt.startswith("date-"):
+        if opt in ("fixed-width", "pos-end-relative") or opt.startswith(
+            ("datatype-", "onempty-")
+        ):
+            continue  # handled above
+        elif opt.startswith("date-"):
             col = _apply_date_opt(col, opt)
         elif opt == "lowercase":
             col = F.lower(col)
@@ -171,16 +317,21 @@ def compile_field(spec: str, env: Env) -> Column:
             col = _csv_escape(col)
         elif opt == "json":
             col = _json_escape(col)
+        elif opt == "jsonr":
+            col = F.coalesce(col, F.lit(""))  # raw value, no escaping
         elif opt == "jsonf":
-            # name/value pair emission (template.h:170-178)
-            col = F.concat(
-                F.lit(f'"{prop}":"'), _json_escape(col), F.lit('"')
-            )
+            col = _jsonf(col, prop, True, data_type, on_empty)
+        elif opt == "jsonfr":
+            col = _jsonf(col, prop, False, data_type, on_empty)
         elif opt in ("sql", "stdsql"):
-            # MySQL-style escaping (template.h:50-55): quote ' and \
-            col = F.regexp_replace(
-                F.regexp_replace(col, r"\\", r"\\\\"), "'", "''"
-            )
+            # sql: MySQL-style (quote ' AND \); stdsql: double ' only
+            # (template.c doEscape SQL_ESCAPE vs STDSQL_ESCAPE)
+            if opt == "sql":
+                col = F.regexp_replace(
+                    F.regexp_replace(col, r"\\", r"\\\\"), "'", r"\\'"
+                )
+            else:
+                col = F.regexp_replace(col, "'", "''")
         elif opt == "drop-last-lf":
             col = F.regexp_replace(col, r"\n$", "")
         elif opt == "sp-if-no-1st-sp":
@@ -193,9 +344,32 @@ def compile_field(spec: str, env: Env) -> Column:
             col = F.regexp_replace(col, r"[\x00-\x1f\x7f]", "")
         elif opt == "space-cc":
             col = F.regexp_replace(col, r"[\x00-\x1f\x7f]", " ")
+        elif opt == "escape-cc":
+            col = _escape_cc(col, octal=False)
+        elif opt == "escape-cc-octal":
+            col = _escape_cc(col, octal=True)
+        elif opt == "secpath-drop":
+            col = _secpath(col, drop=True)
+        elif opt == "secpath-replace":
+            col = _secpath(col, drop=False)
+        elif opt == "mandatory-field":
+            pass  # list-template jsonf concern; fields always emitted here
         else:
             raise ValueError(f"unsupported template option {opt!r}")
     return F.coalesce(col, F.lit(""))
+
+
+def compile_subtree(subtree: str, env: Env | None = None) -> Column:
+    """type="subtree" templates (template.h:209 tplToJSON; grammar
+    `template(name=... type="subtree" subtree="$!foo")`): emit the JSON
+    rendering of a variable subtree. Variable trees are map/struct
+    columns here, so this is exactly F.to_json; '$!' is the whole CEE
+    tree, '$!a!b' a nested path."""
+    env = env or Env()
+    col, _ = env.resolve(subtree)
+    return F.when(col.isNull(), F.lit("{}")).otherwise(
+        F.when(F.to_json(col).isNull(), F.lit("{}")).otherwise(F.to_json(col))
+    )
 
 
 def compile_template(tpl: str, env: Env | None = None) -> Column:

@@ -163,3 +163,96 @@ def test_template_date_options(logrow):
     # 3164 string parse + year estimation happens via parse_time
     got = trender(logrow, "%timereported:::date-month%")
     assert got == "06"
+
+
+# ---------------- property-replacer option tail (round 2) ----------------
+
+def test_template_escape_cc(spark):
+    df = spark.createDataFrame([("a\x01b\tc\x7fd",)], "msg string")
+    got = df.select(compile_template("%msg:::escape-cc%").alias("r")).first().r
+    assert got == "a#001b#009c#127d"
+    got = df.select(
+        compile_template("%msg:::escape-cc-octal%").alias("r")
+    ).first().r
+    assert got == "a#001b#011c#177d"  # octal: tab=011, del=177
+
+
+def test_template_secpath(spark):
+    df = spark.createDataFrame(
+        [("x/y/z", "..", ".", "", "plain")],
+        "a string, b string, c string, d string, e string",
+    )
+    row = df.select(
+        compile_template("%a:::secpath-drop%").alias("drop"),
+        compile_template("%a:::secpath-replace%").alias("repl"),
+        compile_template("%b:::secpath-drop%").alias("dotdot"),
+        compile_template("%c:::secpath-drop%").alias("dot"),
+        compile_template("%d:::secpath-drop%").alias("empty"),
+        compile_template("%e:::secpath-drop%").alias("plain"),
+    ).first()
+    assert row.drop == "xyz" and row.repl == "x_y_z"
+    assert row.dotdot == "_." and row.dot == "_" and row.empty == "_"
+    assert row.plain == "plain"
+
+
+def test_template_jsonr_jsonf_variants(spark):
+    df = spark.createDataFrame(
+        [('say "hi"', "42", "0", "", "abc")],
+        "q string, num string, zero string, empty string, s string",
+    )
+    def r(tpl):
+        return df.select(compile_template(tpl).alias("r")).first().r
+
+    assert r("%q:::jsonr%") == 'say "hi"'                 # no escaping
+    assert r("%q:::jsonf%") == '"q":"say \\"hi\\""'
+    assert r('%q:::jsonfr%') == '"q":"say "hi""'          # pair, raw
+    # dataType (v6 property() param, spelled datatype-*)
+    assert r("%num:::jsonf,datatype-number%") == '"num":42'
+    assert r("%zero:::jsonf,datatype-bool%") == '"zero":false'
+    assert r("%num:::jsonf,datatype-bool%") == '"num":true'
+    assert r("%num:::jsonf,datatype-auto%") == '"num":42'
+    assert r("%s:::jsonf,datatype-auto%") == '"s":"abc"'
+    # onEmpty
+    assert r("%empty:::jsonf%") == '"empty":""'
+    assert r("%empty:::jsonf,onempty-null%") == '"empty":null'
+    assert r("%empty:::jsonf,onempty-skip%") == ""
+    assert r("%empty:::jsonf,datatype-number%") == '"empty":0'
+
+
+def test_template_fixed_width_and_relative_positions(spark):
+    df = spark.createDataFrame([("abcdef",)], "msg string")
+    def r(tpl):
+        return df.select(compile_template(tpl).alias("r")).first().r
+
+    assert r("%msg:1:3%") == "abc"
+    assert r("%msg:1:10%") == "abcdef"             # superset → whole string
+    assert r("%msg:1:10:fixed-width%") == "abcdef    "  # pad to width 10
+    assert r("%msg:2:-2%") == "bcd"  # negative to: iTo = len-1+to (0-based)
+    assert r("%msg:3:1:pos-end-relative%") == "def"  # last 3 chars
+    assert r("%msg:4:2:pos-end-relative%") == "cde"
+
+
+def test_template_new_builtins(logrow):
+    got = trender(logrow, "RSYSLOG_SysklogdFileFormat")
+    assert got == "Jun 15 10:54:39 host7 app[42]: the msg\n\n"
+    got = trender(logrow, "RSYSLOG_StdPgSQLFmt")
+    assert got.startswith("insert into SystemEvents")
+    assert "' the msg\n'" in got and ", 13," not in got  # facility=1 col
+    got = trender(logrow, "RSYSLOG_StdClickHouseFmt")
+    assert got.startswith("INSERT INTO rsyslog.SystemEvents")
+    assert "VALUES (5, 1," in got
+    got = trender(logrow, "RSYSLOG_PerSourceKey")
+    assert got == "host7"
+    got = trender(logrow, "RSYSLOG_SyslogRFC5424Format")
+    assert got.startswith("<13>1 ")
+
+
+def test_template_subtree(spark):
+    from rsyslog_spark.templates import compile_subtree
+
+    df = spark.createDataFrame(
+        [({"a": "1", "b": "x"},), (None,)], "cee map<string,string>"
+    )
+    rows = df.select(compile_subtree("$!").alias("r")).collect()
+    assert rows[0].r == '{"a":"1","b":"x"}'
+    assert rows[1].r == "{}"
