@@ -473,6 +473,12 @@ mail,daemon.warning      /var/log/facilities
 :programname, isequal, "error"   @@central:514
 *.=debug                 ~
 *.*                      /var/log/catchall
++host13
+*.*                      /var/log/host13_only
++*
+!purchase
+*.*                      /var/log/purchase_tagged
+!*
 """
     p = flagship.build_parsed(spark, sf)
     return LegacyRouter(conf).route_counts(p).select(
@@ -949,6 +955,16 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'var_log_catchall',
                    CAST(count(*) FILTER (WHERE {sev} != 7) AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'var_log_host13_only',
+                   CAST(count(*) FILTER (
+                       WHERE user_id % 32 = 13 AND {sev} != 7) AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'var_log_purchase_tagged',
+                   CAST(count(*) FILTER (
+                       WHERE event_type = 'purchase' AND {sev} != 7) AS BIGINT)
             FROM events
         """,
         "bound_rulesets": f"""

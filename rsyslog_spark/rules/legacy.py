@@ -108,6 +108,15 @@ def parse_legacy_conf(text: str, env: Env | None = None):
     templates: dict[str, str] = {}
     live = F.lit(True)
     last_pred = None
+    # BSD host/tag block selectors (grammar/grammar.y:85-86 tokens;
+    # classic sysklogd scoping — modern rsyslog rejects these with a
+    # migration hint, rsconf.c:848-876, so the legacy translator is
+    # where they live): '+host' scopes following lines to that host,
+    # '-host' excludes it, '+*'/'-*' resets; '!prog' scopes to a
+    # program, '!-prog' excludes, '!*' resets. Hostname compare is
+    # case-insensitive (sysklogd strcasecmp), program compare exact.
+    host_block = F.lit(True)
+    tag_block = F.lit(True)
 
     for rawline in text.splitlines():
         line = rawline.strip()
@@ -120,6 +129,32 @@ def parse_legacy_conf(text: str, env: Env | None = None):
             continue
         if line.startswith("$"):  # other directives: ignored (global knobs)
             continue
+        if re.fullmatch(r"[+-](\*|[A-Za-z0-9.:_-]+)", line):
+            val = line[1:]
+            if val == "*":
+                host_block = F.lit(True)
+            elif line[0] == "+":
+                host_block = F.coalesce(
+                    F.lower(F.col("hostname")) == val.lower(), F.lit(False)
+                )
+            else:
+                host_block = F.coalesce(
+                    F.lower(F.col("hostname")) != val.lower(), F.lit(True)
+                )
+            continue
+        if re.fullmatch(r"!-?(\*|[A-Za-z0-9._-]+)", line):
+            val = line[1:]
+            if val == "*":
+                tag_block = F.lit(True)
+            elif val.startswith("-"):
+                tag_block = F.coalesce(
+                    F.col("programname") != val[1:], F.lit(True)
+                )
+            else:
+                tag_block = F.coalesce(
+                    F.col("programname") == val, F.lit(False)
+                )
+            continue
         if line in ("~", "& ~"):
             if last_pred is not None:
                 live = live & ~last_pred
@@ -131,7 +166,8 @@ def parse_legacy_conf(text: str, env: Env | None = None):
         m = _PROPFILT_RE.match(line)
         if m:
             prop, neg, op, val, target = m.groups()
-            pred = _propfilt_predicate(prop, neg, op, val or "")
+            pred = _propfilt_predicate(prop, neg, op, val or "") \
+                & host_block & tag_block
             sink, params = _target_to_sink(target)
             actions.append(Action(_sanitize_sink(sink), live & pred, params))
             last_pred = pred
@@ -141,11 +177,13 @@ def parse_legacy_conf(text: str, env: Env | None = None):
         if len(parts) == 2 and ("." in parts[0]):
             sel, target = parts
             if target == "~":  # discard for this selector
-                pred = mask_predicate(selector_mask(sel))
+                pred = mask_predicate(selector_mask(sel)) \
+                    & host_block & tag_block
                 live = live & ~pred
                 last_pred = pred
                 continue
-            pred = mask_predicate(selector_mask(sel))
+            pred = mask_predicate(selector_mask(sel)) \
+                & host_block & tag_block
             sink, params = _target_to_sink(target)
             actions.append(Action(_sanitize_sink(sink), live & pred, params))
             last_pred = pred

@@ -69,3 +69,50 @@ def test_legacy_continuation_stop(spark):
     counts = dict(LegacyRouter(conf).route_counts(df).collect())
     assert counts["var_log_secure"] == 1
     assert counts["var_log_all"] == 1  # secret row stopped
+
+
+def test_bsd_host_tag_blocks(spark):
+    """Classic sysklogd +host/-host/!prog block scoping
+    (grammar.y:85-86 tokens; rejected by modern rsyslog rsconf.c:848 —
+    translated here with original sysklogd semantics)."""
+    from pyspark.sql import functions as F
+
+    from rsyslog_spark.rules.legacy import LegacyRouter
+
+    df = spark.createDataFrame(
+        [
+            (13, "HOST7", "sshd", "a"),   # pri 13 = user.notice
+            (13, "host7", "cron", "b"),
+            (13, "host9", "sshd", "c"),
+            (13, "host9", "cron", "d"),
+        ],
+        "pri int, hostname string, programname string, msg string",
+    ).withColumns(
+        {
+            "facility": (F.col("pri") / 8).cast("int"),
+            "severity": F.col("pri") % 8,
+        }
+    )
+    conf = """
++host7
+*.*     /var/log/from_host7
++*
+-host7
+*.*     /var/log/not_host7
++*
+!sshd
+*.*     /var/log/sshd_only
+!-sshd
+*.*     /var/log/not_sshd
+!*
+*.*     /var/log/all
+"""
+    counts = {
+        r.sink: r.n
+        for r in LegacyRouter(conf).route_counts(df).collect()
+    }
+    assert counts["var_log_from_host7"] == 2  # case-insensitive host match
+    assert counts["var_log_not_host7"] == 2
+    assert counts["var_log_sshd_only"] == 2
+    assert counts["var_log_not_sshd"] == 2
+    assert counts["var_log_all"] == 4
