@@ -325,6 +325,17 @@ def _compile_call(name: str, args: list, env: Env) -> tuple[Column, str]:
             raise ValueError(f"unknown template {ref!r}")
         return compile_template(tpl, env), "S"
     if name == "exists":
+        # presence test on the variable TREE (rainerscript exists()):
+        # must see through the var2String ''-coalescing, so resolve
+        # CEE paths raw — a missing key is absent, an empty value exists
+        if args[0][0] == "var" and args[0][1].startswith("$!"):
+            path = [p for p in args[0][1][2:].split("!") if p]
+            c = F.col("cee")
+            for p in path:
+                c = F.try_element_at(c, F.lit(p))
+            return c.isNotNull(), "B"
+        if args[0][0] == "var" and args[0][1].startswith("$."):
+            return F.lit(args[0][1][2:] in env.locals), "B"
         c, _ = _compile(args[0], env)
         return c.isNotNull(), "B"
     if name == "getenv":

@@ -75,10 +75,14 @@ def om_foreach_batch(
     writer: Callable[[DataFrame, int], None],
     checkpoint: str,
 ):
-    """Generic transactional sink (ommysql/omelasticsearch/omhttp
-    family): foreachBatch gives per-epoch exactly-once handoff — the
-    analog of the action TX interface (action.c:462) with the epoch id
-    as the transaction id."""
+    """Generic sink adapter (ommysql/omelasticsearch/omhttp family):
+    foreachBatch hands `writer` each micro-batch with its epoch id —
+    the analog of the action TX interface (action.c:462). Delivery is
+    AT-LEAST-ONCE: a crashed epoch is replayed, so `writer` must be
+    idempotent on (data, epoch_id) — key an upsert on the epoch
+    (sinks.upsert_aggregate(batch_id=epoch_id)) or overwrite an
+    epoch-named partition (see streaming.run_routed_stream) to get
+    effective exactly-once."""
     return (
         stream_df.writeStream.foreachBatch(writer)
         .option("checkpointLocation", checkpoint)

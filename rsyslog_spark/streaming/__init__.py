@@ -141,6 +141,124 @@ def stateful_ratelimit(
     )
 
 
+class DynStatsStream:
+    """Streaming dynstats with FIRST-SEEN cardinality admission and
+    TTL eviction — the arrival-order semantics of
+    /root/reference/runtime/dynstats.c:117-126 (dyn_inc admits a new
+    metric only while metricCount < maxCardinality, else bumps
+    ops_overflow; metrics idle past unusedMetricLife are purged,
+    dynstats.c:45,551-552).
+
+    Scale shape: the per-batch heavy lifting is a distributed
+    groupBy(key) aggregate; admission then needs only
+    (a) the NEW candidate keys in arrival order, obtained with a
+    distributed orderBy(min_ts).limit(remaining_capacity) — never more
+    than max_cardinality rows cross to the driver — and (b) per-key
+    last-seen refreshes for admitted keys (≤ max_cardinality rows).
+    The admitted set itself is bounded by max_cardinality (a config
+    constant, exactly like the reference's counter table) and is
+    re-broadcast each batch.
+
+    Use inside foreachBatch:  out = ds.process_batch(batch_df)
+    """
+
+    def __init__(
+        self,
+        key_col: str,
+        ts_col: str,
+        max_cardinality: int,
+        ttl_seconds: int | None = None,
+        overflow_key: str = "_overflow_",
+    ):
+        self.key_col = key_col
+        self.ts_col = ts_col
+        self.max_cardinality = max_cardinality
+        self.ttl_seconds = ttl_seconds
+        self.overflow_key = overflow_key
+        # admitted key → (first_seen_epoch, last_seen_epoch, total_n)
+        self.admitted: dict[str, list[int]] = {}
+        self.ops_overflow = 0
+        self.metrics_purged = 0
+
+    def _evict(self, now_epoch: int) -> None:
+        """unusedMetricLife purge: drop keys idle past the TTL
+        (event-time clock: the max timestamp seen so far)."""
+        if self.ttl_seconds is None:
+            return
+        dead = [
+            k for k, (_, last, _n) in self.admitted.items()
+            if now_epoch - last > self.ttl_seconds
+        ]
+        for k in dead:
+            del self.admitted[k]
+        self.metrics_purged += len(dead)
+
+    def process_batch(self, batch_df: DataFrame) -> DataFrame:
+        """One micro-batch of dyn_inc calls → per-admitted-key counts
+        (key, n) plus one overflow row. Returns the batch snapshot."""
+        spark = batch_df.sparkSession
+        counts = (
+            batch_df.groupBy(F.col(self.key_col).alias("key"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(F.unix_timestamp(F.col(self.ts_col))).alias("first_ts"),
+                F.max(F.unix_timestamp(F.col(self.ts_col))).alias("last_ts"),
+            )
+        )
+        if self.ttl_seconds is not None:
+            # event-time now = batch max ts (one scalar to the driver)
+            row = counts.agg(F.max("last_ts").alias("m")).first()
+            if row and row.m is not None:
+                self._evict(int(row.m))
+
+        admitted_keys = list(self.admitted)
+        remaining = self.max_cardinality - len(admitted_keys)
+        if admitted_keys:
+            adm_df = spark.createDataFrame(
+                [(k,) for k in admitted_keys], "key string"
+            )
+            new_cand = counts.join(F.broadcast(adm_df), "key", "left_anti")
+        else:
+            new_cand = counts
+        if remaining > 0:
+            # arrival order = first timestamp (deterministic tiebreak on
+            # key); TakeOrderedAndProject — at most `remaining` rows move
+            newly = new_cand.orderBy("first_ts", "key").limit(remaining).collect()
+        else:
+            newly = []
+        for r in newly:
+            self.admitted[r.key] = [int(r.first_ts), int(r.last_ts), 0]
+
+        adm_now = spark.createDataFrame(
+            [(k,) for k in self.admitted], "key string"
+        )
+        kept = counts.join(F.broadcast(adm_now), "key")
+        # refresh last-seen + totals (≤ max_cardinality rows collected)
+        for r in kept.collect():
+            st = self.admitted[r.key]
+            st[1] = max(st[1], int(r.last_ts))
+            st[2] += int(r.n)
+        over = counts.join(F.broadcast(adm_now), "key", "left_anti").agg(
+            F.coalesce(F.sum("n"), F.lit(0)).alias("n")
+        )
+        self.ops_overflow += int(over.first().n)
+        out = kept.select("key", "n").unionByName(
+            over.filter(F.col("n") > 0).select(
+                F.lit(self.overflow_key).alias("key"), "n"
+            )
+        )
+        return out
+
+    def snapshot(self) -> dict:
+        """impstats-style counters (ops_overflow, metrics_purged) +
+        admitted totals."""
+        return {
+            "ops_overflow": self.ops_overflow,
+            "metrics_purged": self.metrics_purged,
+            "metrics": {k: v[2] for k, v in self.admitted.items()},
+        }
+
+
 def run_routed_stream(
     stream_df: DataFrame,
     router,
@@ -149,10 +267,16 @@ def run_routed_stream(
     parse_fn=None,
 ) -> None:
     """Streaming multi-sink fan-out: per micro-batch, parse → route →
-    write every sink slice + one _lineage row. foreachBatch gives each
-    epoch transactional semantics (the action-TX analog, action.c:462);
-    the checkpoint makes the whole pipeline resumable (queue .qi
-    analog)."""
+    write every sink slice + one _lineage row. The checkpoint makes the
+    whole pipeline resumable (queue .qi analog, action.c:462 TX).
+
+    Replay safety: foreachBatch is at-least-once — a crash after some
+    sinks were written replays the epoch. Every write is therefore
+    partitioned by epoch_id with DYNAMIC partition overwrite, so a
+    replayed epoch REPLACES its own partition instead of appending
+    duplicates — idempotent per epoch, which upgrades the pipeline to
+    effective exactly-once (the same trick Iceberg/Delta sinks use via
+    their epoch-keyed commit log)."""
     from rsyslog_spark.parsing import parse as default_parse
 
     parse_fn = parse_fn or default_parse
@@ -161,15 +285,21 @@ def run_routed_stream(
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         from pyspark.sql import functions as FF
 
-        routed = router.apply(parse_fn(batch_df))
+        routed = router.apply(parse_fn(batch_df)).withColumn(
+            "epoch_id", FF.lit(epoch_id)
+        )
         routed.persist()
         try:
-            counts = {}
             for a in router.actions:
                 part = routed.filter(FF.col(f"route_{a.sink}")).drop(
                     *[f"route_{x.sink}" for x in router.actions]
                 )
-                part.write.mode("append").parquet(f"{base_path}/{a.sink}")
+                (
+                    part.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("epoch_id")
+                    .parquet(f"{base_path}/{a.sink}")
+                )
             agg = routed.agg(
                 FF.count(FF.lit(1)).alias("rows_in"),
                 *[
@@ -179,7 +309,12 @@ def run_routed_stream(
                     for s in sinks
                 ],
             ).withColumn("epoch_id", FF.lit(epoch_id))
-            agg.write.mode("append").parquet(f"{base_path}/_lineage")
+            (
+                agg.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch_id")
+                .parquet(f"{base_path}/_lineage")
+            )
         finally:
             routed.unpersist()
 

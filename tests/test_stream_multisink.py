@@ -52,3 +52,25 @@ if exists($!age) then { action(name="has_age") }
     counts = dict(Router(script).route_counts(parsed).collect())
     assert counts["alice_sink"] == 1
     assert counts["has_age"] == 1
+
+
+def test_routed_stream_epoch_replay_idempotent(spark, sf_dir, tmp_path):
+    """A replayed epoch must OVERWRITE its epoch partition, not append
+    duplicates (foreachBatch is at-least-once; dynamic partition
+    overwrite on epoch_id upgrades it to effective exactly-once)."""
+    import shutil
+
+    tokens_path = str(tmp_path / "tok")
+    corpus.logtokens(spark, sf_dir).write.parquet(tokens_path)
+    router = flagship.make_router()
+    out = str(tmp_path / "sinks")
+    ckpt = str(tmp_path / "ckpt")
+    run_routed_stream(stream_logtokens(spark, tokens_path), router, out, ckpt)
+    first = spark.read.parquet(f"{out}/urgent").count()
+    # simulate a lost checkpoint: the whole stream replays from scratch,
+    # epoch ids restart at 0 → every epoch partition is overwritten
+    shutil.rmtree(ckpt)
+    run_routed_stream(stream_logtokens(spark, tokens_path), router, out, ckpt)
+    assert spark.read.parquet(f"{out}/urgent").count() == first
+    lin = spark.read.parquet(f"{out}/_lineage")
+    assert lin.agg(F.sum("routed_urgent").alias("u")).first().u == first

@@ -124,3 +124,47 @@ def test_stateful_ratelimit_stream(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 10
     assert got.filter("rl_pass").count() == 4  # one 60s window, burst 4
+
+
+def test_dynstats_first_seen_cap_and_ttl(spark):
+    """Arrival-order admission + overflow + TTL purge goldens
+    (dynstats.c:117-126 semantics; reference tests/dynstats*.sh
+    overflow/eviction scenarios)."""
+    from rsyslog_spark.streaming import DynStatsStream
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [(k, f"2024-01-01 00:{m:02d}:00") for k, m in rows],
+            "prog string, ts string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    # ttl=500s: nothing is idle long enough to purge at batch 2
+    # (max idle 180s), while batch 3 (event-time 720s) purges A
+    # (idle 540s) and C (idle 600s) but keeps B (idle 480s)
+    ds = DynStatsStream("prog", "ts", max_cardinality=3, ttl_seconds=500)
+
+    # batch 1: A,B,C admitted in arrival order; D overflows
+    out1 = {r.key: r.n for r in ds.process_batch(
+        batch([("A", 0), ("B", 1), ("C", 2), ("D", 3), ("A", 3)])
+    ).collect()}
+    assert out1 == {"A": 2, "B": 1, "C": 1, "_overflow_": 1}
+    assert ds.snapshot()["ops_overflow"] == 1
+
+    # batch 2: table full → E overflows, admitted keys still count
+    out2 = {r.key: r.n for r in ds.process_batch(
+        batch([("B", 4), ("E", 4), ("E", 5)])
+    ).collect()}
+    assert out2 == {"B": 1, "_overflow_": 2}
+    assert ds.snapshot()["ops_overflow"] == 3
+
+    # batch 3: minutes 10-12 — A and C idle past the TTL are purged,
+    # freeing 2 slots; F and G both admitted in arrival order
+    out3 = {r.key: r.n for r in ds.process_batch(
+        batch([("F", 10), ("G", 11), ("B", 12)])
+    ).collect()}
+    assert ds.snapshot()["metrics_purged"] == 2  # A and C evicted
+    assert out3["F"] == 1 and out3["B"] == 1
+    # capacity after purge = 3-1(B)=2 → F and G BOTH admitted
+    assert out3.get("G") == 1 and "_overflow_" not in out3
+    snap = ds.snapshot()["metrics"]
+    assert snap == {"B": 3, "F": 1, "G": 1}
