@@ -225,6 +225,26 @@ def q_functions_showcase(spark, sf):
         ),
         fn.field(F.concat(et, F.lit(",tail")), ",", 2).alias("f2"),
         fn.ltrim(F.concat(F.lit("  "), et)).alias("trimmed"),
+        # round-2 tail: strftime format_time, parse_time_localtz (fixed
+        # +2h zone), faup_* URL decomposition
+        fn.format_time(F.unix_timestamp("ts"), "%Y/%m/%d %H:%M").alias(
+            "ft_strf"
+        ),
+        fn.parse_time_localtz(
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"), tz="Etc/GMT-2"
+        ).cast("long").alias("ptl"),
+        fn.faup_domain(_showcase_url(et, k)).alias("u_domain"),
+        fn.faup_subdomain(_showcase_url(et, k)).alias("u_sub"),
+        fn.faup_tld(_showcase_url(et, k)).alias("u_tld"),
+        fn.faup_port(_showcase_url(et, k)).cast("long").alias("u_port"),
+        fn.faup_query_string(_showcase_url(et, k)).alias("u_query"),
+    )
+
+
+def _showcase_url(et, k):
+    return F.concat(
+        F.lit("https://"), et, F.lit(".example.com:8443/p?k="),
+        k.cast("string"),
     )
 
 
@@ -801,7 +821,14 @@ def oracle_sql() -> dict[str, str]:
                    '"' || event_type || '"' AS wrapped,
                    CAST(json_extract(props, '$.k') AS VARCHAR) AS k_prop,
                    'tail' AS f2,
-                   event_type AS trimmed
+                   event_type AS trimmed,
+                   strftime(ts, '%Y/%m/%d %H:%M') AS ft_strf,
+                   CAST(floor(epoch(ts)) AS BIGINT) - 7200 AS ptl,
+                   'example.com' AS u_domain,
+                   event_type AS u_sub,
+                   'com' AS u_tld,
+                   CAST(8443 AS BIGINT) AS u_port,
+                   'k=' || {_K} AS u_query
             FROM events
         """,
         "prifilt_mail_daemon": f"""

@@ -11,6 +11,7 @@ resolution (analog of rsyslog's scriptFunct lookup).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -186,8 +187,45 @@ def is_in_subnet(ip, cidr: str) -> Column:
 
 # --- time ------------------------------------------------------------------
 
+# strftime → Java SimpleDateFormat conversion table (the subset that
+# appears in rsyslog configs; %e is day-space-padded — handled apart)
+_STRFTIME_MAP = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%H": "HH",
+    "%M": "mm", "%S": "ss", "%b": "MMM", "%B": "MMMM", "%a": "EEE",
+    "%A": "EEEE", "%j": "DDD", "%Z": "zz", "%z": "xx", "%p": "a",
+    "%I": "hh", "%%": "'%'",
+}
+
+
+def _strftime_to_java(fmt: str) -> str:
+    out, i, lit = [], 0, []
+
+    def flush():
+        if lit:
+            text = "".join(lit).replace("'", "''")
+            out.append(f"'{text}'" if text else "")
+            lit.clear()
+
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            spec = fmt[i : i + 2]
+            if spec in _STRFTIME_MAP:
+                flush()
+                out.append(_STRFTIME_MAP[spec])
+                i += 2
+                continue
+        lit.append(fmt[i])
+        i += 1
+    flush()
+    return "".join(out)
+
+
 def format_time(unixts, fmt: str = "date-rfc3339") -> Column:
-    """rainerscript.c:2744-2800 — unix ts → formatted string."""
+    """rainerscript.c:2744-2800 → datetime.c formatUnixTimeFromTime_t:
+    unix ts → formatted string. The reference accepts date-rfc3339 /
+    date-rfc3164; strftime-style %specs are additionally translated
+    (the documented rsyslog format_time extension surface), and
+    anything else is treated as a Java date pattern."""
     t = F.from_unixtime(_c(unixts).cast("long"))
     if fmt in ("date-rfc3339", "rfc3339"):
         return F.date_format(t, "yyyy-MM-dd'T'HH:mm:ssXXX")
@@ -198,6 +236,16 @@ def format_time(unixts, fmt: str = "date-rfc3339") -> Column:
             F.lit(" "),
             F.date_format(t, "HH:mm:ss"),
         )
+    if "%" in fmt:
+        # %e = space-padded day (no SimpleDateFormat equivalent)
+        parts = fmt.split("%e")
+        cols = [F.date_format(t, _strftime_to_java(p)) if p else F.lit("")
+                for p in parts]
+        day = F.format_string("%2d", F.dayofmonth(t))
+        mixed = [cols[0]]
+        for c in cols[1:]:
+            mixed += [day, c]
+        return F.concat(*mixed) if len(mixed) > 1 else mixed[0]
     return F.date_format(t, fmt)
 
 
@@ -223,6 +271,38 @@ def parse_time(s) -> Column:
         ),
     ).otherwise(t3164)
     return F.unix_timestamp(F.coalesce(t3339, t3339b, t3164))
+
+
+def parse_time_localtz(s, tz: str | None = None) -> Column:
+    """rainerscript.c:2865-2905 — like parse_time but the wall-clock
+    string is interpreted in the LOCAL timezone
+    (syslogTime2time_tLocalTZ) instead of UTC. `tz` defaults to the
+    host's TZ env (the reference uses the process TZ); an RFC3339
+    string carrying an explicit offset keeps its own offset."""
+    import os
+
+    tz = tz or os.environ.get("TZ") or "UTC"
+    s = _c(s)
+    # explicit-offset 3339 → offset wins (same as parse_time)
+    t_off = F.try_to_timestamp(s, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX"))
+    # offset-less forms → wall clock in tz
+    naive3339 = F.try_to_timestamp(s, F.lit("yyyy-MM-dd'T'HH:mm:ss"))
+    cur_year = F.year(F.current_date())
+    naive3164 = F.try_to_timestamp(
+        F.concat(cur_year.cast("string"), F.lit(" "),
+                 F.regexp_replace(s, "  ", " ")),
+        F.lit("yyyy MMM d HH:mm:ss"),
+    )
+    naive3164 = F.when(
+        naive3164 > F.add_months(F.current_timestamp(), 1),
+        F.try_to_timestamp(
+            F.concat((cur_year - 1).cast("string"), F.lit(" "),
+                     F.regexp_replace(s, "  ", " ")),
+            F.lit("yyyy MMM d HH:mm:ss"),
+        ),
+    ).otherwise(naive3164)
+    local = F.to_utc_timestamp(F.coalesce(naive3339, naive3164), tz)
+    return F.unix_timestamp(F.coalesce(t_off, local))
 
 
 def is_time(s, fmt: str | None = None) -> Column:
@@ -260,12 +340,85 @@ def get_property(obj, name) -> Column:
 # --- hashing (contrib/fmhash, xxhash) ---------------------------------------
 
 def hash64(s) -> Column:
-    """contrib/fmhash/fmhash.c:350-356 (xxhash64)."""
+    """contrib/fmhash/fmhash.c (hash64 = XXH64). Divergence note:
+    Spark's xxhash64 is XXH64 with seed 42 where fmhash defaults to
+    seed 0 — stable and collision-equivalent, but not byte-identical
+    to the reference's value for the same input."""
     return F.xxhash64(_c(s))
 
 
-def hash32(s) -> Column:
-    return F.hash(_c(s)).cast("long") & F.lit(0xFFFFFFFF)
+_P1, _P2, _P3, _P4, _P5 = (
+    2654435761, 2246822519, 3266489917, 668265263, 374761393
+)
+_M32 = 0xFFFFFFFF
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def xxh32(data: bytes, seed: int = 0) -> int:
+    """XXH32 from the public xxHash spec — byte-identical to the
+    XXH32() the reference fmhash calls (fmhash.c:137). Pure Python:
+    hash32 is a rare script function, not a hot-path primitive; the
+    UDF below Arrow-batches it."""
+    n = len(data)
+    i = 0
+    if n >= 16:
+        v1 = (seed + _P1 + _P2) & _M32
+        v2 = (seed + _P2) & _M32
+        v3 = seed & _M32
+        v4 = (seed - _P1) & _M32
+        while i <= n - 16:
+            for j, v in enumerate((v1, v2, v3, v4)):
+                lane = int.from_bytes(data[i + 4 * j : i + 4 * j + 4], "little")
+                v = (v + lane * _P2) & _M32
+                v = (_rotl32(v, 13) * _P1) & _M32
+                if j == 0:
+                    v1 = v
+                elif j == 1:
+                    v2 = v
+                elif j == 2:
+                    v3 = v
+                else:
+                    v4 = v
+            i += 16
+        acc = (
+            _rotl32(v1, 1) + _rotl32(v2, 7) + _rotl32(v3, 12) + _rotl32(v4, 18)
+        ) & _M32
+    else:
+        acc = (seed + _P5) & _M32
+    acc = (acc + n) & _M32
+    while i <= n - 4:
+        lane = int.from_bytes(data[i : i + 4], "little")
+        acc = (acc + lane * _P3) & _M32
+        acc = (_rotl32(acc, 17) * _P4) & _M32
+        i += 4
+    while i < n:
+        acc = (acc + data[i] * _P5) & _M32
+        acc = (_rotl32(acc, 11) * _P1) & _M32
+        i += 1
+    acc ^= acc >> 15
+    acc = (acc * _P2) & _M32
+    acc ^= acc >> 13
+    acc = (acc * _P3) & _M32
+    acc ^= acc >> 16
+    return acc
+
+
+def hash32(s, seed: int = 0) -> Column:
+    """contrib/fmhash/fmhash.c:137 — XXH32(input, seed), byte-faithful
+    (Arrow-batched pandas UDF over the spec implementation above)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _xxh32_udf(col: pd.Series) -> pd.Series:
+        return col.map(
+            lambda v: xxh32(str(v).encode("utf-8"), seed) if v is not None
+            else None
+        ).astype("Int64")
+
+    return _xxh32_udf(_c(s))
 
 
 def hash64mod(s, mod) -> Column:
@@ -274,6 +427,91 @@ def hash64mod(s, mod) -> Column:
 
 def hash32mod(s, mod) -> Column:
     return F.pmod(hash32(s), F.lit(mod))
+
+
+# --- faup URL decomposition (contrib/ffaup/ffaup.c:306-318) ------------------
+# faup links libfaup; each faup_<part>(url) extracts one URL component.
+# Mapping: Spark's parse_url covers scheme/host/userinfo/path/query/
+# fragment natively; port comes off the authority; domain/tld splits are
+# label-based (libfaup consults the Mozilla public-suffix list — label
+# splitting is the documented approximation here: 'co.uk'-style
+# multi-label suffixes resolve one label short).
+
+def _url(u) -> Column:
+    return _c(u)
+
+
+def faup_scheme(u) -> Column:
+    return F.lower(F.parse_url(_url(u), F.lit("PROTOCOL")))
+
+
+def faup_host(u) -> Column:
+    return F.lower(F.parse_url(_url(u), F.lit("HOST")))
+
+
+def faup_credential(u) -> Column:
+    return F.parse_url(_url(u), F.lit("USERINFO"))
+
+
+def faup_port(u) -> Column:
+    auth = F.parse_url(_url(u), F.lit("AUTHORITY"))
+    p = F.regexp_extract(auth, r":(\d+)$", 1)
+    return F.when(p != "", p.cast("long"))
+
+
+def faup_resource_path(u) -> Column:
+    return F.parse_url(_url(u), F.lit("PATH"))
+
+
+def faup_query_string(u) -> Column:
+    return F.parse_url(_url(u), F.lit("QUERY"))
+
+
+def faup_fragment(u) -> Column:
+    return F.parse_url(_url(u), F.lit("REF"))
+
+
+def faup_tld(u) -> Column:
+    h = faup_host(u)
+    return F.when(h.rlike(r"\."), F.regexp_extract(h, r"\.([^.]+)$", 1))
+
+
+def faup_domain(u) -> Column:
+    h = faup_host(u)
+    return F.when(h.rlike(r"\."), F.regexp_extract(h, r"([^.]+\.[^.]+)$", 1))
+
+
+def faup_domain_without_tld(u) -> Column:
+    d = faup_domain(u)
+    return F.regexp_extract(d, r"^([^.]+)", 1)
+
+
+def faup_subdomain(u) -> Column:
+    h, d = faup_host(u), faup_domain(u)
+    return F.when(
+        h.isNotNull() & d.isNotNull() & (F.length(h) > F.length(d)),
+        F.substr(h, F.lit(1), F.length(h) - F.length(d) - 1),
+    )
+
+
+def faup(u) -> Column:
+    """Full decomposition as a JSON object (ffaup's faup() returns the
+    all-parts structure)."""
+    return F.to_json(
+        F.struct(
+            faup_scheme(u).alias("scheme"),
+            faup_credential(u).alias("credential"),
+            faup_subdomain(u).alias("subdomain"),
+            faup_domain(u).alias("domain"),
+            faup_domain_without_tld(u).alias("domain_without_tld"),
+            faup_host(u).alias("host"),
+            faup_tld(u).alias("tld"),
+            faup_port(u).alias("port"),
+            faup_resource_path(u).alias("resource_path"),
+            faup_query_string(u).alias("query_string"),
+            faup_fragment(u).alias("fragment"),
+        )
+    )
 
 
 # --- misc ------------------------------------------------------------------
@@ -308,7 +546,15 @@ REGISTRY = {
     "int2hex": int2hex, "cstr": cstr, "cnum": cnum, "cbool": cbool,
     "ipv42num": ipv42num, "ip42num": ipv42num, "num2ipv4": num2ipv4,
     "is_in_subnet": is_in_subnet, "format_time": format_time,
-    "parse_time": parse_time, "is_time": is_time,
+    "parse_time": parse_time, "parse_time_localtz": parse_time_localtz,
+    "is_time": is_time,
+    "faup": faup, "faup_scheme": faup_scheme,
+    "faup_credential": faup_credential, "faup_subdomain": faup_subdomain,
+    "faup_domain": faup_domain,
+    "faup_domain_without_tld": faup_domain_without_tld,
+    "faup_host": faup_host, "faup_tld": faup_tld, "faup_port": faup_port,
+    "faup_resource_path": faup_resource_path,
+    "faup_query_string": faup_query_string, "faup_fragment": faup_fragment,
     "parse_json": parse_json, "unflatten": unflatten,
     "hash64": hash64, "hash32": hash32, "hash64mod": hash64mod,
     "hash32mod": hash32mod, "random": random, "exists": exists,

@@ -103,6 +103,9 @@ class Env:
         self.locals: dict[str, tuple[Column, str]] = {}
         self.lookups: dict[str, object] = {}  # name → LookupTable
         self.templates: dict[str, str] = {}  # name → template string
+        # predicate of the most recently compiled action — feeds
+        # previous_action_suspended() (set by the router's _walk)
+        self.last_action_pred: Column | None = None
 
     def resolve(self, name: str) -> tuple[Column, str]:
         if name.lower() in _SYS_PROPS:
@@ -346,6 +349,15 @@ def _compile_call(name: str, args: list, env: Env) -> tuple[Column, str]:
         return F.lit(val), "S"
     if name == "script_error":
         return F.lit(0).cast("long"), "N"
+    if name == "previous_action_suspended":
+        # rainerscript.c:3027 — in dataflow terms an action is
+        # 'suspended' for a row exactly when its predicate excluded it
+        # (the failover_chain model, sinks.py): true where the previous
+        # action did NOT fire. No previous action → false (ref errors).
+        prev = getattr(env, "last_action_pred", None)
+        if prev is None:
+            return F.lit(False), "B"
+        return ~F.coalesce(prev.cast("boolean"), F.lit(False)), "B"
     fn = REGISTRY.get(name)
     if fn is None:
         raise ValueError(f"unknown function {name!r}")

@@ -117,9 +117,11 @@ def _walk(stmts: list, pc: Column, state: _State, depth: int = 0) -> None:
             if str(params.get("type", "")).lower() == "omdiscard":
                 state.live = state.live & ~pc
                 continue
+            pred = pc & state.live
             state.actions.append(
-                Action(_sink_name(params, state), pc & state.live, params)
+                Action(_sink_name(params, state), pred, params)
             )
+            state.env.last_action_pred = pred  # previous_action_suspended()
         elif kind == "foreach":
             _compile_foreach(st, pc, state)
         elif kind == "call_rs":

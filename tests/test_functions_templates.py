@@ -256,3 +256,89 @@ def test_template_subtree(spark):
     rows = df.select(compile_subtree("$!").alias("r")).collect()
     assert rows[0].r == '{"a":"1","b":"x"}'
     assert rows[1].r == "{}"
+
+
+# ---------------- function-library tail (round 2) ----------------
+
+def test_xxh32_spec_vectors():
+    """XXH32 known-answer vectors from the public xxHash spec."""
+    from rsyslog_spark.functions import xxh32
+
+    assert xxh32(b"") == 0x02CC5D05
+    assert xxh32(b"", seed=1) == 0x0B2CB792
+    assert xxh32(b"a") == 0x550D7456
+    assert xxh32(b"abc") == 0x32D153FF
+    # >=16 bytes exercises the 4-lane stripe loop
+    assert xxh32(b"Call me Ishmael.") == xxh32(b"Call me Ishmael.")
+    assert xxh32(b"0123456789abcdef") != xxh32(b"0123456789abcdeg")
+
+
+def test_hash32_udf(one):
+    from rsyslog_spark.functions import xxh32
+
+    got = ev(one, fn.hash32(F.lit("alpha")))
+    assert got == xxh32(b"alpha")
+    assert ev(one, fn.hash32mod(F.lit("alpha"), 97)) == xxh32(b"alpha") % 97
+
+
+def test_faup_family(one):
+    url = "https://user:pw@sub.example.co:8443/a/b?x=1&y=2#frag"
+    assert ev(one, fn.faup_scheme(F.lit(url))) == "https"
+    assert ev(one, fn.faup_host(F.lit(url))) == "sub.example.co"
+    assert ev(one, fn.faup_port(F.lit(url))) == 8443
+    assert ev(one, fn.faup_domain(F.lit(url))) == "example.co"
+    assert ev(one, fn.faup_subdomain(F.lit(url))) == "sub"
+    assert ev(one, fn.faup_tld(F.lit(url))) == "co"
+    assert ev(one, fn.faup_domain_without_tld(F.lit(url))) == "example"
+    assert ev(one, fn.faup_credential(F.lit(url))) == "user:pw"
+    assert ev(one, fn.faup_resource_path(F.lit(url))) == "/a/b"
+    assert ev(one, fn.faup_query_string(F.lit(url))) == "x=1&y=2"
+    assert ev(one, fn.faup_fragment(F.lit(url))) == "frag"
+    import json
+
+    full = json.loads(ev(one, fn.faup(F.lit(url))))
+    assert full["domain"] == "example.co" and full["port"] == 8443
+
+
+def test_parse_time_localtz(one):
+    # explicit offset wins regardless of tz
+    got = ev(one, fn.parse_time_localtz(
+        F.lit("2024-06-15T10:00:00+02:00"), tz="America/New_York"))
+    assert got == ev(one, fn.parse_time(F.lit("2024-06-15T10:00:00+02:00")))
+    # offset-less wall clock interpreted in the given zone:
+    # 10:00 in New York (EDT, UTC-4) = 14:00 UTC
+    ny = ev(one, fn.parse_time_localtz(
+        F.lit("2024-06-15T10:00:00"), tz="America/New_York"))
+    utc = ev(one, fn.parse_time(F.lit("2024-06-15T10:00:00")))
+    assert ny - utc == 4 * 3600
+
+
+def test_format_time_strftime(one):
+    ts = 1718445600  # 2024-06-15 10:00:00 UTC
+    assert ev(one, fn.format_time(F.lit(ts), "%Y-%m-%d %H:%M:%S")) == (
+        "2024-06-15 10:00:00"
+    )
+    assert ev(one, fn.format_time(F.lit(ts), "%b %e %H:%M:%S")) == (
+        "Jun 15 10:00:00"
+    )
+    # 1-digit day gets space padding via %e
+    assert ev(one, fn.format_time(F.lit(1717236000), "%b %e")) == "Jun  1"
+    assert ev(one, fn.format_time(F.lit(ts), "date-rfc3164")) == (
+        "Jun 15 10:00:00"
+    )
+
+
+def test_previous_action_suspended(spark):
+    from rsyslog_spark.rules import Router
+
+    df = spark.createDataFrame(
+        [(3, "err msg"), (6, "info msg")],
+        "severity int, msg string",
+    ).withColumns({"facility": F.lit(1), "pri": F.lit(11)})
+    script = """
+if $syslogseverity <= 3 then { action(name="primary") }
+if previous_action_suspended() then { action(name="fallback") }
+"""
+    counts = dict(Router(script).route_counts(df).collect())
+    assert counts["primary"] == 1
+    assert counts["fallback"] == 1  # exactly the rows primary skipped
