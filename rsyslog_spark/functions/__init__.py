@@ -320,8 +320,48 @@ def parse_json(s) -> Column:
 
 
 def unflatten(s, sep=".") -> Column:
-    """contrib/fmunflatten — kept as map here; nesting left to caller."""
+    """contrib/fmunflatten — FLAT map form (documented divergence: the
+    CEE column type here is map<string,string>, so dotted keys stay
+    flat; use :func:`unflatten_json` for the reference's nested-tree
+    output, fmunflatten.c:206)."""
     return parse_json(s)
+
+
+def unflatten_json(s, sep: str = ".") -> Column:
+    """contrib/fmunflatten/fmunflatten.c:206 — nested-tree output as a
+    JSON string: {"a.b":1,"a.c":2} → {"a":{"b":1,"c":2}}. Arrow-batched
+    UDF (tree construction is genuinely recursive; rare script fn)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _unflat(col: pd.Series) -> pd.Series:
+        import json
+
+        def go(v):
+            if v is None:
+                return None
+            try:
+                flat = json.loads(v)
+            except (TypeError, ValueError):
+                return None
+            if not isinstance(flat, dict):
+                return json.dumps(flat)
+            root: dict = {}
+            for k, val in flat.items():
+                node = root
+                parts = str(k).split(sep)
+                for p in parts[:-1]:
+                    nxt = node.get(p)
+                    if not isinstance(nxt, dict):
+                        nxt = {}
+                        node[p] = nxt
+                    node = nxt
+                node[parts[-1]] = val
+            return json.dumps(root, separators=(",", ":"))
+
+        return col.map(go)
+
+    return _unflat(_c(s))
 
 
 def append_json(src, dst) -> Column:
@@ -556,6 +596,7 @@ REGISTRY = {
     "faup_resource_path": faup_resource_path,
     "faup_query_string": faup_query_string, "faup_fragment": faup_fragment,
     "parse_json": parse_json, "unflatten": unflatten,
+    "unflatten_json": unflatten_json,
     "hash64": hash64, "hash32": hash32, "hash64mod": hash64mod,
     "hash32mod": hash32mod, "random": random, "exists": exists,
     "tocef": tocef, "append_json": append_json, "get_property": get_property,

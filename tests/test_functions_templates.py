@@ -342,3 +342,12 @@ if previous_action_suspended() then { action(name="fallback") }
     counts = dict(Router(script).route_counts(df).collect())
     assert counts["primary"] == 1
     assert counts["fallback"] == 1  # exactly the rows primary skipped
+
+
+def test_unflatten_json_nested(one):
+    import json
+
+    got = ev(one, fn.unflatten_json(
+        F.lit('{"a.b":"1","a.c":"2","top":"x"}')))
+    assert json.loads(got) == {"a": {"b": "1", "c": "2"}, "top": "x"}
+    assert ev(one, fn.unflatten_json(F.lit("not json"))) is None

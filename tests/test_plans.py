@@ -101,3 +101,53 @@ def test_parse_stage_is_whole_stage_codegen(spark, sf_dir, tmp_path):
     assert "* Project" in p or "* ColumnarToRow" in p
     assert "BatchEvalPython" not in p  # no row-at-a-time Python
     assert "ArrowEvalPython" not in p  # jvm decode default has no UDF
+
+def test_dyn_stats_capped_no_global_window(spark):
+    """maxCardinality top-N must be a distributed TakeOrderedAndProject,
+    never a single-partition global Window sort (the round-1 weak spot:
+    a global row_number pulled every distinct key through one task)."""
+    df = spark.createDataFrame(
+        [(f"k{i % 50}",) for i in range(500)], "key string"
+    )
+    out = agg.dyn_stats_capped(df, ["key"], max_cardinality=5)
+    p = plan_of(out)
+    assert "Window" not in p, p
+    assert "TakeOrderedAndProject" in p, p
+    # semantics: 5 kept + 1 overflow carrying the remaining mass
+    rows = {r.key: r.n for r in out.collect()}
+    assert len(rows) == 6 and sum(rows.values()) == 500
+
+
+def test_ngram_jaccard_no_unbounded_hot_join(spark):
+    """The shingle self-join must consume only df-capped shingles: the
+    plan filters document frequency BEFORE the join (a hot shingle in k
+    docs can no longer produce k² candidate rows)."""
+    from rsyslog_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"shared common prefix words plus unique w{i} v{i}")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = ngram_jaccard_pairs(docs, shingle_k=2, threshold=0.1, df_max=10)
+    p = plan_of(out)
+    # the df-cap aggregate feeds the join side
+    assert "count(1)" in p and "array_intersect" in p, p
+
+
+def test_upsert_reads_only_touched_partitions(spark, tmp_path):
+    """The merge scan must partition-prune to the touched buckets."""
+    from rsyslog_spark.sinks import upsert_aggregate
+
+    path = str(tmp_path / "state")
+    big = spark.createDataFrame(
+        [(f"key{i}", 1) for i in range(100)], "key string, n long"
+    )
+    upsert_aggregate(big, path, ["key"], {"n": "sum"}, num_buckets=8)
+    # second upsert touches exactly one bucket: its read of old state
+    # must carry a PartitionFilters entry on _bucket
+    one = spark.createDataFrame([("key0", 1)], "key string, n long")
+    old = spark.read.parquet(path).filter(F.col("_bucket").isin([3]))
+    p = plan_of(old)
+    assert "PartitionFilters" in p and "_bucket" in p, p
+    upsert_aggregate(one, path, ["key"], {"n": "sum"}, num_buckets=8)
