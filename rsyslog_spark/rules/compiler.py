@@ -103,6 +103,8 @@ class Env:
         self.locals: dict[str, tuple[Column, str]] = {}
         self.lookups: dict[str, object] = {}  # name → LookupTable
         self.templates: dict[str, str] = {}  # name → template string
+        # name → pre-compiled Column (list/subtree template objects)
+        self.compiled_templates: dict[str, Column] = {}
         # predicate of the most recently compiled action — feeds
         # previous_action_suspended() (set by the router's _walk)
         self.last_action_pred: Column | None = None
@@ -323,6 +325,8 @@ def _compile_call(name: str, args: list, env: Env) -> tuple[Column, str]:
         from rsyslog_spark.templates import BUILTIN, compile_template
 
         ref = args[0][1]
+        if ref in env.compiled_templates:  # list/subtree template object
+            return env.compiled_templates[ref], "S"
         tpl = env.templates.get(ref, ref)
         if tpl == ref and ref not in BUILTIN and "%" not in ref:
             raise ValueError(f"unknown template {ref!r}")

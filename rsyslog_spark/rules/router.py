@@ -131,6 +131,33 @@ def _walk(stmts: list, pc: Column, state: _State, depth: int = 0) -> None:
             _walk(callee, pc, state, depth + 1)
         elif kind == "ruleset":
             state.rulesets[st[1]] = st[2]
+        elif kind == "template":
+            # template(name=.. type=string|list|subtree ..) objects
+            # (runtime/template.c:2149 tplProcessCnf)
+            params, body = st[1], st[2]
+            name = params.get("name")
+            if not name:
+                raise ValueError("template(...) needs name=")
+            ttype = str(params.get("type", "string")).lower()
+            if ttype == "string":
+                state.env.templates[name] = params.get("string", "")
+            elif ttype == "list":
+                from rsyslog_spark.templates import compile_list_stmts
+
+                state.env.compiled_templates[name] = compile_list_stmts(
+                    body, state.env
+                )
+            elif ttype == "subtree":
+                from rsyslog_spark.templates import compile_subtree
+
+                state.env.compiled_templates[name] = compile_subtree(
+                    params.get("subtree", "$!"), state.env
+                )
+            else:
+                raise ValueError(
+                    f"unsupported template type {ttype!r} "
+                    "(string/list/subtree)"
+                )
         else:
             raise ValueError(f"unsupported statement {kind}")
 

@@ -44,7 +44,7 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {
     "and", "or", "not", "if", "then", "else", "set", "unset", "stop",
     "action", "call", "ruleset", "contains", "contains_i", "startswith",
-    "startswith_i", "endswith", "continue", "foreach", "do",
+    "startswith_i", "endswith", "continue", "foreach", "do", "template",
 }
 
 
@@ -298,7 +298,49 @@ class Parser:
             self.expect(")")
             stmts = self.block()
             return ("ruleset", name, stmts)
+        if t.kind == "template":
+            # template(name="x" type="string" string="...") /
+            # type="list" { constant(...) property(...) } /
+            # type="subtree" subtree="$!..."  (grammar.y tpl objects;
+            # runtime/template.c:2149 tplProcessCnf)
+            self.next()
+            params = self._param_list()
+            body = []
+            if self.peek().kind == "{":
+                self.next()
+                while self.peek().kind != "}":
+                    kw = self.next()
+                    if kw.kind != "name" or kw.val not in (
+                        "constant", "property"
+                    ):
+                        raise SyntaxError(
+                            f"template block: expected constant()/"
+                            f"property(), got {kw!r}"
+                        )
+                    body.append((kw.val, self._param_list()))
+                self.expect("}")
+            return ("template", params, body)
         raise SyntaxError(f"unexpected statement start {t!r} at {t.pos}")
+
+    def _param_list(self) -> dict:
+        """Parse (k="v" k2=v2 ...) — shared by action/template/entry
+        param blocks. Dotted keys (position.from) supported."""
+        self.expect("(")
+        params = {}
+        while self.peek().kind != ")":
+            k = self.next()
+            if k.kind not in ("name", "str"):
+                raise SyntaxError(f"bad param name {k!r}")
+            key = k.val
+            while self.accept("."):
+                key += "." + self.expect("name").val
+            self.expect("=")
+            v = self.next()
+            if v.kind not in ("str", "num", "name", "var"):
+                raise SyntaxError(f"bad param value {v!r}")
+            params[key.lower()] = v.val
+        self.expect(")")
+        return params
 
     def script(self) -> list:
         stmts = []

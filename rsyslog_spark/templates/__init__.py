@@ -237,10 +237,11 @@ def _jsonf(col: Column, name: str, escape: bool, data_type: str,
     return pair
 
 
-def compile_field(spec: str, env: Env) -> Column:
+def compile_field(spec: str, env: Env, outname: str | None = None) -> Column:
     """Compile one %prop:from:to:options% field spec (property
     replacer, runtime/template.c:1399-1545 option table; applied
-    runtime/msg.c:4277-4730)."""
+    runtime/msg.c:4277-4730). ``outname`` overrides the jsonf pair
+    name (the v6 property(outname=...) param)."""
     parts = spec.split(":")
     prop = parts[0]
     frm = parts[1] if len(parts) > 1 else ""
@@ -320,9 +321,9 @@ def compile_field(spec: str, env: Env) -> Column:
         elif opt == "jsonr":
             col = F.coalesce(col, F.lit(""))  # raw value, no escaping
         elif opt == "jsonf":
-            col = _jsonf(col, prop, True, data_type, on_empty)
+            col = _jsonf(col, outname or prop, True, data_type, on_empty)
         elif opt == "jsonfr":
-            col = _jsonf(col, prop, False, data_type, on_empty)
+            col = _jsonf(col, outname or prop, False, data_type, on_empty)
         elif opt in ("sql", "stdsql"):
             # sql: MySQL-style (quote ' AND \); stdsql: double ' only
             # (template.c doEscape SQL_ESCAPE vs STDSQL_ESCAPE)
@@ -359,6 +360,125 @@ def compile_field(spec: str, env: Env) -> Column:
     return F.coalesce(col, F.lit(""))
 
 
+# --- v6 list templates --------------------------------------------------------
+# template(name="x" type="list") { constant(value="...") property(name=...) }
+# (runtime/template.c:2149-2560: createConstantTpe/createPropertyTpe)
+
+_LIST_STMT_RE = re.compile(r"(constant|property)\s*\(((?:[^()\"]|\"(?:[^\"\\]|\\.)*\")*)\)")
+_LIST_PARAM_RE = re.compile(r'([\w.]+)\s*=\s*"((?:[^"\\]|\\.)*)"')
+
+# property() param value → compile_field option token
+_LIST_FORMATS = {"csv": "csv", "json": "json", "jsonf": "jsonf",
+                 "jsonr": "jsonr", "jsonfr": "jsonfr"}
+_LIST_CC = {"escape": "escape-cc", "escape-octal": "escape-cc-octal",
+            "space": "space-cc", "drop": "drop-cc"}
+_LIST_SECPATH = {"drop": "secpath-drop", "replace": "secpath-replace"}
+_LIST_CASE = {"lower": "lowercase", "upper": "uppercase"}
+_ON = ("on", "1", "true", "yes")
+
+
+def _list_property(params: dict[str, str], env: Env) -> Column:
+    """One property(...) statement → Column, by translating the v6
+    params (template.c:2252-2560) onto the string-spec option machinery
+    so both template dialects share one implementation."""
+    name = params.get("name")
+    if not name:
+        raise ValueError("property() needs name=")
+    frm = params.get("position.from", "")
+    to = params.get("position.to", "")
+    opts: list[str] = []
+    if params.get("position.relativetoend", "").lower() in _ON:
+        opts.append("pos-end-relative")
+    if params.get("fixedwidth", "").lower() in _ON:
+        opts.append("fixed-width")
+    fmt = params.get("format")
+    if fmt is not None:
+        if fmt not in _LIST_FORMATS:
+            raise ValueError(f"invalid format {fmt!r} for property")
+        opts.append(_LIST_FORMATS[fmt])
+    cc = params.get("controlcharacters")
+    if cc is not None:
+        if cc not in _LIST_CC:
+            raise ValueError(f"invalid controlcharacter mode {cc!r}")
+        opts.append(_LIST_CC[cc])
+    sp = params.get("securepath")
+    if sp is not None:
+        if sp not in _LIST_SECPATH:
+            raise ValueError(f"invalid securepath mode {sp!r}")
+        opts.append(_LIST_SECPATH[sp])
+    case = params.get("caseconversion")
+    if case is not None:
+        if case not in _LIST_CASE:
+            raise ValueError(f"invalid caseconversion type {case!r}")
+        opts.append(_LIST_CASE[case])
+    if params.get("dateformat"):
+        df = params["dateformat"]
+        opts.append(df if df.startswith("date-") else f"date-{df}")
+    if params.get("datatype"):
+        opts.append(f"datatype-{params['datatype'].lower()}")
+    if params.get("onempty"):
+        opts.append(f"onempty-{params['onempty'].lower()}")
+    for flag, opt in (
+        ("droplastlf", "drop-last-lf"),
+        ("spifno1stsp", "sp-if-no-1st-sp"),
+        ("compressspace", "compressspace"),
+        ("mandatory", "mandatory-field"),
+    ):
+        if params.get(flag, "").lower() in _ON:
+            opts.append(opt)
+    if params.get("field.number"):
+        delim = params.get("field.delimiter", "9")
+        frm, to = f"F,{delim}", params["field.number"]
+    if params.get("regex.expression"):
+        # regex mode via the string-spec R path: R,<ere> (submatch 0)
+        spec = f"{name}:R,{params['regex.expression']}--end"
+        return compile_field(spec, env, outname=params.get("outname"))
+    spec = f"{name}:{frm}:{to}:{','.join(opts)}"
+    return compile_field(spec, env, outname=params.get("outname"))
+
+
+def compile_list_stmts(
+    stmts: list[tuple[str, dict]], env: Env | None = None,
+    unescape_constants: bool = False,
+) -> Column:
+    """Structured form: [(\"constant\"|\"property\", params), ...] →
+    single concat Column (the shape the rscript parser produces for a
+    template(type=\"list\") {...} block)."""
+    env = env or Env()
+    parts: list[Column] = []
+    for kind, params in stmts:
+        if kind == "constant":
+            val = params.get("value", "")
+            if unescape_constants:
+                val = val.encode("utf-8").decode("unicode_escape")
+            if params.get("format") == "jsonf":
+                out = params.get("outname", "")
+                parts.append(F.lit(f'"{out}":"{val}"'))
+            else:
+                parts.append(F.lit(val))
+        else:
+            parts.append(_list_property(params, env))
+    if not parts:
+        return F.lit("")
+    return F.concat(*parts)
+
+
+def compile_list_template(body: str, env: Env | None = None) -> Column:
+    """v6 list template → single concat Column.
+
+    `body` is the {...} block content: a sequence of
+    ``constant(value="..." [outname= format="jsonf"])`` and
+    ``property(name="..." <params>)`` statements. constant values
+    honor \\n style escapes (template.c:2167 unescapes); a jsonf
+    constant emits its own "outname":"value" pair."""
+    stmts = [
+        (m.group(1),
+         {k.lower(): v for k, v in _LIST_PARAM_RE.findall(m.group(2))})
+        for m in _LIST_STMT_RE.finditer(body)
+    ]
+    return compile_list_stmts(stmts, env, unescape_constants=True)
+
+
 def compile_subtree(subtree: str, env: Env | None = None) -> Column:
     """type="subtree" templates (template.h:209 tplToJSON; grammar
     `template(name=... type="subtree" subtree="$!foo")`): emit the JSON
@@ -373,8 +493,14 @@ def compile_subtree(subtree: str, env: Env | None = None) -> Column:
 
 
 def compile_template(tpl: str, env: Env | None = None) -> Column:
-    """Template string → single Column (concat of parts)."""
+    """Template string → single Column (concat of parts). A name
+    registered as a compiled (list/subtree) template in the env wins
+    over string expansion."""
     env = env or Env()
+    compiled = getattr(env, "compiled_templates", None)
+    if compiled and tpl in compiled:
+        return compiled[tpl]
+    tpl = env.templates.get(tpl, tpl) if env.templates else tpl
     tpl = BUILTIN.get(tpl, tpl)
     parts: list[Column] = []
     pos = 0

@@ -351,3 +351,44 @@ def test_unflatten_json_nested(one):
         F.lit('{"a.b":"1","a.c":"2","top":"x"}')))
     assert json.loads(got) == {"a": {"b": "1", "c": "2"}, "top": "x"}
     assert ev(one, fn.unflatten_json(F.lit("not json"))) is None
+
+
+def test_list_template(logrow):
+    """v6 list-template dialect compiles onto the same option machinery
+    (template.c:2149-2560)."""
+    from rsyslog_spark.templates import compile_list_template
+
+    body = '''
+        constant(value="<")
+        property(name="pri")
+        constant(value=">")
+        property(name="timereported" dateFormat="rfc3339")
+        constant(value=" ")
+        property(name="hostname" caseConversion="upper")
+        constant(value=" ")
+        property(name="syslogtag" position.from="1" position.to="32")
+        property(name="msg" spifno1stsp="on")
+        property(name="msg" droplastlf="on")
+        constant(value="\\n")
+    '''
+    got = logrow.select(compile_list_template(body).alias("r")).first().r
+    assert got.startswith("<13>") and " HOST7 app[42]: the msg\n" in got
+
+    jf = '''
+        constant(value="{")
+        property(name="hostname" outname="source_host" format="jsonf")
+        constant(value=",")
+        property(name="procid" outname="pid" format="jsonf" datatype="number")
+        constant(value=",")
+        property(name="msgid" outname="mid" format="jsonf" onEmpty="null")
+        constant(value="}")
+    '''
+    got = logrow.select(compile_list_template(jf).alias("r")).first().r
+    import json
+
+    assert json.loads(got) == {"source_host": "host7", "pid": 42, "mid": None}
+
+    fld = 'property(name="msg" field.number="2" field.delimiter="32")'
+    got = logrow.select(compile_list_template(fld).alias("r")).first().r
+    # msg=" the msg\n": space-split fields are ["", "the", "msg\n"]
+    assert got == "the"

@@ -214,3 +214,37 @@ action(name="keep")
     r = Router(script)
     counts = dict(r.route_counts(df).collect())
     assert counts["keep"] == 1
+
+
+def test_template_object_statements(spark):
+    """template(name=.. type=string|list|subtree) config objects parse
+    and register; exec_template + set render them (template.c:2149)."""
+    from rsyslog_spark.rules import Router
+
+    df = spark.createDataFrame(
+        [(13, "host7", "app:", " hi", {"a": "1"})],
+        "pri int, hostname string, syslogtag string, msg string, "
+        "cee map<string,string>",
+    ).withColumns(
+        {"facility": (F.col("pri") / 8).cast("int"),
+         "severity": F.col("pri") % 8}
+    )
+    script = '''
+template(name="shorthost" type="string" string="%hostname:1:4%")
+template(name="kv" type="list") {
+    constant(value="host=")
+    property(name="hostname" caseConversion="upper")
+    constant(value=" tag=")
+    property(name="syslogtag")
+}
+template(name="tree" type="subtree" subtree="$!")
+set $.a = exec_template("shorthost");
+set $.b = exec_template("kv");
+set $.c = exec_template("tree");
+action(name="out")
+'''
+    r = Router(script)
+    out = r.apply(df, keep_locals=True).first()
+    assert out["local_a"] == "host"
+    assert out["local_b"] == "host=HOST7 tag=app:"
+    assert out["local_c"] == '{"a":"1"}'
