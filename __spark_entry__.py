@@ -264,6 +264,26 @@ def q_propfilt_startswith(spark, sf):
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
 
 
+def q_cidr_lookup(spark, sf):
+    """mmdblookup analog: longest-prefix CIDR match over a synthetic
+    per-event IPv4 (GeoIP enrichment shape; expression-compiled, no
+    fact-side shuffle)."""
+    from rsyslog_spark.lookup import LookupTable, mmdblookup
+
+    t = LookupTable(
+        "nets", "cidr",
+        [("10.0.0.0/8", "ten"), ("10.1.0.0/16", "ten-one"),
+         ("192.168.0.0/16", "rfc1918")],
+        nomatch="public",
+    )
+    ev = _events(spark, sf)
+    ip = fn.num2ipv4((F.col("event_id") * 7919) % 4294967296)
+    out = mmdblookup(ev.withColumn("ip", ip), t, "ip", "net")
+    return out.groupBy("net").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
 def q_mmanon_hosts(spark, sf):
     ev = _events(spark, sf)
     ip = fn.num2ipv4((F.col("event_id") * 7919) % 4294967296)
@@ -620,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "functions_showcase": q_functions_showcase,
         "prifilt_mail_daemon": q_prifilt_mail_daemon,
         "propfilt_startswith": q_propfilt_startswith,
+        "cidr_lookup": q_cidr_lookup,
         "mmanon_hosts": q_mmanon_hosts,
         "mm_count": q_mm_count,
         "sender_stats": q_sender_stats,
@@ -839,6 +860,16 @@ def oracle_sql() -> dict[str, str]:
         "propfilt_startswith": """
             SELECT event_type AS programname, CAST(count(*) AS BIGINT) AS n
             FROM events WHERE event_type LIKE 'p%' GROUP BY 1
+        """,
+        "cidr_lookup": """
+            SELECT CASE
+                       WHEN n // 65536 = 2561 THEN 'ten-one'
+                       WHEN n // 16777216 = 10 THEN 'ten'
+                       WHEN n // 65536 = 49320 THEN 'rfc1918'
+                       ELSE 'public' END AS net,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT (event_id * 7919) % 4294967296 AS n FROM events)
+            GROUP BY 1
         """,
         "mmanon_hosts": """
             SELECT CAST(n // 16777216 % 256 AS VARCHAR) || '.' ||

@@ -115,6 +115,34 @@ class LookupTable:
             if out is None:
                 return F.lit(self.nomatch)
             return F.coalesce(out, F.lit(self.nomatch))
+        if self.kind == "cidr":
+            # longest-prefix match over CIDR nets — the mmdblookup /
+            # GeoIP shape (contrib/mmdblookup consults libmaxminddb's
+            # prefix trie; a config-sized table compiles to a coalesce
+            # chain ordered by prefix length, one masked compare per
+            # net, all codegen — the fact side never shuffles)
+            from rsyslog_spark.functions import ipv42num
+
+            ip = ipv42num(key.cast("string"))
+            nets = []
+            for cidr, v in self.rows:
+                net_s, _, plen_s = str(cidr).partition("/")
+                plen = int(plen_s or 32)
+                import ipaddress
+
+                mask = ((0xFFFFFFFF << (32 - plen)) & 0xFFFFFFFF) if plen else 0
+                netnum = int(ipaddress.IPv4Address(net_s)) & mask
+                nets.append((plen, mask, netnum, str(v)))
+            nets.sort(key=lambda t: -t[0])  # most specific first
+            out = None
+            for _plen, mask, netnum, v in nets:
+                hit = F.when(
+                    ip.bitwiseAND(F.lit(mask)) == F.lit(netnum), F.lit(v)
+                )
+                out = hit if out is None else F.coalesce(out, hit)
+            if out is None:
+                return F.lit(self.nomatch)
+            return F.coalesce(out, F.lit(self.nomatch))
         raise ValueError(f"unknown lookup kind {self.kind}")
 
     # --- bulk enrichment (broadcast joins) ------------------------------
@@ -133,6 +161,8 @@ class LookupTable:
     ) -> DataFrame:
         """Broadcast enrichment join; nomatch default applied."""
         key = F.col(key_col) if isinstance(key_col, str) else key_col
+        if self.kind in ("regex", "cidr"):  # expression-compiled kinds
+            return df.withColumn(out_col, self.lookup_col(key))
         spark = df.sparkSession
         dim = self.to_df(spark)
         if self.kind == "string":
@@ -156,9 +186,21 @@ class LookupTable:
             return j.withColumn(
                 out_col, F.coalesce(dim2["lkp_value"], F.lit(self.nomatch))
             ).drop("lkp_key", "lkp_value", "lkp_next")
-        if self.kind == "regex":
+        if self.kind in ("regex", "cidr"):
             return df.withColumn(out_col, self.lookup_col(key))
         raise ValueError(f"unknown lookup kind {self.kind}")
+
+
+def mmdblookup(
+    df: DataFrame, table: "LookupTable", ip_col: str | Column,
+    out_col: str = "geo",
+) -> DataFrame:
+    """contrib/mmdblookup analog: enrich rows with the longest-prefix
+    CIDR match of an IP column (GeoIP/MaxMind shape). Pass a
+    kind="cidr" LookupTable (config-sized, expression-compiled)."""
+    if table.kind != "cidr":
+        raise ValueError("mmdblookup needs a kind='cidr' LookupTable")
+    return table.enrich(df, ip_col, out_col)
 
 
 class ReloadingLookup:

@@ -163,3 +163,23 @@ def test_mm_count_and_sequence(spark):
     assert got == {("a", 1): 1, ("a", 2): 2, ("b", 3): 1}
     seq = agg.mm_sequence(df, ["seq"])
     assert [r.seq for r in seq.orderBy("seq").collect()] == [1, 2, 3]
+
+
+def test_cidr_lookup_longest_prefix(spark):
+    """mmdblookup analog: longest-prefix CIDR match (most specific
+    net wins), nomatch default."""
+    from rsyslog_spark.lookup import LookupTable, mmdblookup
+
+    t = LookupTable(
+        "nets", "cidr",
+        [("10.0.0.0/8", "ten"), ("10.1.0.0/16", "ten-one"),
+         ("192.168.0.0/16", "rfc1918")],
+        nomatch="public",
+    )
+    df = spark.createDataFrame(
+        [("10.1.2.3",), ("10.9.9.9",), ("192.168.44.1",), ("8.8.8.8",),
+         ("not-an-ip",)],
+        "ip string",
+    )
+    got = [r.net for r in mmdblookup(df, t, "ip", "net").collect()]
+    assert got == ["ten-one", "ten", "rfc1918", "public", "public"]
