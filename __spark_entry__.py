@@ -456,13 +456,15 @@ def q_ngram_jaccard(spark, sf):
     array_intersect. The oracle SQL applies the identical cap."""
     from rsyslog_spark.datapipe.dedup import _shingles
 
+    from rsyslog_spark.datapipe.dedup import _parallelism
+
     d = _docs(spark, sf)
+    npart = _parallelism(d)
     sh = (
-        d.select(
-            F.col("doc_id").alias("id"),
-            _shingles(F.col("text"), 3).alias("shingles"),
-        )
-        .repartition("id")
+        d.select(F.col("doc_id").alias("id"), F.col("text").alias("_t"))
+        .repartition(npart, "id")  # spread docs before heavy shingling
+        .select("id", _shingles(F.col("_t"), 3).alias("shingles"))
+        .repartition(npart, "id")
         .withColumn("n_sh", F.size("shingles"))
     )
     ex = sh.select("id", F.explode("shingles").alias("s"))

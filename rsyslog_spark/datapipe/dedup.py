@@ -17,6 +17,18 @@ def _norm_text(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
+def _parallelism(df: DataFrame) -> int:
+    """Cluster-wide task parallelism for explicit repartition counts
+    (kept out of AQE's byte-based coalescing, which under-parallelizes
+    compute-heavy stages over small-byte inputs)."""
+    sess = df.sparkSession
+    try:
+        sp = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        sp = 32
+    return max(sess.sparkContext.defaultParallelism, sp)
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -47,23 +59,60 @@ def _shingles(col: Column, k: int) -> Column:
     return F.array_distinct(sh)
 
 
-def minhash_signature(
-    shingles_col: Column, num_hashes: int = 64
-) -> Column:
-    """MinHash signature from a *materialized* shingles array column:
-    sig[i] = min over shingles of xxhash64(shingle, i).
+_M31 = (1 << 31) - 1
 
-    One expression, one pass structure: transform over the seed range
-    with an inner transform over the (column-referenced) shingle array.
-    IMPORTANT: pass a real column reference, not the shingle-building
+
+def _mix_consts(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic odd-multiplier/addend pairs in [1, 2^31) for the
+    affine family (golden-ratio sequence). With 31-bit folded inputs
+    the product stays < 2^62, so the arithmetic never overflows a
+    long under ANSI mode."""
+    out = []
+    for i in range(num_hashes):
+        a = ((0x9E3779B9 * (2 * i + 1)) | 1) & _M31
+        b = (0xC2B2AE3D * (i + 1)) & _M31
+        out.append((a or 1, b))
+    return out
+
+
+def fold31(h: Column) -> Column:
+    """xor-fold a 64-bit hash to 31 bits (keeps upper-bit entropy)."""
+    return (
+        h.bitwiseXOR(F.shiftrightunsigned(h, 31))
+        .bitwiseXOR(F.shiftrightunsigned(h, 53))
+        .bitwiseAND(F.lit(_M31))
+    )
+
+
+def minhash_signature(
+    hashes_col: Column, num_hashes: int = 64
+) -> Column:
+    """MinHash signature from a *materialized* array of per-shingle
+    folded hash values (see :func:`fold31`): sig[i] = min over
+    shingles of (h*A_i + B_i).
+
+    Each shingle string is hashed ONCE (xxhash64 → fold31); the
+    num_hashes family members are cheap affine mixes of that value
+    (the standard `(a*h+b)` universal family) — ~64× less string
+    hashing than re-seeding xxhash64 per member, same collision
+    behavior for LSH purposes, and overflow-free under ANSI mode.
+    IMPORTANT: pass a real column reference, not the hash-building
     expression — Catalyst's projection collapse would otherwise inline
-    and recompute the shingle construction num_hashes times (measured
-    140× slowdown at sf0.1 before this was restructured)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(shingles_col, lambda s: F.xxhash64(s, i))
-        ),
+    and recompute it num_hashes times (measured 140× slowdown at sf0.1
+    before this was restructured)."""
+    consts = _mix_consts(num_hashes)
+
+    # classic universal family: (a*h + b) mod p, p = 2^31-1 (Mersenne).
+    # The mod is ESSENTIAL: without it a*h+b is monotone in h and every
+    # family member would select the same (min-hash) shingle.
+    def mixer(a: int, b: int):
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_M31))
+
+    return F.array(
+        *[
+            F.array_min(F.transform(hashes_col, mixer(a, b)))
+            for a, b in consts
+        ]
     )
 
 
@@ -94,20 +143,36 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    # two shuffle barriers force each expensive array to be computed
-    # exactly once: shingle construction, then the 64-hash signature.
-    # (repartition(id) also pre-spreads hot partitions for the join.)
-    shingled = (
-        df.select(
-            F.col(id_col).alias("id"),
-            _shingles(F.col(text_col), shingle_k).alias("shingles"),
+    # Stage shape: (1) spread the RAW docs by id-hash FIRST — a corpus
+    # often arrives as few large files, and computing shingles in the
+    # scan stage would serialize on the file count, not the cores;
+    # (2) shingle+hash each string ONCE post-shuffle (full parallelism);
+    # (3) barrier, then the num_hashes affine mixes; (4) barrier, then
+    # the 16-band explode. The barriers move only small hash-array
+    # columns; without them Catalyst's projection collapse re-inlines
+    # the upstream array expression once per consumer (measured 140×).
+    # explicit partition counts: AQE's coalescer sizes partitions by
+    # BYTES, and a few thousand short docs coalesce to one partition —
+    # serializing the compute-heavy shingle/hash stages on one core. A
+    # user-specified numPartitions is exempt from AQE coalescing.
+    npart = _parallelism(df)
+    spread = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_t")
+    ).repartition(npart, "id")
+    hashed = (
+        spread.withColumn("_sh", _shingles(F.col("_t"), shingle_k))
+        .filter(F.size("_sh") > 0)
+        .select(
+            "id",
+            F.transform("_sh", lambda s: fold31(F.xxhash64(s))).alias(
+                "sh_hashes"
+            ),
         )
-        .filter(F.size("shingles") > 0)
-        .repartition("id")
+        .repartition(npart, "id")
     )
-    sig = shingled.select(
-        "id", minhash_signature(F.col("shingles"), num_hashes).alias("sig")
-    ).repartition("id")
+    sig = hashed.select(
+        "id", minhash_signature(F.col("sh_hashes"), num_hashes).alias("sig")
+    ).repartition(npart, "id")
 
     band_entries = F.array(
         *[
@@ -230,10 +295,16 @@ def simhash_pairs(
     pathological buckets (mass near-identical clusters — run
     exact_dedup first) to bound the quadratic term."""
     n_blocks = max_hamming + 1
-    hashed = df.select(
-        F.col(id_col).alias("id"),
-        word_hashes(F.col(text_col)).alias("hashes"),
-    ).repartition("id")  # barrier: hash words once
+    # spread raw docs first (few-files corpus would serialize the
+    # word hashing), then one barrier so simhash's 64 bit-counts read a
+    # materialized array; explicit count exempts it from AQE coalescing
+    npart = _parallelism(df)
+    hashed = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+        .repartition(npart, "id")
+        .select("id", word_hashes(F.col("_t")).alias("hashes"))
+        .repartition(npart, "id")
+    )
     sh = hashed.select("id", simhash(F.col("hashes"), bits).alias("sh"))
     # one row per (doc, table): block t = bits [start, start+width)
     tables = F.array(
@@ -304,12 +375,14 @@ def ngram_jaccard_pairs(
     and sit far below any useful threshold; route true near-dup
     discovery through minhash_lsh_pairs and use this as the exact
     verifier."""
+    npart = _parallelism(df)
     sh = (
-        df.select(
-            F.col(id_col).alias("id"),
-            _shingles(F.col(text_col), shingle_k).alias("shingles"),
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+        .repartition(npart, "id")  # spread raw docs across cores
+        .select(
+            "id", _shingles(F.col("_t"), shingle_k).alias("shingles")
         )
-        .repartition("id")  # barrier: build shingles once
+        .repartition(npart, "id")  # barrier: build shingles once
         .withColumn("n_sh", F.size("shingles"))
     )
     ex = sh.select("id", F.explode("shingles").alias("s"))
