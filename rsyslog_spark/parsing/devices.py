@@ -112,3 +112,76 @@ def parser_chain(df: DataFrame, fixups: list) -> DataFrame:
     for fx in fixups:
         df = fx(df)
     return df
+
+
+def pmnormalize(
+    df: DataFrame,
+    rules,
+    raw_col: str = "rawmsg",
+) -> DataFrame:
+    """plugins/pmnormalize/pmnormalize.c:206-229: parse the RAW message
+    through a liblognorm rulebase instead of the RFC parsers, then
+    promote the extracted fields onto the message's well-known
+    properties (MsgSetPropsViaJSON_Object → msg.c msgSetPropViaJSON:
+    msg/hostname/syslogtag/pri/procid/msgid promote; everything else
+    stays in the `norm` map). `pri` promotion re-derives
+    facility/severity; programname is re-derived from a promoted tag.
+
+    `rules` is a list of NormalizeRule (e.g. from mm.load_rulebase —
+    the plugin's `rulebase` param). Rows no rule matches keep their
+    original columns (COULD_NOT_PARSE → next parser in the chain);
+    ``pmn_matched`` records the outcome."""
+    from rsyslog_spark import mm as _mm
+
+    out = _mm.mmnormalize(
+        df, rules, msg_col=raw_col, out_col="_pmn", rule_col="_pmn_rule"
+    )
+    matched = F.col("_pmn_rule") >= 0
+    got = lambda k: F.try_element_at("_pmn", F.lit(k))  # noqa: E731
+
+    def promote(col_name: str, key: str, cast: str | None = None):
+        nonlocal out
+        if col_name not in out.columns:
+            out = out.withColumn(col_name, F.lit(None).cast(cast or "string"))
+        val = got(key)
+        if cast:
+            val = val.try_cast(cast)
+        out = out.withColumn(
+            col_name,
+            F.when(matched & val.isNotNull(), val).otherwise(
+                F.col(col_name)
+            ),
+        )
+
+    promote("msg", "msg")
+    promote("hostname", "hostname")
+    promote("syslogtag", "syslogtag")
+    promote("procid", "procid")
+    promote("msgid", "msgid")
+    promote("pri", "pri", "int")
+    pri_val = got("pri").try_cast("int")
+    has_pri = matched & pri_val.isNotNull()
+    for name, expr in (
+        ("facility", (pri_val / 8).cast("int")),
+        ("severity", pri_val % 8),
+    ):
+        if name not in out.columns:
+            out = out.withColumn(name, F.lit(None).cast("int"))
+        out = out.withColumn(
+            name, F.when(has_pri, expr).otherwise(F.col(name))
+        )
+    tag = got("syslogtag")
+    has_tag = matched & tag.isNotNull()
+    if "programname" not in out.columns:
+        out = out.withColumn("programname", F.lit(None).cast("string"))
+    out = out.withColumn(
+        "programname",
+        F.when(has_tag, F.regexp_extract(tag, r"^([^:\[ ]*)", 1)).otherwise(
+            F.col("programname")
+        ),
+    )
+    return (
+        out.withColumn("pmn_matched", matched)
+        .withColumn("norm", F.col("_pmn"))
+        .drop("_pmn", "_pmn_rule")
+    )

@@ -50,3 +50,35 @@ def test_pmnull(spark):
     out = pmnull(parse(_tok(spark, lines))).first()
     assert out.msg == "anything at all goes here"
     assert out.hostname is None and out.parse_success
+
+
+def test_pmnormalize_promotes_fields(spark):
+    """pmnormalize: rulebase-parsed raw line promotes well-known
+    properties (pmnormalize.c:206-229 + msg.c msgSetPropViaJSON);
+    unmatched rows fall through unchanged (COULD_NOT_PARSE)."""
+    from rsyslog_spark import mm
+    from rsyslog_spark.parsing.devices import pmnormalize
+
+    # the reference fixture's shape (tests/testsuites/
+    # pmnormalize_basic.rulebase): pri, hostname, tag, ipv4, rest
+    rules = mm.load_rulebase(
+        r"rule=:<%pri:number%> %hostname:word% %syslogtag:char-to:\x3a%: "
+        r"is no longer listening on %peer:ipv4% %msg:rest%"
+    )
+    df = spark.createDataFrame(
+        [
+            ("<38> server1 sshd[42]: is no longer listening on "
+             "10.0.0.7 port 22",),
+            ("unparseable line",),
+        ],
+        "rawmsg string",
+    )
+    rows = pmnormalize(df, rules).collect()
+    r = rows[0]
+    assert r.pmn_matched
+    assert r.pri == 38 and r.facility == 4 and r.severity == 6
+    assert r.hostname == "server1" and r.syslogtag == "sshd[42]"
+    assert r.programname == "sshd"
+    assert r.msg == "port 22"
+    assert r.norm["peer"] == "10.0.0.7"
+    assert not rows[1].pmn_matched and rows[1].hostname is None
