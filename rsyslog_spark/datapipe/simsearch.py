@@ -177,3 +177,126 @@ def embedding_dedup_pairs(
     return cand.select(
         F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cos
     ).filter(F.col("cos") >= threshold)
+
+
+# --- IVF (inverted-file) ANN --------------------------------------------------
+
+def _centroid_lits(centroids: list[list[float]]) -> list[Column]:
+    return [F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+
+
+def _nearest_centroids(vec: Column, centroids: list[list[float]]) -> Column:
+    """Array of (cosine, centroid_idx) structs sorted by the struct's
+    natural order — last = best. Centroids are literal arrays baked
+    into the plan (a coarse codebook is config-sized)."""
+    entries = [
+        F.struct(
+            cosine(vec, lit_c).alias("s"), F.lit(i).alias("i")
+        )
+        for i, lit_c in enumerate(_centroid_lits(centroids))
+    ]
+    return F.sort_array(F.array(*entries))
+
+
+def ivf_train_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 100_000,
+) -> list[list[float]]:
+    """Coarse k-means codebook (Lloyd iterations, cosine assignment).
+
+    Scale shape: initialization picks the n_centroids lowest-xxhash ids
+    (deterministic spread, one TakeOrdered); each iteration is one
+    broadcast-assignment scan + one groupBy(cluster) per-dimension mean
+    over a bounded SAMPLE of the corpus (training a coarse quantizer
+    needs a sample, not the corpus — the full 100 TB is only ever
+    touched by the single assignment pass in ivf_assign)."""
+    sample = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).limit(sample_rows)
+    dim = len(sample.first()["v"])
+    seeds = (
+        sample.orderBy(F.xxhash64("id"))
+        .limit(n_centroids)
+        .select("v")
+        .collect()
+    )
+    centroids = [[float(x) for x in r.v] for r in seeds]
+    for _ in range(iters):
+        best = _nearest_centroids(F.col("v"), centroids)
+        assigned = sample.withColumn(
+            "cluster", F.element_at(best, -1).getField("i")
+        )
+        means = assigned.groupBy("cluster").agg(
+            *[
+                F.avg(F.element_at(F.col("v"), d + 1)).alias(f"d{d}")
+                for d in range(dim)
+            ]
+        ).collect()
+        for r in means:
+            centroids[r.cluster] = [float(r[f"d{d}"]) for d in range(dim)]
+    return centroids
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """One scan: tag each vector with its nearest-centroid id. At scale
+    this column is what you PARTITION/bucket the vector table by, so a
+    probe touches only n_probe/n_centroids of the data files."""
+    best = _nearest_centroids(F.col(vec_col), centroids)
+    return corpus.withColumn(
+        out_col, F.element_at(best, -1).getField("i")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into
+    n_centroids inverted lists, probe the n_probe lists nearest each
+    query, exact-score only those (the classic IVF-Flat recipe; the
+    other scale path next to cosine_lsh_topk).
+
+    Pass a pre-trained ``centroids`` codebook to skip training (the
+    production shape: train once, reuse per batch)."""
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            corpus, n_centroids, iters, id_col, vec_col
+        )
+    c = ivf_assign(corpus, centroids, vec_col)
+    qbest = _nearest_centroids(F.col(q_vec_col), centroids)
+    q = queries.withColumn(
+        "probe",
+        F.explode(
+            F.transform(
+                F.slice(F.reverse(qbest), 1, n_probe), lambda e: e.getField("i")
+            )
+        ),
+    )
+    j = c.join(broadcast(q), c["cluster"] == q["probe"])
+    scored = j.select(
+        F.col(q_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(q_vec_col)).alias("score"),
+    ).dropDuplicates([q_id_col, id_col])
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("score"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

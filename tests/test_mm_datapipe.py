@@ -395,3 +395,35 @@ def test_decode_media_batch(spark):
     assert {r.media_id: tuple(r.features or ()) for r in out} == {
         r.media_id: tuple(r.features or ()) for r in again
     }
+
+
+def test_ivf_topk_approximates(spark):
+    corpus = _vectors(spark)
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0] + [0.0] * 6)], "q_id long, q_vec array<float>"
+    )
+    from rsyslog_spark.datapipe.simsearch import (
+        ivf_assign,
+        ivf_topk,
+        ivf_train_centroids,
+    )
+
+    exact = {r.vec_id for r in brute_force_topk(corpus, queries, k=5).collect()}
+    approx = {
+        r.vec_id
+        for r in ivf_topk(
+            corpus, queries, k=5, n_centroids=5, n_probe=3
+        ).collect()
+    }
+    assert len(exact & approx) >= 3  # decent recall on this easy set
+    # codebook reuse path: pretrained centroids skip training
+    cb = ivf_train_centroids(corpus, n_centroids=5)
+    assigned = ivf_assign(corpus, cb)
+    assert assigned.select("cluster").distinct().count() <= 5
+    again = {
+        r.vec_id
+        for r in ivf_topk(
+            corpus, queries, k=5, n_probe=3, centroids=cb
+        ).collect()
+    }
+    assert len(exact & again) >= 3
