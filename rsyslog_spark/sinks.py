@@ -27,6 +27,7 @@ def omfile(
     dynafile_parts: dict[str, str] | None = None,
     fmt: str = "parquet",
     mode: str = "overwrite",
+    compression: str | None = None,
 ) -> None:
     """omfile: static file or dynafile.
 
@@ -49,6 +50,10 @@ def omfile(
     w = out.write.mode(mode)
     if part_cols:
         w = w.partitionBy(*part_cols)
+    if compression:
+        # omfile zipLevel / compression.driver (tools/omfile.c:241,278):
+        # zlib/zstd stream compression maps to the writer codec
+        w = w.option("compression", compression)
     w.format(fmt).save(path)
 
 
@@ -68,6 +73,44 @@ def omkafka_frame(
     if dynatopic:
         cols.append(compile_template(dynatopic, env).alias("topic"))
     return df.select(*cols)
+
+
+def omelasticsearch_frame(
+    df: DataFrame,
+    template: str,
+    index: str,
+    id_template: str | None = None,
+    dyn_index: bool = False,
+    write_operation: str = "index",
+) -> DataFrame:
+    """Shape rows into Elasticsearch _bulk entries — omelasticsearch's
+    bulkmode batch format (plugins/omelasticsearch/omelasticsearch.c:
+    88-94 META_* constants; buildBatch:1219-1260): per message an
+    action line ``{"index":{"_index":"<idx>"[,"_id":"<id>"]}}``
+    followed by the rendered JSON document. ``dyn_index`` treats
+    `index` as a template (dynSearchIndex); ``write_operation`` is
+    index|create (ES_WRITE_CREATE). The resulting `value` column is the
+    two-line bulk entry — `foreachBatch` + an HTTP POST of the
+    concatenated batch is the wire part this sandbox cannot exercise."""
+    if write_operation not in ("index", "create"):
+        raise ValueError("write_operation must be index|create")
+    env = Env()
+    idx = compile_template(index, env) if dyn_index else F.lit(index)
+    idx = F.regexp_replace(idx, '"', '\\\\"')
+    action = F.concat(
+        F.lit('{"' + write_operation + '":{"_index":"'), idx, F.lit('"')
+    )
+    if id_template:
+        bulk_id = compile_template(id_template, env)
+        action = F.concat(
+            action, F.lit(', "_id":"'),
+            F.regexp_replace(bulk_id, '"', '\\\\"'), F.lit('"'),
+        )
+    action = F.concat(action, F.lit("}}"))
+    doc = compile_template(template, env)
+    return df.select(
+        F.concat(action, F.lit("\n"), doc).alias("value")
+    )
 
 
 def om_foreach_batch(

@@ -69,3 +69,46 @@ def test_cli_main(spark, sf_dir, tmp_path):
     assert rc == 0
     got = spark.read.parquet(str(tmp_path / "cli_sinks" / "rest"))
     assert got.count() > 0
+
+
+def test_omelasticsearch_bulk_frame(spark):
+    """omelasticsearch bulkmode entry shape (omelasticsearch.c:88-94)."""
+    import json
+
+    from rsyslog_spark.sinks import omelasticsearch_frame
+
+    df = spark.createDataFrame(
+        [("host1", 'msg "quoted"', "d1")],
+        "hostname string, msg string, doc_id string",
+    )
+    out = omelasticsearch_frame(
+        df,
+        template='{"host":"%hostname:::json%","message":"%msg:::json%"}',
+        index="logs-%hostname%",
+        dyn_index=True,
+        id_template="%doc_id%",
+    ).first().value
+    action, doc = out.split("\n")
+    a = json.loads(action)
+    assert a["index"]["_index"] == "logs-host1"
+    assert a["index"]["_id"] == "d1"
+    d = json.loads(doc)
+    assert d == {"host": "host1", "message": 'msg "quoted"'}
+    # create mode
+    out2 = omelasticsearch_frame(
+        df, template='{"m":"%msg:::json%"}', index="fixed",
+        write_operation="create",
+    ).first().value
+    assert json.loads(out2.split("\n")[0])["create"]["_index"] == "fixed"
+
+
+def test_omfile_compression(spark, tmp_path):
+    import os
+
+    from rsyslog_spark.sinks import omfile
+
+    df = spark.createDataFrame([("a line",)], "msg string")
+    path = str(tmp_path / "gz")
+    omfile(df, path, template="%msg%\n", compression="gzip", fmt="text")
+    files = [f for f in os.listdir(path) if f.endswith(".gz")]
+    assert files, os.listdir(path)
