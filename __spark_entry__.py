@@ -96,6 +96,27 @@ def q_dynstats_prog(spark, sf):
     )
 
 
+def q_dynstats_capped(spark, sf):
+    """dynstats maxCardinality batch analog: top-3 keys by count
+    (ties → key order) + one overflow row carrying the rest."""
+    p = flagship.build_parsed(spark, sf)
+    return agg.dyn_stats_capped(p, ["programname"], max_cardinality=3).select(
+        "programname", F.col("n").cast("long").alias("n")
+    )
+
+
+def q_dynstats_stream(spark, sf):
+    """Streaming FIRST-SEEN cardinality admission (dynstats.c:117-126):
+    one micro-batch through DynStatsStream — the 3 earliest-seen keys
+    are admitted (arrival order = min event-time, tiebreak key), the
+    rest land in ops_overflow."""
+    from rsyslog_spark.streaming import DynStatsStream
+
+    ds = DynStatsStream("event_type", "ts", max_cardinality=3)
+    out = ds.process_batch(_events(spark, sf))
+    return out.select("key", F.col("n").cast("long").alias("n"))
+
+
 def q_lookup_site(spark, sf):
     r = flagship.routed(spark, sf)
     return r.groupBy(F.col("local_site").alias("site")).agg(
@@ -629,6 +650,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_counts": q_route_counts,
         "agg_fac_sev_source": q_agg_fac_sev_source,
         "dynstats_prog": q_dynstats_prog,
+        "dynstats_capped": q_dynstats_capped,
+        "dynstats_stream": q_dynstats_stream,
         "lookup_site": q_lookup_site,
         "lookup_sparse_quartile": q_lookup_sparse_quartile,
         "ratelimit": q_ratelimit,
@@ -737,6 +760,36 @@ def oracle_sql() -> dict[str, str]:
         "dynstats_prog": """
             SELECT event_type AS programname, CAST(count(*) AS BIGINT) AS n
             FROM events GROUP BY 1
+        """,
+        "dynstats_capped": """
+            WITH counts AS (
+                SELECT event_type AS programname, count(*) AS n
+                FROM events GROUP BY 1
+            ), ranked AS (
+                SELECT *, row_number() OVER (ORDER BY n DESC, programname)
+                           AS rk
+                FROM counts
+            )
+            SELECT programname, CAST(n AS BIGINT) AS n
+            FROM ranked WHERE rk <= 3
+            UNION ALL
+            SELECT '_overflow_', CAST(sum(n) AS BIGINT)
+            FROM ranked WHERE rk > 3
+        """,
+        "dynstats_stream": """
+            WITH firsts AS (
+                SELECT event_type AS key,
+                       min(CAST(floor(epoch(ts)) AS BIGINT)) AS fts,
+                       count(*) AS n
+                FROM events GROUP BY 1
+            ), ranked AS (
+                SELECT *, row_number() OVER (ORDER BY fts, key) AS rk
+                FROM firsts
+            )
+            SELECT key, CAST(n AS BIGINT) AS n FROM ranked WHERE rk <= 3
+            UNION ALL
+            SELECT '_overflow_', CAST(sum(n) AS BIGINT)
+            FROM ranked WHERE rk > 3
         """,
         "lookup_site": f"""
             SELECT {_SITE_CASE} AS site, CAST(count(*) AS BIGINT) AS n
