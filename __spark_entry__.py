@@ -409,6 +409,50 @@ def q_minhash_pairs(spark, sf):
     )
 
 
+def q_simhash_pairs(spark, sf):
+    """Multi-table-blocked SimHash near-dup pairs (rows-only: simhash
+    values ride xxhash64, which DuckDB can't reproduce)."""
+    from rsyslog_spark.datapipe import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf), max_hamming=3).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+def q_ivf_topk(spark, sf):
+    """IVF-Flat ANN over the embeddings table (rows-only: the sampled
+    k-means codebook has no SQL twin). First 3 vectors as queries."""
+    from rsyslog_spark.datapipe.simsearch import ivf_topk
+
+    emb = _emb(spark, sf)
+    queries = (
+        emb.orderBy("vec_id").limit(3)
+        .select(F.col("vec_id").alias("q_id"),
+                F.col("embedding").alias("q_vec"))
+    )
+    out = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=3)
+    return out.select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_media_frames(spark, sf):
+    """Video frame-sampling plumbing (rows-only: payload is opaque;
+    the decode boundary is a documented stub)."""
+    from rsyslog_spark.datapipe.multimodal import frame_sample, synth_media
+
+    media = synth_media(spark, 64)
+    return frame_sample(media, n_frames=4).select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("ts_ms").cast("long").alias("ts_ms"),
+    )
+
+
 def q_embedding_dup_pairs(spark, sf):
     from rsyslog_spark.datapipe import embedding_dedup_pairs
 
@@ -675,6 +719,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_components": q_quality_components,
         "simsearch_topk": q_simsearch_topk,
         "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "ivf_topk": q_ivf_topk,
+        "media_frames": q_media_frames,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "media_decode": q_media_decode,
         "foreach_sevens": q_foreach_sevens,

@@ -120,3 +120,94 @@ def synth_media(spark, n: int = 64) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_ms", IntegerType()),
+        StructField("frame_payload", BinaryType()),
+    ]
+)
+
+
+def frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Uniform frame sampling over video rows: each video becomes
+    n_frames (media_id, frame_idx, ts_ms, frame_payload) rows.
+
+    The ffmpeg seek+decode is STUBBED (no codecs in this container):
+    the fake 'frame' is a deterministic slice of the payload. The
+    Spark-side contract is the real one — partition-preserving
+    mapInPandas, one output row per sampled frame, timestamps spread
+    uniformly over duration_ms — so a real decoder drops into
+    `_fake_frame` only."""
+
+    def _fake_frame(payload: bytes, idx: int) -> bytes:
+        if not payload:
+            return b""
+        start = (idx * 7) % max(1, len(payload))
+        return payload[start:] + payload[:start]
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for mid, modality, payload, dur in zip(
+                pdf["media_id"], pdf["modality"], pdf["payload"],
+                pdf["duration_ms"],
+            ):
+                if modality != "video":
+                    continue
+                d = int(dur) if dur is not None and not pd.isna(dur) else 0
+                for i in range(n_frames):
+                    ids.append(mid)
+                    idxs.append(i)
+                    tss.append((d * i) // n_frames)
+                    frames.append(_fake_frame(payload, i))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids, "frame_idx": idxs,
+                    "ts_ms": tss, "frame_payload": frames,
+                }
+            )
+
+    return df.mapInPandas(sample, FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize plumbing: image rows → (media_id, width, height,
+    payload) at the target size. The PIL decode/resample is STUBBED
+    (deterministic byte fold to width*height//64 bytes) — batch shape,
+    schema, and the filter-before-decode ordering are the real
+    contract."""
+
+    def _fake_resize(payload: bytes) -> bytes:
+        n = max(1, (width * height) // 64)
+        if not payload:
+            return bytes(n)
+        return bytes((payload[i % len(payload)] + i) % 256 for i in range(n))
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mask = pdf["modality"] == "image"
+            sub = pdf[mask]
+            yield pd.DataFrame(
+                {
+                    "media_id": sub["media_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": [_fake_resize(p) for p in sub["payload"]],
+                }
+            )
+
+    return df.mapInPandas(resize, RESIZED_SCHEMA)

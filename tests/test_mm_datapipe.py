@@ -427,3 +427,31 @@ def test_ivf_topk_approximates(spark):
         ).collect()
     }
     assert len(exact & again) >= 3
+
+
+def test_frame_sample_and_resize(spark):
+    from rsyslog_spark.datapipe.multimodal import (
+        frame_sample,
+        resize_images,
+        synth_media,
+    )
+
+    media = synth_media(spark, 16)  # 4 of each modality
+    frames = frame_sample(media, n_frames=4)
+    rows = frames.collect()
+    assert len(rows) == 16  # 4 videos × 4 frames
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    for mid, fs in by_id.items():
+        assert [f.frame_idx for f in sorted(fs, key=lambda x: x.frame_idx)] == [0, 1, 2, 3]
+        assert all(f.ts_ms < 1000 for f in fs)  # uniform over duration
+    # deterministic
+    again = frame_sample(synth_media(spark, 16), n_frames=4).collect()
+    assert {(r.media_id, r.frame_idx): bytes(r.frame_payload) for r in rows} \
+        == {(r.media_id, r.frame_idx): bytes(r.frame_payload) for r in again}
+
+    resized = resize_images(media, 32, 32).collect()
+    assert len(resized) == 4  # images only
+    assert all(len(r.payload) == 32 * 32 // 64 for r in resized)
+    assert all(r.width == 32 and r.height == 32 for r in resized)
