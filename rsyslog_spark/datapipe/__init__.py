@@ -23,6 +23,9 @@ from rsyslog_spark.datapipe.simsearch import (  # noqa: F401
     brute_force_topk,
     cosine_lsh_topk,
     embedding_dedup_pairs,
+    ivf_assign,
+    ivf_topk,
+    ivf_train_centroids,
 )
 from rsyslog_spark.datapipe.textstats import (  # noqa: F401
     doc_fingerprint,
@@ -32,5 +35,7 @@ from rsyslog_spark.datapipe.textstats import (  # noqa: F401
 )
 from rsyslog_spark.datapipe.multimodal import (  # noqa: F401
     decode_media_batch,
+    frame_sample,
     media_schema,
+    resize_images,
 )
