@@ -106,14 +106,16 @@ def _bench_queries(spark, tokens_path: str) -> dict[str, float]:
 
     def timed(name, fn):
         # warm-up run pays one-off JIT/codegen/page-cache costs, then
-        # MIN of 2 timed runs. Round 1's recorded suite ran while the
+        # MIN of 3 timed runs. Round 1's recorded suite ran while the
         # grading harness hammered the host (parse_route 68.4s vs 4.6s
         # idle — a 15x contention artifact, see BASELINE.md "Round-1
-        # bench anomaly"); min-of-N filters transient host noise the
-        # same way best-of-3 does in the pinned scaling runs.
+        # bench anomaly"); this microVM also shows multi-second
+        # hypervisor steal stalls invisible to guest load metrics
+        # (identical back-to-back runs measured 6s..86s), so min-of-N
+        # is the only honest estimator of steady-state cost here.
         fn()
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             fn()
             best = min(best, time.time() - t0)

@@ -390,6 +390,28 @@ GROK_PATTERNS: dict[str, str] = {
 _GROK_REF = re.compile(r"%\{(\w+)(?::([\w.\[\]:]+))?\}")
 
 
+def load_grok_patterns(text: str) -> dict[str, str]:
+    """Parse a grok pattern file (mmgrok's patterndir files /
+    grok_patterns_import_from_file, mmgrok.c:270): one ``NAME regex``
+    definition per line, '#' comments. Returns a dict to pass as
+    ``extra_patterns`` (may reference %{BASE} names or each other)."""
+    out: dict[str, str] = {}
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        name, _, rx = line.partition(" ")
+        if not name.isidentifier() and not re.fullmatch(r"\w+", name):
+            raise ValueError(f"bad grok pattern name {name!r}")
+        out[name] = rx.strip()
+    return out
+
+
+def load_grok_patterns_file(path: str) -> dict[str, str]:
+    with open(path, encoding="utf-8") as fh:
+        return load_grok_patterns(fh.read())
+
+
 class GrokRule:
     """A grok match string (%{SYNTAX:name} refs) compiled to one regex
     + ordered field names — mmgrok's grok_compile/grok_exec analog

@@ -455,3 +455,21 @@ def test_frame_sample_and_resize(spark):
     assert len(resized) == 4  # images only
     assert all(len(r.payload) == 32 * 32 // 64 for r in resized)
     assert all(r.width == 32 and r.height == 32 for r in resized)
+
+
+def test_load_grok_patterns(spark):
+    pats = mm.load_grok_patterns(
+        "# custom app patterns\n"
+        "APPID app-%{NONNEGINT}\n"
+        "REQLINE %{WORD} %{NOTSPACE} HTTP/%{NUMBER}\n"
+    )
+    df = spark.createDataFrame(
+        [("app-42 GET /x/y HTTP/1.1 from 10.0.0.1",)], "msg string"
+    )
+    out = mm.mmgrok(
+        df, r"%{APPID:app} %{REQLINE:req} from %{IPV4:ip}",
+        extra_patterns=pats,
+    ).first()
+    assert out.grok == {
+        "app": "app-42", "req": "GET /x/y HTTP/1.1", "ip": "10.0.0.1"
+    }
