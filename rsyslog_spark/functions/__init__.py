@@ -582,6 +582,8 @@ REGISTRY = {
     "ltrim": ltrim, "rtrim": rtrim, "substring": substring,
     "replace": replace, "wrap": wrap, "field": field,
     "re_match": re_match, "re_match_i": re_match_i,
+    # plugins/fmpcre/fmpcre.c:93 — PCRE collapses under Java regex
+    "pcre_match": re_match,
     "re_extract": re_extract, "split": split, "b64_decode": b64_decode,
     "int2hex": int2hex, "cstr": cstr, "cnum": cnum, "cbool": cbool,
     "ipv42num": ipv42num, "ip42num": ipv42num, "num2ipv4": num2ipv4,
