@@ -117,6 +117,24 @@ def q_dynstats_stream(spark, sf):
     return out.select("key", F.col("n").cast("long").alias("n"))
 
 
+def q_token_roundtrip(spark, sf):
+    """The north-rule per-row invariant, certified directly: tokens →
+    decode → re-encode must be BYTE-IDENTICAL to the input token array
+    for every row (the pipeline never mutates the token payload)."""
+    from rsyslog_spark.parsing import decode_tokens
+
+    lt = corpus.logtokens(spark, sf)
+    decoded = decode_tokens(F.col("tokens"))
+    reenc = F.transform(
+        F.split(decoded, "(?!^)(?=.)"), lambda c: F.ascii(c).cast("int")
+    )
+    ok = (F.col("tokens") == reenc) & (F.size("tokens") == F.col("n_tok"))
+    return lt.agg(
+        F.count(F.lit(1)).cast("long").alias("rows"),
+        F.sum(ok.cast("long")).cast("long").alias("roundtrip_exact"),
+    )
+
+
 def q_lookup_site(spark, sf):
     r = flagship.routed(spark, sf)
     return r.groupBy(F.col("local_site").alias("site")).agg(
@@ -691,6 +709,7 @@ def q_perctile_window(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_headers": q_parse_headers,
+        "token_roundtrip": q_token_roundtrip,
         "route_counts": q_route_counts,
         "agg_fac_sev_source": q_agg_fac_sev_source,
         "dynstats_prog": q_dynstats_prog,
@@ -766,6 +785,11 @@ def _lang_score(lang: str) -> str:
 def oracle_sql() -> dict[str, str]:
     sev, fac = O["severity"], O["facility"]
     return {
+        "token_roundtrip": """
+            SELECT CAST(count(*) AS BIGINT) AS rows,
+                   CAST(count(*) AS BIGINT) AS roundtrip_exact
+            FROM events
+        """,
         "parse_headers": f"""
             SELECT {O['doc_id']} AS doc_id,
                    CAST({O['pri']} AS BIGINT) AS pri,
