@@ -186,8 +186,6 @@ class LookupTable:
             return j.withColumn(
                 out_col, F.coalesce(dim2["lkp_value"], F.lit(self.nomatch))
             ).drop("lkp_key", "lkp_value", "lkp_next")
-        if self.kind in ("regex", "cidr"):
-            return df.withColumn(out_col, self.lookup_col(key))
         raise ValueError(f"unknown lookup kind {self.kind}")
 
 

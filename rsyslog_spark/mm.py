@@ -173,8 +173,10 @@ def _unescape(s: str) -> str:
 
 
 def _noncapture(rx: str) -> str:
-    """Turn every plain capturing group of a user regex into a
+    """Turn every capturing group of a user regex — plain `(` and
+    named `(?<name>` (but not lookbehinds `(?<=`/`(?<!`) — into a
     non-capturing one so it can't shift our field group indices."""
+    rx = re.sub(r"\(\?<(?![=!])[^>]*>", "(?:", rx)
     return re.sub(r"(?<!\\)\((?!\?)", "(?:", rx)
 
 
@@ -418,7 +420,13 @@ class GrokRule:
     (contrib/mmgrok/mmgrok.c:226-272; named captures walk to JSON).
     Unlike NormalizeRule the regex is UNANCHORED (grok_exec searches).
     A three-part %{SYNTAX:name:type} keeps the name, drops the type
-    (all values land as strings — mmgrok.c stores strings too)."""
+    (all values land as strings — mmgrok.c stores strings too).
+
+    Named refs capture at ANY nesting depth (grok semantics: a pattern
+    file's %{WORD:prog} inside a referenced pattern still emits a
+    field). Raw user parentheses — in the match string or in
+    extra_patterns bodies — are neutralized so they can't shift our
+    positional group indices."""
 
     def __init__(
         self, match: str, extra_patterns: dict[str, str] | None = None
@@ -432,17 +440,22 @@ class GrokRule:
         def expand(rx: str, depth: int = 0) -> str:
             if depth > 20:
                 raise ValueError("grok pattern recursion too deep")
+            # neutralize literal user groups BEFORE adding ours; our
+            # markers %{...} use braces, untouched by _noncapture
+            rx = _noncapture(rx)
 
             def sub(m: re.Match) -> str:
                 name, field = m.group(1), m.group(2)
                 body = lib.get(name)
                 if body is None:
                     raise ValueError(f"unknown grok pattern %{{{name}}}")
-                inner = expand(body, depth + 1)
-                if field and depth == 0:
+                if field:
+                    # append BEFORE expanding the body: the opening
+                    # paren of this group precedes any nested group,
+                    # so field order must match group-number order
                     self.fields.append(field.split(":")[0])
-                    return f"({inner})"
-                return f"(?:{inner})"
+                    return f"({expand(body, depth + 1)})"
+                return f"(?:{expand(body, depth + 1)})"
 
             return _GROK_REF.sub(sub, rx)
 

@@ -114,7 +114,14 @@ class Env:
             return _SYS_PROPS[name.lower()]()
         if name.startswith("$."):
             if name[2:] in self.locals:
-                return self.locals[name[2:]]
+                col, tag = self.locals[name[2:]]
+                # a conditionally-set local is NULL on rows where the
+                # set didn't fire — in string contexts the reference
+                # evaluates that as "" (var2String); numeric contexts
+                # keep NULL so _to_num's coalesce yields 0 (var2Number)
+                if tag == "S":
+                    return F.coalesce(col, F.lit("")), "S"
+                return col, tag
             # reference var2String: an unset variable IS the empty
             # string (rainerscript.c), so `$.x == ""` must be true and
             # `&` concatenation must not null-propagate
@@ -342,7 +349,13 @@ def _compile_call(name: str, args: list, env: Env) -> tuple[Column, str]:
                 c = F.try_element_at(c, F.lit(p))
             return c.isNotNull(), "B"
         if args[0][0] == "var" and args[0][1].startswith("$."):
-            return F.lit(args[0][1][2:] in env.locals), "B"
+            # per-row: a conditionally-set local exists only on rows
+            # where the set actually fired (stored column non-NULL);
+            # a never-set name exists nowhere
+            stored = env.locals.get(args[0][1][2:])
+            if stored is None:
+                return F.lit(False), "B"
+            return stored[0].isNotNull(), "B"
         c, _ = _compile(args[0], env)
         return c.isNotNull(), "B"
     if name == "getenv":

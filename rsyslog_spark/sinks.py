@@ -135,19 +135,43 @@ def om_foreach_batch(
 
 
 def _upsert_recover(path: str) -> None:
-    """Finish an interrupted bucket swap: any bucket dir still parked
-    in `path`.bak and missing from `path` is restored; leftover .bak
-    and .tmp dirs are then cleared."""
+    """ROLL BACK an interrupted bucket swap to the pre-batch state.
+
+    The swap parks a _PENDING manifest (the touched bucket list) in
+    `path`.bak before moving anything, and removes the whole .bak dir
+    only AFTER the batch marker is committed. So if .bak still exists
+    we are mid-swap: every touched bucket's current dir may be new
+    data from the UNcommitted batch — remove it and restore the parked
+    copy (buckets with no parked copy were new; removing them restores
+    the pre-batch absence). A later replay of the batch then applies
+    exactly once."""
+    import json
     import os
     import shutil
 
     bak = path + ".bak"
+    pending = os.path.join(bak, "_PENDING")
     if os.path.isdir(bak):
-        for d in os.listdir(bak):
-            if d.startswith("_bucket=") and not os.path.isdir(
-                os.path.join(path, d)
-            ):
-                os.rename(os.path.join(bak, d), os.path.join(path, d))
+        if os.path.exists(pending):
+            with open(pending) as fh:
+                touched: list[int] = json.load(fh)
+            for b in touched:
+                d = f"_bucket={b}"
+                cur = os.path.join(path, d)
+                parked = os.path.join(bak, d)
+                if os.path.isdir(cur):
+                    shutil.rmtree(cur)
+                if os.path.isdir(parked):
+                    os.rename(parked, cur)
+        else:
+            # no manifest (foreign/older interruption): conservative —
+            # restore any parked bucket missing from the state, never
+            # delete data
+            for d in os.listdir(bak):
+                if d.startswith("_bucket=") and not os.path.isdir(
+                    os.path.join(path, d)
+                ):
+                    os.rename(os.path.join(bak, d), os.path.join(path, d))
         shutil.rmtree(bak, ignore_errors=True)
     shutil.rmtree(path + ".tmp_upsert", ignore_errors=True)
 
@@ -169,16 +193,19 @@ def upsert_aggregate(
     * **O(touched), not O(state)**: state is hash-partitioned on
       ``pmod(xxhash64(keys), num_buckets)``; only buckets present in
       `df` are read (partition-pruned scan), merged, and rewritten.
-    * **Crash-safe swap**: per touched bucket, the old dir is parked
-      in `path`.bak before the new dir moves in, and the backup is
-      removed last — a crash at any point leaves a state that
-      `_upsert_recover` (run automatically on entry) completes.
+    * **Crash-safe journaled swap**: a _PENDING manifest of the
+      touched buckets lands in `path`.bak before any move; the journal
+      is dropped only AFTER the batch marker commits. A crash at any
+      point leaves a state that `_upsert_recover` (run automatically
+      on entry) ROLLS BACK to the pre-batch snapshot, so the replayed
+      batch applies exactly once — no partial-swap double counting.
 
     Replay semantics: pass ``batch_id`` to make re-application a true
     no-op (committed ids are tracked in `path`.batches markers) —
     without it, replaying a batch double-counts `sum` merges (min/max
-    are naturally convergent). `merge` maps column → sum|min|max|last
-    (default sum)."""
+    are naturally convergent). A pre-bucketing flat state dir is
+    migrated (merged, full rewrite) rather than discarded. `merge`
+    maps column → sum|min|max|last (default sum)."""
     import os
     import shutil
 
@@ -193,16 +220,27 @@ def upsert_aggregate(
 
     bucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(num_buckets))
     new = df.withColumn("_bucket", bucket)
-    exists = os.path.isdir(path) and any(
+    bucketed = os.path.isdir(path) and any(
         d.startswith("_bucket=") for d in os.listdir(path)
     )
-    if exists:
+    legacy = (
+        not bucketed
+        and os.path.isdir(path)
+        and any(d.endswith(".parquet") for d in os.listdir(path))
+    )
+    if bucketed:
         # touched bucket ids: at most num_buckets ints — tiny driver list
         touched = sorted(
             r._bucket for r in new.select("_bucket").distinct().collect()
         )
         old = spark.read.parquet(path).filter(F.col("_bucket").isin(touched))
         unioned = old.unionByName(new, allowMissingColumns=True)
+    elif legacy:
+        # pre-bucketing flat layout: migrate by merging the WHOLE old
+        # state into this write (full rewrite, once) — never discard it
+        old = spark.read.parquet(path).withColumn("_bucket", bucket)
+        unioned = old.unionByName(new, allowMissingColumns=True)
+        touched = None
     else:
         touched = None  # first write: all buckets
         unioned = new
@@ -226,8 +264,17 @@ def upsert_aggregate(
             shutil.rmtree(path)
         os.rename(tmp, path)
     else:
+        # journaled swap: the _PENDING manifest (touched bucket list)
+        # lands in .bak BEFORE any move; a crash anywhere before the
+        # batch marker is written leaves .bak in place, and recovery
+        # rolls the touched buckets BACK so the replay applies exactly
+        # once. .bak is removed only after the marker commit below.
+        import json as _json
+
         bak = path + ".bak"
         os.makedirs(bak, exist_ok=True)
+        with open(os.path.join(bak, "_PENDING"), "w") as fh:
+            _json.dump([int(b) for b in touched], fh)
         for b in touched:
             d = f"_bucket={b}"
             src, dst = os.path.join(tmp, d), os.path.join(path, d)
@@ -236,13 +283,15 @@ def upsert_aggregate(
             if os.path.isdir(dst):
                 os.rename(dst, os.path.join(bak, d))
             os.rename(src, dst)
-        shutil.rmtree(bak, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
 
     if batch_id is not None:
         os.makedirs(batches_dir, exist_ok=True)
         with open(os.path.join(batches_dir, str(batch_id)), "w") as fh:
             fh.write("committed")
+    # commit point: only now is the swap irrevocable — dropping the
+    # journal+backups makes recovery a no-op for this batch
+    shutil.rmtree(path + ".bak", ignore_errors=True)
     return spark.read.parquet(path).drop("_bucket")
 
 

@@ -179,6 +179,7 @@ class DynStatsStream:
         self.admitted: dict[str, list[int]] = {}
         self.ops_overflow = 0
         self.metrics_purged = 0
+        self._prev_counts = None  # persisted per-batch agg (see below)
 
     def _evict(self, now_epoch: int) -> None:
         """unusedMetricLife purge: drop keys idle past the TTL
@@ -205,6 +206,15 @@ class DynStatsStream:
                 F.max(F.unix_timestamp(F.col(self.ts_col))).alias("last_ts"),
             )
         )
+        # the per-batch aggregate feeds 4+ consumers (eviction clock,
+        # admission, refresh, overflow) and the returned frame — persist
+        # it so the batch is scanned/shuffled ONCE, not per consumer.
+        # The previous batch's cache is released here (the caller has
+        # consumed its returned frame by the time the next batch runs).
+        if self._prev_counts is not None:
+            self._prev_counts.unpersist()
+        counts = counts.persist()
+        self._prev_counts = counts
         if self.ttl_seconds is not None:
             # event-time now = batch max ts (one scalar to the driver)
             row = counts.agg(F.max("last_ts").alias("m")).first()

@@ -246,7 +246,14 @@ def compile_field(spec: str, env: Env, outname: str | None = None) -> Column:
     prop = parts[0]
     frm = parts[1] if len(parts) > 1 else ""
     to = parts[2] if len(parts) > 2 else ""
-    opts = [o for o in (parts[3] if len(parts) > 3 else "").split(",") if o]
+    if frm.startswith("R"):
+        # regex mode: the ERE may itself contain ':' — everything after
+        # 'R,' up to '--end' is the pattern, and no option fields follow
+        # (the property replacer's R spec has no options tail)
+        to, opts = "", []
+    else:
+        opts = [o for o in (parts[3] if len(parts) > 3 else "").split(",")
+                if o]
 
     col = _resolve_prop(prop, env)
     fixed_width = "fixed-width" in opts
@@ -430,7 +437,14 @@ def _list_property(params: dict[str, str], env: Env) -> Column:
         delim = params.get("field.delimiter", "9")
         frm, to = f"F,{delim}", params["field.number"]
     if params.get("regex.expression"):
-        # regex mode via the string-spec R path: R,<ere> (submatch 0)
+        # regex mode via the string-spec R path: R,<ere> (submatch 0).
+        # Combining regex extraction with other formatting params is
+        # not supported — fail loudly instead of silently dropping them
+        if opts or frm or to:
+            raise ValueError(
+                "property(): regex.expression cannot be combined with "
+                f"format/position/option params (got {opts or [frm, to]})"
+            )
         spec = f"{name}:R,{params['regex.expression']}--end"
         return compile_field(spec, env, outname=params.get("outname"))
     spec = f"{name}:{frm}:{to}:{','.join(opts)}"

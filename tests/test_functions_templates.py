@@ -392,3 +392,21 @@ def test_list_template(logrow):
     got = logrow.select(compile_list_template(fld).alias("r")).first().r
     # msg=" the msg\n": space-split fields are ["", "the", "msg\n"]
     assert got == "the"
+
+
+def test_list_template_regex_with_colons(spark):
+    """regex.expression containing ':' must compile (the ERE is taken
+    verbatim up to --end, no option-tail parsing)."""
+    from rsyslog_spark.templates import compile_list_template
+
+    df = spark.createDataFrame([("t=10:22:33 end",)], "msg string")
+    body = r'property(name="msg" regex.expression="\d+:\d+:\d+")'
+    got = df.select(compile_list_template(body).alias("r")).first().r
+    assert got == "10:22:33"
+    # combining regex with formatting params fails loudly, not silently
+    import pytest
+
+    with pytest.raises(ValueError, match="regex.expression"):
+        compile_list_template(
+            r'property(name="msg" regex.expression="\d+" format="json")'
+        )

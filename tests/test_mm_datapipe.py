@@ -473,3 +473,21 @@ def test_load_grok_patterns(spark):
     assert out.grok == {
         "app": "app-42", "req": "GET /x/y HTTP/1.1", "ip": "10.0.0.1"
     }
+
+
+def test_grok_user_parens_and_nested_captures(spark):
+    df = spark.createDataFrame(
+        [("42 alpha done",)], "msg string"
+    )
+    # literal user group must not shift the %{WORD:w} capture
+    out = mm.mmgrok(df, r"(\d+) %{WORD:w}").first()
+    assert out.grok == {"w": "alpha"}
+    # nested %{X:name} refs inside a loaded pattern still emit fields,
+    # in group-number order (outer before inner)
+    pats = mm.load_grok_patterns("PAIR %{NONNEGINT:num} %{WORD:word}\n")
+    out2 = mm.mmgrok(df, r"%{PAIR:pair} done", extra_patterns=pats).first()
+    assert out2.grok == {"pair": "42 alpha", "num": "42", "word": "alpha"}
+    # named groups in user patterns are neutralized too
+    pats2 = mm.load_grok_patterns("NG (?<x>[a-z]+)\n")
+    out3 = mm.mmgrok(df, r"%{NONNEGINT:n} %{NG:g}", extra_patterns=pats2).first()
+    assert out3.grok == {"n": "42", "g": "alpha"}

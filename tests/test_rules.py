@@ -248,3 +248,31 @@ action(name="out")
     assert out["local_a"] == "host"
     assert out["local_b"] == "host=HOST7 tag=app:"
     assert out["local_c"] == '{"a":"1"}'
+
+
+def test_exists_and_empty_compare_on_conditional_locals(spark):
+    """exists($.x) must be PER-ROW (set only fired on some rows), and a
+    not-fired conditional set must compare equal to '' (var2String)."""
+    from rsyslog_spark.rules import Router
+
+    df = spark.createDataFrame(
+        [(1, "has a"), (2, "nothing")],
+        "pri int, msg string",
+    ).withColumns({"facility": F.lit(0), "severity": F.lit(1)})
+    script = """
+if $msg contains "a" then { set $.f = "1"; }
+if exists($.f) then { action(name="flagged") }
+if $.f == "" then { action(name="unflagged") }
+if exists($.never) then { action(name="ghost") }
+set $.cat = "pre" & $.f;
+action(name="all")
+"""
+    r = Router(script)
+    counts = dict(r.route_counts(df).collect())
+    assert counts["flagged"] == 1     # only the row where set fired
+    assert counts["unflagged"] == 1   # NULL local == '' per var2String
+    assert counts.get("ghost", 0) == 0
+    # concatenation must not null-propagate
+    rows = {x.msg: x for x in r.apply(df, keep_locals=True).collect()}
+    assert rows["has a"]["local_cat"] == "pre1"
+    assert rows["nothing"]["local_cat"] == "pre"

@@ -99,3 +99,54 @@ def test_upsert_recovers_interrupted_swap(spark, tmp_path):
     )
     assert got.count() == 50
     assert not os.path.isdir(bak)
+
+
+def test_upsert_midswap_crash_rolls_back_then_replays_once(spark, tmp_path):
+    """Journaled swap: a crash AFTER some buckets swapped but BEFORE
+    the batch marker commits must roll back, so the replay applies
+    exactly once (no partial-swap double counting)."""
+    import json
+    import os
+    import shutil
+
+    path = str(tmp_path / "state")
+    b0 = spark.createDataFrame(
+        [(f"key{i}", 10) for i in range(40)], "key string, n long"
+    )
+    upsert_aggregate(b0, path, ["key"], {"n": "sum"}, num_buckets=4,
+                     batch_id="e0")
+    # simulate: batch e1 swapped bucket 0's new data in, parked the old
+    # copy, wrote the journal — then crashed before the marker
+    victim = "_bucket=0"
+    bak = path + ".bak"
+    os.makedirs(bak, exist_ok=True)
+    with open(os.path.join(bak, "_PENDING"), "w") as fh:
+        json.dump([0], fh)
+    os.rename(os.path.join(path, victim), os.path.join(bak, victim))
+    shutil.copytree(os.path.join(bak, victim), os.path.join(path, victim))
+    # (the copied dir stands in for e1's partially-applied new data)
+    b1 = spark.createDataFrame(
+        [(f"key{i}", 1) for i in range(40)], "key string, n long"
+    )
+    got = upsert_aggregate(b1, path, ["key"], {"n": "sum"}, num_buckets=4,
+                           batch_id="e1")
+    state = {r.key: r.n for r in got.collect()}
+    # rollback discarded the partial e1 data; replay added exactly once
+    assert all(v == 11 for v in state.values()), state
+    assert len(state) == 40
+
+
+def test_upsert_migrates_legacy_flat_layout(spark, tmp_path):
+    """A state dir from the pre-bucketing layout is merged, not
+    destroyed."""
+    path = str(tmp_path / "state")
+    old = spark.createDataFrame(
+        [("h1", 5), ("h2", 2)], "sender string, n long"
+    )
+    old.write.mode("overwrite").parquet(path)  # flat legacy layout
+    new = spark.createDataFrame([("h1", 3), ("h3", 1)],
+                                "sender string, n long")
+    got = upsert_aggregate(new, path, ["sender"], {"n": "sum"},
+                           num_buckets=4)
+    state = {r.sender: r.n for r in got.collect()}
+    assert state == {"h1": 8, "h2": 2, "h3": 1}
