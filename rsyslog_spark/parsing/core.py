@@ -47,7 +47,9 @@ TS3339_RE = (
 # multiline MSG bodies (imfile startmsg.regex assembly) stay one match.
 _RE_PRI = r"^<(\d{1,3})>"
 # after-PRI RFC3164:  (ts) SP (host) SP (tag[':' kept]) (msg)
-_RE_3164 = rf"(?s)^({TS3164_RE}) (\S+) ([^: ]*:?)(.*)$"
+# the reference tolerates ONE stray space between '>' and the 3164
+# timestamp (tests/parsertest-parse-3164-buggyday.sh sends "<38> Mar  7")
+_RE_3164 = rf"(?s)^ ?({TS3164_RE}) (\S+) ([^: ]*:?)(.*)$"
 # after-PRI RFC5424: 1 SP ts SP host SP app SP procid SP msgid SP sd SP msg
 _RE_5424 = r"(?s)^1 (\S+) (\S+) (\S+) (\S+) (\S+) (-|\[.*\])(?: (.*))?$"
 

@@ -75,6 +75,33 @@ def omkafka_frame(
     return df.select(*cols)
 
 
+def omfwd_frame(
+    df: DataFrame,
+    template: str = "RSYSLOG_ForwardFormat",
+    framing: str = "octet-stuffing",
+) -> DataFrame:
+    """Shape rows into omfwd TCP wire frames (tools/omfwd.c:2277-2279;
+    RFC 6587): ``octet-counted`` prefixes each message with its byte
+    length + SP; ``octet-stuffing`` (traditional, the omfwd default)
+    terminates with LF. The resulting `value` column is the exact byte
+    sequence a socket sink would write — the socket itself is the
+    sandbox-blocked seam."""
+    env = Env()
+    msg = compile_template(template, env)
+    if framing == "octet-counted":
+        # length in BYTES (UTF-8), not characters
+        val = F.concat(
+            F.octet_length(msg).cast("string"), F.lit(" "), msg
+        )
+    elif framing in ("octet-stuffing", "traditional", "lf"):
+        val = F.concat(msg, F.lit("\n"))
+    else:
+        raise ValueError(
+            "framing must be octet-counted or octet-stuffing"
+        )
+    return df.select(val.alias("value"))
+
+
 def omelasticsearch_frame(
     df: DataFrame,
     template: str,

@@ -142,6 +142,11 @@ def _apply_date_opt(col: Column, opt: str) -> Column:
             F.lit(" "),
             F.date_format(ts, "HH:mm:ss"),
         ),
+        # zero-padded day variant ('Mar 07') — the sysklogd bug some
+        # receivers expect (tests/parsertest-parse-3164-buggyday.sh)
+        "date-rfc3164-buggyday": lambda: F.date_format(
+            ts, "MMM dd HH:mm:ss"
+        ),
         "date-unixtimestamp": lambda: F.unix_timestamp(ts).cast("string"),
         "date-year": lambda: F.date_format(ts, "yyyy"),
         "date-month": lambda: F.date_format(ts, "MM"),

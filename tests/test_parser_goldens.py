@@ -145,3 +145,47 @@ def test_goldens_through_spark_udf(spark):
             if k == "pri" and v is not None:
                 continue  # facility/severity derived; pri checked in unit
             assert getattr(row, k) == v, f"{k} for {line!r}"
+
+
+def test_reference_testbench_vectors(spark):
+    """Golden vectors lifted from the reference testbench scripts
+    (tests/parsertest-parse-nodate.sh, parsertest-parse-3164-buggyday.sh,
+    hostname-with-slash-pmrfc3164.sh)."""
+    from rsyslog_spark.parsing import parse
+
+    lines = [
+        # headerless with tag (nodate.sh vector 1): tag parsed, no date
+        "<27>xapi: [error|xen3] Connection to master died.",
+        # stray space between '>' and the timestamp (buggyday.sh)
+        "<38> Mar  7 19:06:53 example tag: testmessage",
+        # slashes permitted in hostname (hostname-with-slash.sh)
+        "<167>Mar  6 16:57:54 hostname1/hostname2 test: msgnum:0",
+    ]
+    df = spark.createDataFrame(
+        [(l, [ord(c) for c in l], f"d{i}", "s") for i, l in enumerate(lines)],
+        "line string, tokens array<int>, doc_id string, source string",
+    )
+    rows = parse(df, mode="full").collect()
+    r0, r1, r2 = rows
+    assert (r0.pri, r0.programname, r0.syslogtag) == (27, "xapi", "xapi:")
+    assert r0.msg == " [error|xen3] Connection to master died."
+    assert (r1.pri, r1.hostname, r1.syslogtag) == (38, "example", "tag:")
+    assert r1.timereported_str == "Mar  7 19:06:53"
+    assert r2.hostname == "hostname1/hostname2" and r2.programname == "test"
+    # the SQL fast path must agree on the space-after-PRI form
+    sql_rows = parse(df).collect()
+    assert sql_rows[1].hostname == "example"
+    assert sql_rows[1].timereported_str == "Mar  7 19:06:53"
+    assert sql_rows[2].hostname == "hostname1/hostname2"
+
+
+def test_buggyday_template_option(spark):
+    from rsyslog_spark.templates import compile_template
+
+    df = spark.createDataFrame(
+        [("Mar  7 19:06:53",)], "timereported_str string"
+    )
+    got = df.select(
+        compile_template("%timereported:::date-rfc3164-buggyday%").alias("r")
+    ).first().r
+    assert got == "Mar 07 19:06:53"  # zero-padded day

@@ -112,3 +112,19 @@ def test_omfile_compression(spark, tmp_path):
     omfile(df, path, template="%msg%\n", compression="gzip", fmt="text")
     files = [f for f in os.listdir(path) if f.endswith(".gz")]
     assert files, os.listdir(path)
+
+
+def test_omfwd_framing(spark):
+    """RFC 6587 framing (omfwd.c:2277-2279): octet-counted byte-length
+    prefix vs traditional LF termination."""
+    from rsyslog_spark.sinks import omfwd_frame
+
+    df = spark.createDataFrame(
+        [("host1", "app:", " hi", 13, 1, 5, "Jun 15 10:54:39")],
+        "hostname string, syslogtag string, msg string, pri int, "
+        "facility int, severity int, timereported_str string",
+    )
+    lf = omfwd_frame(df, "<%pri%>%msg%", framing="octet-stuffing").first().value
+    assert lf == "<13> hi\n"
+    oc = omfwd_frame(df, "<%pri%>%msg%", framing="octet-counted").first().value
+    assert oc == "7 <13> hi"  # '<13> hi' is 7 bytes
