@@ -155,11 +155,21 @@ def mmutf8fix(df: DataFrame, msg_col: str = "msg", repl: str = " ") -> DataFrame
 
 def mmtaghostname(df: DataFrame) -> DataFrame:
     """plugins/mmtaghostname: when the 3164 heuristic stole the TAG as a
-    hostname (headerless messages), restore tag & clear hostname."""
+    hostname (headerless messages), restore tag & clear hostname.
+
+    Both columns must be rewritten against the INPUT row atomically
+    (withColumns) — chained withColumn would re-evaluate the 'broken'
+    predicate against the already-restored tag and never clear the
+    hostname."""
     broken = F.col("hostname").isNotNull() & F.col("syslogtag").isNull()
-    return df.withColumn(
-        "syslogtag", F.when(broken, F.col("hostname")).otherwise(F.col("syslogtag"))
-    ).withColumn("hostname", F.when(~broken, F.col("hostname")))
+    return df.withColumns(
+        {
+            "syslogtag": F.when(broken, F.col("hostname")).otherwise(
+                F.col("syslogtag")
+            ),
+            "hostname": F.when(~broken, F.col("hostname")),
+        }
+    )
 
 
 # --- mmnormalize (plugins/mmnormalize, liblognorm rulebases) ------------------

@@ -139,16 +139,22 @@ def parse_line(line: str) -> dict:
             rest = rest[my.end():]
     out["timereported_str"] = ts
 
-    if ts is not None and rest.startswith(" "):
-        rest = rest[1:]
+    # hostname parse runs whether or not a timestamp was found — the
+    # reference attempts HOSTNAME even on headerless messages, which is
+    # exactly why it "steals" the first word of tag-less lines
+    # (tests/parsertest-parse-nodate.sh expects hostname='This' for
+    # 'This is a message!'; mmtaghostname exists to repair that)
+    if (ts is None and rest) or (ts is not None and rest.startswith(" ")):
+        if ts is not None:
+            rest = rest[1:]
         sp = rest.find(" ")
         cand = rest[:sp] if sp >= 0 else rest
         # hostname charset validation (pmrfc3164.c:380-416): invalid
-        # candidate means "no hostname on wire", token belongs to TAG
+        # candidate (or a ':'-terminated TAG-looking token) means "no
+        # hostname on wire", token belongs to TAG
         if cand and _HOSTNAME_OK.match(cand) and not cand.endswith(":"):
             out["hostname"] = cand
             rest = rest[sp + 1 :] if sp >= 0 else ""
-    # headerless (no timestamp): no hostname, TAG from start
 
     tag, msg = _parse_tag(rest)
     out["syslogtag"] = tag if tag else None

@@ -47,5 +47,8 @@ def test_tag_msg_partition(rest):
     the remaining content for headerless lines."""
     out = parse_line("<13>" + rest)
     if out["timereported_str"] is None and out["syslogtag"]:
-        recombined = out["syslogtag"] + out["msg"]
+        # headerless lines may donate their first word to HOSTNAME
+        # (reference pmrfc3164 behavior, parsertest-parse-nodate.sh)
+        prefix = (out["hostname"] + " ") if out["hostname"] else ""
+        recombined = prefix + out["syslogtag"] + out["msg"]
         assert rest.startswith(recombined[: len(rest)])

@@ -189,3 +189,29 @@ def test_buggyday_template_option(spark):
         compile_template("%timereported:::date-rfc3164-buggyday%").alias("r")
     ).first().r
     assert got == "Mar 07 19:06:53"  # zero-padded day
+
+
+def test_headerless_hostname_steal_and_repair(spark):
+    """Reference default: a headerless line's first charset-valid word
+    becomes HOSTNAME ('This is a message!' → hostname=This, tag=is —
+    parsertest-parse-nodate.sh golden); mmtaghostname repairs it."""
+    from rsyslog_spark import mm
+    from rsyslog_spark.parsing import parse
+
+    line = "This is a message!"
+    df = spark.createDataFrame(
+        [(line, [ord(c) for c in line], "d0", "s")],
+        "line string, tokens array<int>, doc_id string, source string",
+    )
+    r = parse(df, mode="full").first()
+    assert (r.pri, r.hostname, r.programname) == (13, "This", "is")
+    assert r.msg == " a message!"
+    # mmtaghostname: hostname was stolen from a headerless message →
+    # restore it as the tag (the reference repair module's purpose)
+    fixed = mm.mmtaghostname(
+        parse(df, mode="full").withColumn(
+            "syslogtag", __import__("pyspark.sql.functions",
+                                    fromlist=["lit"]).lit(None)
+        )
+    ).first()
+    assert fixed.syslogtag == "This" and fixed.hostname is None
