@@ -151,3 +151,34 @@ def test_upsert_reads_only_touched_partitions(spark, tmp_path):
     p = plan_of(old)
     assert "PartitionFilters" in p and "_bucket" in p, p
     upsert_aggregate(one, path, ["key"], {"n": "sum"}, num_buckets=8)
+
+
+def test_cidr_lookup_is_pure_projection(spark):
+    """CIDR longest-prefix match must compile to masked-compare
+    expressions — no join, no shuffle of the fact side."""
+    from rsyslog_spark.lookup import LookupTable, mmdblookup
+
+    t = LookupTable("nets", "cidr", [("10.0.0.0/8", "ten")], nomatch="pub")
+    df = spark.range(1000).withColumn(
+        "ip", F.concat(F.lit("10.0.0."), (F.col("id") % 256).cast("string"))
+    )
+    p = plan_of(mmdblookup(df, t, "ip", "net"))
+    assert "Join" not in p and "Exchange" not in p, p
+
+
+def test_ivf_topk_corpus_never_shuffles_before_scoring(spark):
+    """IVF probe join must broadcast the (tiny) query-probe side; the
+    corpus is scanned once with no pre-scoring shuffle."""
+    from rsyslog_spark.datapipe.simsearch import ivf_topk
+
+    corpus_df = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 0.0, 1.0]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "q_id long, q_vec array<float>"
+    )
+    cb = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 0.0, 1.0]]
+    p = plan_of(ivf_topk(corpus_df, queries, k=3, n_probe=2, centroids=cb))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
