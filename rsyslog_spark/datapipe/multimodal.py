@@ -211,3 +211,64 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
             )
 
     return df.mapInPandas(resize, RESIZED_SCHEMA)
+
+
+def mmexternal(
+    df: DataFrame,
+    binary: list[str],
+    input_prop: str = "msg",
+    out_col: str = "external",
+) -> DataFrame:
+    """plugins/mmexternal/mmexternal.c — REAL external-process message
+    modification: one long-lived child per partition (the reference
+    keeps one per worker thread, mmexternal.c:callExtProg), one input
+    LINE per message on stdin (interface.input = msg | rawmsg |
+    fulljson, mmexternal.c:738-774), one JSON reply line per message on
+    stdout (processProgramReply:319-405), parsed into a map column —
+    the MsgSetPropsViaJSON merge is the caller's promotion step (see
+    parsing.devices.pmnormalize for the promotion recipe).
+
+    The per-message round-trip is synchronous like the reference;
+    batching amortizes the process spawn across the whole partition."""
+    import json as _json
+    import subprocess
+
+    if input_prop not in ("msg", "rawmsg", "fulljson"):
+        raise ValueError("interface.input must be msg|rawmsg|fulljson")
+
+    in_schema = df.schema
+    out_schema = StructType(
+        list(in_schema.fields)
+        + [StructField(out_col, StringType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        proc = subprocess.Popen(
+            binary, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            text=True, bufsize=1,
+        )
+        try:
+            for pdf in batches:
+                replies = []
+                for _, row in pdf.iterrows():
+                    if input_prop == "fulljson":
+                        line = _json.dumps(
+                            {k: (None if pd.isna(v) else v)
+                             for k, v in row.items()
+                             if isinstance(v, (str, int, float, bool))
+                             or v is None},
+                            default=str,
+                        )
+                    else:
+                        line = str(row.get(input_prop, "") or "")
+                    proc.stdin.write(line.replace("\n", " ") + "\n")
+                    proc.stdin.flush()
+                    replies.append(proc.stdout.readline().rstrip("\n"))
+                out = pdf.copy()
+                out[out_col] = replies
+                yield out
+        finally:
+            proc.stdin.close()
+            proc.wait(timeout=10)
+
+    return df.mapInPandas(run, out_schema)

@@ -491,3 +491,28 @@ def test_grok_user_parens_and_nested_captures(spark):
     pats2 = mm.load_grok_patterns("NG (?<x>[a-z]+)\n")
     out3 = mm.mmgrok(df, r"%{NONNEGINT:n} %{NG:g}", extra_patterns=pats2).first()
     assert out3.grok == {"n": "42", "g": "alpha"}
+
+
+def test_mmexternal_real_child_process(spark):
+    """mmexternal against a REAL external program: one child per
+    partition, line-in/JSON-line-out protocol (mmexternal.c)."""
+    import json
+    import sys
+
+    from rsyslog_spark.datapipe.multimodal import mmexternal
+
+    child = [
+        sys.executable, "-u", "-c",
+        ("import sys,json\n"
+         "for line in sys.stdin:\n"
+         "    m=line.rstrip('\\n')\n"
+         "    print(json.dumps({'up': m.upper(), 'len': len(m)}))\n"),
+    ]
+    df = spark.createDataFrame(
+        [("hello",), ("World",), ("",)], "msg string"
+    ).repartition(2)
+    rows = {r.msg: json.loads(r.external)
+            for r in mmexternal(df, child).collect()}
+    assert rows["hello"] == {"up": "HELLO", "len": 5}
+    assert rows["World"] == {"up": "WORLD", "len": 5}
+    assert rows[""] == {"up": "", "len": 0}
