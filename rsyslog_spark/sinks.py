@@ -75,6 +75,65 @@ def omkafka_frame(
     return df.select(*cols)
 
 
+def omprog(
+    df: DataFrame,
+    binary: list[str],
+    template: str = "RSYSLOG_FileFormat",
+    confirm_messages: bool = False,
+) -> DataFrame:
+    """plugins/omprog: pipe each rendered message line to an external
+    program's stdin — one long-lived child per partition (omprog keeps
+    one per worker). With ``confirm_messages`` (omprog.c:96,126) the
+    child acknowledges each line on stdout ('OK' = delivered; anything
+    else is recorded as the failure reason, the reportFailures shape).
+    Returns (value, delivered, reply) for lineage/retry accounting —
+    an ACTION, so the caller decides what to do with failures."""
+    import subprocess
+
+    from pyspark.sql.types import BooleanType as _B
+    from pyspark.sql.types import StringType as _S
+    from pyspark.sql.types import StructField as _SF
+    from pyspark.sql.types import StructType as _ST
+
+    env = Env()
+    rendered = df.select(compile_template(template, env).alias("value"))
+    out_schema = _ST([
+        _SF("value", _S()), _SF("delivered", _B()), _SF("reply", _S()),
+    ])
+
+    def run(batches):
+        import pandas as _pd
+
+        proc = subprocess.Popen(
+            binary, stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE if confirm_messages else subprocess.DEVNULL,
+            text=True, bufsize=1,
+        )
+        try:
+            for pdf in batches:
+                delivered, replies = [], []
+                for v in pdf["value"]:
+                    line = str(v or "").replace("\n", " ")
+                    proc.stdin.write(line + "\n")
+                    proc.stdin.flush()
+                    if confirm_messages:
+                        reply = proc.stdout.readline().rstrip("\n")
+                        delivered.append(reply == "OK")
+                        replies.append(reply)
+                    else:
+                        delivered.append(True)
+                        replies.append(None)
+                yield _pd.DataFrame(
+                    {"value": pdf["value"], "delivered": delivered,
+                     "reply": replies}
+                )
+        finally:
+            proc.stdin.close()
+            proc.wait(timeout=10)
+
+    return rendered.mapInPandas(run, out_schema)
+
+
 def omfwd_frame(
     df: DataFrame,
     template: str = "RSYSLOG_ForwardFormat",

@@ -128,3 +128,33 @@ def test_omfwd_framing(spark):
     assert lf == "<13> hi\n"
     oc = omfwd_frame(df, "<%pri%>%msg%", framing="octet-counted").first().value
     assert oc == "7 <13> hi"  # '<13> hi' is 7 bytes
+
+
+def test_omprog_confirm_messages(spark, tmp_path):
+    """omprog: rendered lines piped to a real external program; with
+    confirmMessages the child acks per line ('OK' or failure reason)."""
+    import sys
+
+    from rsyslog_spark.sinks import omprog
+
+    child = [
+        sys.executable, "-u", "-c",
+        ("import sys\n"
+         "for line in sys.stdin:\n"
+         "    print('OK' if 'bad' not in line else 'cannot deliver')\n"),
+    ]
+    df = spark.createDataFrame(
+        [("host1", "app:", " fine", 13, 1, 5, "Jun 15 10:54:39"),
+         ("host1", "app:", " bad news", 13, 1, 5, "Jun 15 10:54:39")],
+        "hostname string, syslogtag string, msg string, pri int, "
+        "facility int, severity int, timereported_str string",
+    )
+    rows = omprog(df, child, template="%syslogtag%%msg%",
+                  confirm_messages=True).collect()
+    by_val = {r.value: r for r in rows}
+    assert by_val["app: fine"].delivered and by_val["app: fine"].reply == "OK"
+    assert not by_val["app: bad news"].delivered
+    assert by_val["app: bad news"].reply == "cannot deliver"
+    # fire-and-forget mode: everything reported delivered
+    rows2 = omprog(df, child, template="%msg%").collect()
+    assert all(r.delivered for r in rows2)
