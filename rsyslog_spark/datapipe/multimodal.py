@@ -224,9 +224,11 @@ def mmexternal(
     keeps one per worker thread, mmexternal.c:callExtProg), one input
     LINE per message on stdin (interface.input = msg | rawmsg |
     fulljson, mmexternal.c:738-774), one JSON reply line per message on
-    stdout (processProgramReply:319-405), parsed into a map column —
-    the MsgSetPropsViaJSON merge is the caller's promotion step (see
-    parsing.devices.pmnormalize for the promotion recipe).
+    stdout (processProgramReply:319-405), returned RAW in `out_col`
+    (StringType). Parsing the reply (`F.from_json(out_col, ...)`) and
+    the MsgSetPropsViaJSON merge are the caller's promotion step (see
+    parsing.devices.pmnormalize for the promotion recipe) — the reply
+    schema is the child program's contract, not ours.
 
     The per-message round-trip is synchronous like the reference;
     batching amortizes the process spawn across the whole partition."""
@@ -269,6 +271,12 @@ def mmexternal(
                 yield out
         finally:
             proc.stdin.close()
-            proc.wait(timeout=10)
+            try:
+                proc.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                # child ignored stdin EOF: kill it rather than failing
+                # the whole partition task (rows are already yielded)
+                proc.kill()
+                proc.wait()
 
     return df.mapInPandas(run, out_schema)

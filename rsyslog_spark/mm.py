@@ -184,10 +184,48 @@ def _unescape(s: str) -> str:
 
 def _noncapture(rx: str) -> str:
     """Turn every capturing group of a user regex — plain `(` and
-    named `(?<name>` (but not lookbehinds `(?<=`/`(?<!`) — into a
-    non-capturing one so it can't shift our field group indices."""
-    rx = re.sub(r"\(\?<(?![=!])[^>]*>", "(?:", rx)
-    return re.sub(r"(?<!\\)\((?!\?)", "(?:", rx)
+    named `(?<name>`/`(?P<name>` (but not lookbehinds `(?<=`/`(?<!`)
+    — into a non-capturing one so it can't shift our field group
+    indices. Tokenizes the pattern (escape pairs consumed atomically,
+    character classes skipped) rather than using a one-char lookbehind:
+    in ``\\\\(x)`` the paren follows a LITERAL backslash and is a real
+    capturing group; a naive ``(?<!\\\\)\\(`` check would miss it."""
+    out: list[str] = []
+    i, n = 0, len(rx)
+    in_class = False
+    while i < n:
+        ch = rx[i]
+        if ch == "\\" and i + 1 < n:  # escape pair — atomic
+            out.append(rx[i : i + 2])
+            i += 2
+            continue
+        if in_class:
+            if ch == "]":
+                in_class = False
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "[":
+            in_class = True
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "(":
+            m = re.match(r"\(\?P?<(?![=!])[^>]*>", rx[i:])
+            if m:  # named capture → non-capturing
+                out.append("(?:")
+                i += m.end()
+                continue
+            if i + 1 < n and rx[i + 1] == "?":
+                out.append(ch)  # (?: (?= (?! (?<= (?<! — leave as-is
+                i += 1
+                continue
+            out.append("(?:")
+            i += 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 # Groupless token patterns per liblognorm field type

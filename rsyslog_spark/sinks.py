@@ -129,7 +129,11 @@ def omprog(
                 )
         finally:
             proc.stdin.close()
-            proc.wait(timeout=10)
+            try:
+                proc.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                proc.kill()  # child ignored EOF; don't fail the task
+                proc.wait()
 
     return rendered.mapInPandas(run, out_schema)
 
@@ -221,26 +225,59 @@ def om_foreach_batch(
 
 
 def _upsert_recover(path: str) -> None:
-    """ROLL BACK an interrupted bucket swap to the pre-batch state.
+    """Repair an interrupted bucket swap — roll FORWARD if the batch
+    marker committed, roll BACK otherwise.
 
-    The swap parks a _PENDING manifest (the touched bucket list) in
-    `path`.bak before moving anything, and removes the whole .bak dir
-    only AFTER the batch marker is committed. So if .bak still exists
-    we are mid-swap: every touched bucket's current dir may be new
-    data from the UNcommitted batch — remove it and restore the parked
-    copy (buckets with no parked copy were new; removing them restores
-    the pre-batch absence). A later replay of the batch then applies
-    exactly once."""
+    The swap parks a _PENDING manifest (touched buckets + batch_id) in
+    `path`.bak before moving anything; the batch marker is the single
+    commit point, written only after every touched bucket swapped. So
+    if .bak still exists:
+
+    * the manifest's batch_id has a committed marker → the swap
+      finished; the parked copies are stale pre-batch snapshots.
+      Roll FORWARD: discard .bak, keep the new buckets. (Rolling back
+      here would lose the committed batch — the marker check would
+      then skip the replay.)
+    * no marker (or no batch_id) → the batch never committed. Roll
+      BACK: every touched bucket's current dir may be partial new
+      data — remove it and restore the parked copy (buckets with no
+      parked copy were new; removing them restores the pre-batch
+      absence). A later replay then applies exactly once.
+
+    Also repairs an interrupted full rewrite (first write / legacy or
+    re-bucket migration), which parks the whole old state at
+    `path`.old before renaming the new tree in."""
     import json
     import os
     import shutil
 
+    old_park = path + ".old"
+    if os.path.isdir(old_park):
+        if not os.path.isdir(path):
+            os.rename(old_park, path)  # crashed between park and rename
+        else:
+            shutil.rmtree(old_park, ignore_errors=True)
+
     bak = path + ".bak"
     pending = os.path.join(bak, "_PENDING")
     if os.path.isdir(bak):
-        if os.path.exists(pending):
+        touched: list[int] = []
+        committed = False
+        have_manifest = os.path.exists(pending)
+        if have_manifest:
             with open(pending) as fh:
-                touched: list[int] = json.load(fh)
+                manifest = json.load(fh)
+            if isinstance(manifest, dict):
+                touched = manifest.get("touched", [])
+                bid = manifest.get("batch_id")
+                committed = bid is not None and os.path.exists(
+                    os.path.join(path + ".batches", str(bid))
+                )
+            else:  # older list-format manifest: no batch_id recorded
+                touched = manifest
+        if committed:
+            pass  # roll forward: keep state, drop stale parked copies
+        elif have_manifest:
             for b in touched:
                 d = f"_bucket={b}"
                 cur = os.path.join(path, d)
@@ -279,12 +316,19 @@ def upsert_aggregate(
     * **O(touched), not O(state)**: state is hash-partitioned on
       ``pmod(xxhash64(keys), num_buckets)``; only buckets present in
       `df` are read (partition-pruned scan), merged, and rewritten.
-    * **Crash-safe journaled swap**: a _PENDING manifest of the
-      touched buckets lands in `path`.bak before any move; the journal
-      is dropped only AFTER the batch marker commits. A crash at any
+    * **Crash-safe journaled swap**: a _PENDING manifest (touched
+      buckets + batch_id) lands in `path`.bak before any move; the
+      batch marker is the single atomic commit point. A crash at any
       point leaves a state that `_upsert_recover` (run automatically
-      on entry) ROLLS BACK to the pre-batch snapshot, so the replayed
-      batch applies exactly once — no partial-swap double counting.
+      on entry) repairs: rolled BACK to the pre-batch snapshot when
+      the marker never committed (replay then applies exactly once),
+      rolled FORWARD (stale backups discarded) when it did — so the
+      marker's "already committed" short-circuit never loses a batch.
+
+    ``num_buckets`` is persisted in `path`.meta on first write; a
+    later call with a different value transparently re-buckets the
+    whole state (one full merge rewrite) instead of silently splitting
+    keys across two moduli.
 
     Replay semantics: pass ``batch_id`` to make re-application a true
     no-op (committed ids are tracked in `path`.batches markers) —
@@ -292,6 +336,7 @@ def upsert_aggregate(
     are naturally convergent). A pre-bucketing flat state dir is
     migrated (merged, full rewrite) rather than discarded. `merge`
     maps column → sum|min|max|last (default sum)."""
+    import json as _json
     import os
     import shutil
 
@@ -304,6 +349,12 @@ def upsert_aggregate(
         if os.path.exists(marker):  # replay of a committed batch: no-op
             return spark.read.parquet(path).drop("_bucket")
 
+    meta_path = path + ".meta"
+    stored_nb: int | None = None
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            stored_nb = _json.load(fh).get("num_buckets")
+
     bucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(num_buckets))
     new = df.withColumn("_bucket", bucket)
     bucketed = os.path.isdir(path) and any(
@@ -314,17 +365,26 @@ def upsert_aggregate(
         and os.path.isdir(path)
         and any(d.endswith(".parquet") for d in os.listdir(path))
     )
-    if bucketed:
+    # a num_buckets change makes the on-disk bucket ids wrong for the
+    # new modulus: re-bucket the WHOLE state (one full merge rewrite)
+    rebucket = (
+        bucketed and stored_nb is not None and stored_nb != num_buckets
+    )
+    if bucketed and not rebucket:
         # touched bucket ids: at most num_buckets ints — tiny driver list
         touched = sorted(
             r._bucket for r in new.select("_bucket").distinct().collect()
         )
         old = spark.read.parquet(path).filter(F.col("_bucket").isin(touched))
         unioned = old.unionByName(new, allowMissingColumns=True)
-    elif legacy:
-        # pre-bucketing flat layout: migrate by merging the WHOLE old
-        # state into this write (full rewrite, once) — never discard it
-        old = spark.read.parquet(path).withColumn("_bucket", bucket)
+    elif legacy or rebucket:
+        # pre-bucketing flat layout (or modulus change): migrate by
+        # merging the WHOLE old state into this write (full rewrite,
+        # once) — never discard it
+        old = spark.read.parquet(path)
+        if rebucket:
+            old = old.drop("_bucket")
+        old = old.withColumn("_bucket", bucket)
         unioned = old.unionByName(new, allowMissingColumns=True)
         touched = None
     else:
@@ -345,22 +405,32 @@ def upsert_aggregate(
     merged.write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
 
     if touched is None:
+        # full rewrite: park the old state (never rmtree before the new
+        # tree is in place — a crash between the two would lose it)
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        old_park = path + ".old"
+        shutil.rmtree(old_park, ignore_errors=True)
         if os.path.isdir(path):
-            shutil.rmtree(path)
+            os.rename(path, old_park)
         os.rename(tmp, path)
+        shutil.rmtree(old_park, ignore_errors=True)
     else:
-        # journaled swap: the _PENDING manifest (touched bucket list)
-        # lands in .bak BEFORE any move; a crash anywhere before the
-        # batch marker is written leaves .bak in place, and recovery
-        # rolls the touched buckets BACK so the replay applies exactly
-        # once. .bak is removed only after the marker commit below.
-        import json as _json
-
+        # journaled swap: the _PENDING manifest (touched buckets +
+        # batch_id) lands in .bak BEFORE any move. The batch marker is
+        # the single commit point: a crash before it → recovery rolls
+        # the touched buckets BACK (replay applies exactly once); a
+        # crash after it (marker present, .bak not yet dropped) →
+        # recovery rolls FORWARD, discarding the stale parked copies.
         bak = path + ".bak"
         os.makedirs(bak, exist_ok=True)
         with open(os.path.join(bak, "_PENDING"), "w") as fh:
-            _json.dump([int(b) for b in touched], fh)
+            _json.dump(
+                {
+                    "touched": [int(b) for b in touched],
+                    "batch_id": None if batch_id is None else str(batch_id),
+                },
+                fh,
+            )
         for b in touched:
             d = f"_bucket={b}"
             src, dst = os.path.join(tmp, d), os.path.join(path, d)
@@ -371,12 +441,21 @@ def upsert_aggregate(
             os.rename(src, dst)
         shutil.rmtree(tmp, ignore_errors=True)
 
+    if stored_nb != num_buckets:
+        with open(meta_path + ".tmp", "w") as fh:
+            _json.dump({"num_buckets": num_buckets}, fh)
+        os.replace(meta_path + ".tmp", meta_path)
+
     if batch_id is not None:
+        # single atomic commit point (os.replace, never a partial file)
         os.makedirs(batches_dir, exist_ok=True)
-        with open(os.path.join(batches_dir, str(batch_id)), "w") as fh:
+        marker = os.path.join(batches_dir, str(batch_id))
+        with open(marker + ".tmp", "w") as fh:
             fh.write("committed")
-    # commit point: only now is the swap irrevocable — dropping the
-    # journal+backups makes recovery a no-op for this batch
+        os.replace(marker + ".tmp", marker)
+    # post-commit cleanup: dropping the journal+backups makes recovery
+    # a no-op for this batch (and is itself crash-safe: recovery sees
+    # the marker and rolls forward)
     shutil.rmtree(path + ".bak", ignore_errors=True)
     return spark.read.parquet(path).drop("_bucket")
 

@@ -286,7 +286,13 @@ def run_routed_stream(
     replayed epoch REPLACES its own partition instead of appending
     duplicates — idempotent per epoch, which upgrades the pipeline to
     effective exactly-once (the same trick Iceberg/Delta sinks use via
-    their epoch-keyed commit log)."""
+    their epoch-keyed commit log). Dynamic overwrite only replaces
+    partitions the replay actually produces, so each sink's
+    epoch_id=<N> dir is explicitly cleared first — a replay that
+    routes ZERO rows to a sink (nondeterministic source or changed
+    routing) still removes the crashed attempt's ghost partition."""
+    import shutil
+
     from rsyslog_spark.parsing import parse as default_parse
 
     parse_fn = parse_fn or default_parse
@@ -295,6 +301,10 @@ def run_routed_stream(
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         from pyspark.sql import functions as FF
 
+        for s in [*sinks, "_lineage"]:
+            shutil.rmtree(
+                f"{base_path}/{s}/epoch_id={epoch_id}", ignore_errors=True
+            )
         routed = router.apply(parse_fn(batch_df)).withColumn(
             "epoch_id", FF.lit(epoch_id)
         )

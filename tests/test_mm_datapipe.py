@@ -493,6 +493,20 @@ def test_grok_user_parens_and_nested_captures(spark):
     assert out3.grok == {"n": "42", "g": "alpha"}
 
 
+def test_noncapture_escaped_backslash_runs():
+    """ADVICE r2 (mm.py _noncapture): in ``\\\\(x)`` the paren follows
+    a LITERAL backslash (even-length escape run) and IS a capturing
+    group — it must be neutralized; ``\\(`` (odd run) is a literal
+    paren and must survive. Parens inside character classes are
+    literals too."""
+    nc = mm._noncapture
+    assert nc(r"\\(x)") == r"\\(?:x)"       # escaped backslash + group
+    assert nc(r"\(x\)") == r"\(x\)"         # literal parens untouched
+    assert nc(r"\\\(x") == r"\\\(x"         # \\ then \( — all literal
+    assert nc(r"[(]a(b)") == r"[(]a(?:b)"   # class paren is literal
+    assert nc(r"(?<=a)(?<n>b)(c)") == r"(?<=a)(?:b)(?:c)"
+
+
 def test_mmexternal_real_child_process(spark):
     """mmexternal against a REAL external program: one child per
     partition, line-in/JSON-line-out protocol (mmexternal.c)."""

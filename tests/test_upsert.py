@@ -136,6 +136,82 @@ def test_upsert_midswap_crash_rolls_back_then_replays_once(spark, tmp_path):
     assert len(state) == 40
 
 
+def test_upsert_crash_after_marker_rolls_forward(spark, tmp_path):
+    """Crash window between marker commit and .bak cleanup: the marker
+    proves the swap completed, so recovery must roll FORWARD (keep the
+    new buckets, discard the stale parked copies). Rolling back here
+    would silently lose the batch — the marker check would then skip
+    the replay (ADVICE r2, sinks.py commit ordering)."""
+    import json
+    import os
+    import shutil
+
+    path = str(tmp_path / "state")
+    b0 = spark.createDataFrame(
+        [(f"key{i}", 10) for i in range(40)], "key string, n long"
+    )
+    upsert_aggregate(b0, path, ["key"], {"n": "sum"}, num_buckets=4,
+                     batch_id="e0")
+    b1 = spark.createDataFrame(
+        [(f"key{i}", 1) for i in range(40)], "key string, n long"
+    )
+    upsert_aggregate(b1, path, ["key"], {"n": "sum"}, num_buckets=4,
+                     batch_id="e1")
+    # simulate the crash: e1 fully committed (marker exists, state has
+    # the merged buckets) but .bak with the PRE-e1 copies + manifest
+    # was never removed
+    bak = path + ".bak"
+    os.makedirs(bak, exist_ok=True)
+    with open(os.path.join(bak, "_PENDING"), "w") as fh:
+        json.dump({"touched": [0, 1, 2, 3], "batch_id": "e1"}, fh)
+    for d in os.listdir(path):
+        if d.startswith("_bucket="):  # park stale pre-batch stand-ins
+            shutil.copytree(os.path.join(path, d), os.path.join(bak, d))
+    # replay of e1 after the crash: marker short-circuits; recovery
+    # must NOT have rolled the committed buckets back first
+    got = upsert_aggregate(b1, path, ["key"], {"n": "sum"}, num_buckets=4,
+                           batch_id="e1")
+    state = {r.key: r.n for r in got.collect()}
+    assert all(v == 11 for v in state.values()), state
+    assert len(state) == 40
+    assert not os.path.isdir(bak)
+
+
+def test_upsert_num_buckets_change_rebuckets(spark, tmp_path):
+    """Changing num_buckets between calls must not split a key across
+    two moduli (ADVICE r2): the state is transparently re-bucketed."""
+    import json
+    import os
+
+    path = str(tmp_path / "state")
+    b0 = spark.createDataFrame(
+        [(f"key{i}", 1) for i in range(100)], "key string, n long"
+    )
+    upsert_aggregate(b0, path, ["key"], {"n": "sum"}, num_buckets=16)
+    with open(path + ".meta") as fh:
+        assert json.load(fh)["num_buckets"] == 16
+    # same keys, different modulus: without re-bucketing, key0's old
+    # row (bucket id mod 16) is invisible to the mod-4 pruned read and
+    # the key duplicates
+    b1 = spark.createDataFrame(
+        [(f"key{i}", 1) for i in range(100)], "key string, n long"
+    )
+    got = upsert_aggregate(b1, path, ["key"], {"n": "sum"}, num_buckets=4)
+    state = {r.key: r.n for r in got.collect()}
+    assert len(state) == 100 and all(v == 2 for v in state.values())
+    with open(path + ".meta") as fh:
+        assert json.load(fh)["num_buckets"] == 4
+    dirs = {d for d in os.listdir(path) if d.startswith("_bucket=")}
+    assert dirs == {f"_bucket={i}" for i in range(4)}
+    # and the pruned path still works at the new modulus
+    got = upsert_aggregate(
+        spark.createDataFrame([("key0", 5)], "key string, n long"),
+        path, ["key"], {"n": "sum"}, num_buckets=4,
+    )
+    state = {r.key: r.n for r in got.collect()}
+    assert state["key0"] == 7 and len(state) == 100
+
+
 def test_upsert_migrates_legacy_flat_layout(spark, tmp_path):
     """A state dir from the pre-bucketing layout is merged, not
     destroyed."""
