@@ -311,6 +311,9 @@ class NormalizeRule:
             pos = m.end()
         out.append(re.escape(_unescape(pattern[pos:])))
         self.regex = "^" + "".join(out) + "$"
+        # anchored: the whole string IS the match, so the regex doubles
+        # as the single-pass group-rewrite pattern (see mmnormalize)
+        self.rewrite = self.regex
 
 
 def load_rulebase(text: str) -> list[NormalizeRule]:
@@ -365,6 +368,12 @@ def load_rulebase_file(path: str) -> list[NormalizeRule]:
         return load_rulebase(fh.read())
 
 
+# group-separator for single-pass extraction: a control char that can
+# never appear in SanitizeMsg-sanitized input (parser.c:330-535 escapes
+# all control chars) — same trick as the header parser (parsing/core.py)
+_SEP = "\x01"
+
+
 def mmnormalize(
     df: DataFrame, rules: list[NormalizeRule], msg_col: str = "msg",
     out_col: str = "norm", rule_col: str = "norm_rule",
@@ -372,30 +381,70 @@ def mmnormalize(
     """First matching rule wins (parser-chain order, mmnormalize.c:146-172);
     extracted fields land in a map column ``norm`` plus ``norm_rule``
     (index of the winning rule, -1 = unparsed — the reference tags such
-    messages 'unparsed-data')."""
+    messages 'unparsed-data').
+
+    Perf: each rule costs ONE regex pass per row — regexp_replace
+    rewrites all capture groups into a \\x01-separated string whose
+    leading \\x01 sentinel doubles as the match flag (regexp_replace
+    returns its input unchanged on no-match, and \\x01 cannot occur in
+    sanitized input). The naive alternative — one rlike plus one
+    regexp_extract per field — re-executes the full regex R×(G+1)
+    times; the header parser measured the rewrite trick ~2.5× faster
+    (parsing/core.py:110-167). Fields that didn't participate in the
+    match land as "" exactly like regexp_extract would.
+
+    Structure matters for codegen: the hit flag + split array are
+    computed UNCONDITIONALLY in a lower projection; the first-match
+    CASE WHEN chain only references them. Whole-stage codegen's
+    subexpression elimination dedupes unconditional occurrences but
+    NOT copies inside CASE WHEN branches — inlining the rewrite into
+    the branches re-evaluates the regex once per field at runtime
+    (verified via explain('codegen'); asserted in test_plans.py)."""
     msg = F.col(msg_col)
+    tmp: dict[str, Column] = {}
+    for i, r in enumerate(rules):
+        if r.fields:
+            repl = _SEP + _SEP.join(
+                f"${g}" for g in range(1, len(r.fields) + 1)
+            )
+            rew = F.regexp_replace(msg, getattr(r, "rewrite", r.regex), repl)
+            tmp[f"_mmn_hit_{i}"] = rew.startswith(_SEP)
+            tmp[f"_mmn_arr_{i}"] = F.split(rew, _SEP, -1)
+        else:
+            tmp[f"_mmn_hit_{i}"] = msg.rlike(r.regex)  # match test only
+    low = df.withColumns(tmp)
+
     rule_idx = F.lit(-1)
     result = F.lit(None).cast("map<string,string>")
     # build right-to-left so earlier rules take precedence
     for i in range(len(rules) - 1, -1, -1):
         r = rules[i]
-        hit = msg.rlike(r.regex)
+        hit = F.col(f"_mmn_hit_{i}")
         entries = []
-        for gi, fname in enumerate(r.fields, start=1):
-            entries.append(
+        if r.fields:
+            arr = F.col(f"_mmn_arr_{i}")
+            entries = [
                 F.struct(
                     F.lit(fname).alias("key"),
-                    F.regexp_extract(msg, r.regex, gi).alias("value"),
+                    F.coalesce(
+                        F.try_element_at(arr, F.lit(gi)), F.lit("")
+                    ).alias("value"),
                 )
-            )
-        for k, v in getattr(r, "const_fields", {}).items():
-            entries.append(
-                F.struct(F.lit(k).alias("key"), F.lit(v).alias("value"))
-            )
+                # element 1 of the split is the "" before the sentinel
+                for gi, fname in enumerate(r.fields, start=2)
+            ]
+        entries += [
+            F.struct(F.lit(k).alias("key"), F.lit(v).alias("value"))
+            for k, v in getattr(r, "const_fields", {}).items()
+        ]
         m = F.map_from_entries(F.array(*entries)) if entries else F.create_map()
         result = F.when(hit, m).otherwise(result)
         rule_idx = F.when(hit, F.lit(i)).otherwise(rule_idx)
-    return df.withColumn(out_col, result).withColumn(rule_col, rule_idx)
+    return (
+        low.withColumn(out_col, result)
+        .withColumn(rule_col, rule_idx)
+        .drop(*tmp.keys())
+    )
 
 
 # --- mmgrok (contrib/mmgrok/mmgrok.c) -----------------------------------------
@@ -508,6 +557,12 @@ class GrokRule:
             return _GROK_REF.sub(sub, rx)
 
         self.regex = expand(match)
+        # grok_exec SEARCHES: wrap for whole-string rewrite so the
+        # single-pass extraction (see mmnormalize) applies. The DOTALL
+        # flag is scoped to the wrapper's .* only — user patterns keep
+        # their own newline semantics; group numbers are unchanged
+        # (the wrapper adds no capturing groups).
+        self.rewrite = f"^(?s:.*?)(?:{self.regex})(?s:.*)$"
 
 
 def mmgrok(
