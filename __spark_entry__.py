@@ -686,6 +686,48 @@ def q_rulebase_grok(spark, sf):
     )
 
 
+# liblognorm v2 rulebase: repeat (array-of-objects) + alternative
+# (first-participating-branch) parser blocks, the v2 subset
+# (liblognorm v2 syntax doc; plugins/mmnormalize loads via ln_loadSamples)
+RULEBASE_V2_TEXT = (
+    "version=2\n"
+    'rule=v2:evt %prog:word% vals %{"name":"vals","type":"repeat",'
+    '"parser":{"type":"number","name":"v"},'
+    '"while":{"type":"literal","text":","}}% '
+    'st=%{"type":"alternative","parser":[{"type":"number","name":"stn"},'
+    '{"type":"alpha","name":"stw"}]}%\n'
+)
+
+
+def q_rulebase_v2(spark, sf):
+    """v2 repeat/alternative extraction: a repeat-shaped line is
+    derived per message from the parsed corpus, then a LOADED v2
+    rulebase pulls the repeat back out as the JSON array liblognorm
+    would emit, plus whichever alternative branch participated."""
+    p = flagship.build_parsed(spark, sf)
+    kv = F.regexp_extract(F.col("msg"), r"k=(\d+)", 1).cast("int")
+    line = F.concat(
+        F.lit("evt "), F.col("programname"), F.lit(" vals "),
+        kv.cast("string"), F.lit(","),
+        ((kv + 1) % 100).cast("string"), F.lit(","),
+        ((kv * 2 + 1) % 100).cast("string"), F.lit(" st="),
+        F.when(
+            F.col("severity") <= 3, F.col("severity").cast("string")
+        ).otherwise(F.col("programname")),
+    )
+    rules = mm.load_rulebase(RULEBASE_V2_TEXT)
+    out = mm.mmnormalize(p.withColumn("line", line), rules, msg_col="line")
+    nval = lambda k: F.try_element_at("norm", F.lit(k))  # noqa: E731
+    return out.select(
+        "doc_id",
+        F.col("norm_rule").cast("long").alias("norm_rule"),
+        nval("prog").alias("prog"),
+        nval("vals").alias("vals"),
+        nval("stn").try_cast("long").alias("stn"),
+        nval("stw").alias("stw"),
+    )
+
+
 def q_perctile_window(spark, sf):
     """Sliding ring-buffer percentile window (perctile_stats analog):
     per event_type, last-5-rows min/max/count/p50 ordered by event_id."""
@@ -750,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bound_rulesets": q_bound_rulesets,
         "mmnormalize": q_mmnormalize,
         "rulebase_grok": q_rulebase_grok,
+        "rulebase_v2": q_rulebase_v2,
         "perctile_window": q_perctile_window,
     }
 
@@ -1191,6 +1234,21 @@ def oracle_sql() -> dict[str, str]:
                    lpad(CAST(event_id AS VARCHAR), 8, '0') AS msgnum,
                    {_K} AS kval
             FROM events
+        """,
+        "rulebase_v2": f"""
+            SELECT {O['doc_id']} AS doc_id,
+                   CAST(0 AS BIGINT) AS norm_rule,
+                   event_type AS prog,
+                   '[{{"v":"' || CAST(k AS VARCHAR) ||
+                   '"}},{{"v":"' || CAST((k + 1) % 100 AS VARCHAR) ||
+                   '"}},{{"v":"' || CAST((k * 2 + 1) % 100 AS VARCHAR) ||
+                   '"}}]' AS vals,
+                   CASE WHEN {sev} <= 3 THEN CAST({sev} AS BIGINT) END
+                       AS stn,
+                   CASE WHEN {sev} > 3 THEN event_type END AS stw
+            FROM (SELECT *,
+                         CAST(json_extract(props, '$.k') AS INTEGER) AS k
+                  FROM events)
         """,
         "perctile_window": """
             SELECT event_type,

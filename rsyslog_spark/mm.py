@@ -278,12 +278,118 @@ def _type_pattern(ftype: str) -> str:
     return pat
 
 
+def _v2_atom_pattern(obj: dict) -> str:
+    """Groupless regex for one v2 JSON parser object (liblognorm v2
+    syntax doc: each %{...}% block is a JSON parser definition)."""
+    t = obj.get("type")
+    if t == "literal":
+        return re.escape(_unescape(obj["text"]))
+    if t in ("char-to", "char-sep"):
+        return _type_pattern(f"{t}:{obj.get('extradata', '')}")
+    if t == "regex":
+        return _noncapture(_unescape(obj.get("regexp", obj.get("extradata", ""))))
+    if not isinstance(t, str):
+        raise ValueError(f"v2 parser object missing type: {obj!r}")
+    return _type_pattern(t)  # raises for unknown types
+
+
+class _FieldSpec:
+    """One output field of a compiled rule.
+
+    kind 'plain':  value = capture group `group` verbatim.
+    kind 'repeat': group captures the whole repeated span; the value is
+                   the JSON array of per-iteration elements (split on
+                   the `while` literal), each element re-parsed with
+                   `inner_rx` into an object when the inner parsers are
+                   named (liblognorm v2 emits an array of objects).
+    kind 'alt':    `alt_groups` are the branch captures (one per named
+                   alternative); the value is the first non-empty — the
+                   branch that participated in the match.
+    """
+
+    __slots__ = ("name", "kind", "group", "alt_groups", "sep_rx",
+                 "inner_named", "inner_rx")
+
+    def __init__(self, name, kind, group=0, alt_groups=(), sep_rx=None,
+                 inner_named=(), inner_rx=None):
+        self.name = name
+        self.kind = kind
+        self.group = group
+        self.alt_groups = list(alt_groups)
+        self.sep_rx = sep_rx
+        self.inner_named = list(inner_named)
+        self.inner_rx = inner_rx
+
+
+def _scan_pattern(pattern: str):
+    """Split a rule pattern into (literal, spec) segments, where spec
+    is ('v1', name, type) for %name:type% or ('v2', obj) for a v2
+    %{...json...}% parser block (braces balanced, strings respected);
+    the final segment is (trailing_literal, None)."""
+    import json as _json
+
+    segs: list[tuple[str, tuple | None]] = []
+    i, n = 0, len(pattern)
+    lit_start = 0
+    while i < n:
+        if pattern[i] == "%" and i + 1 < n:
+            if pattern[i + 1] == "{":
+                depth, j, in_str = 0, i + 1, False
+                while j < n:
+                    c = pattern[j]
+                    if in_str:
+                        if c == "\\":
+                            j += 2
+                            continue
+                        if c == '"':
+                            in_str = False
+                    elif c == '"':
+                        in_str = True
+                    elif c == "{":
+                        depth += 1
+                    elif c == "}":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    j += 1
+                if j >= n or j + 1 >= n or pattern[j + 1] != "%":
+                    raise ValueError(
+                        f"unterminated %{{...}}% parser block in {pattern!r}"
+                    )
+                obj = _json.loads(pattern[i + 1 : j + 1])
+                segs.append((pattern[lit_start:i], ("v2", obj)))
+                i = j + 2
+                lit_start = i
+                continue
+            m = re.match(r"%([^%:]+):([^%]+)%", pattern[i:])
+            if m:
+                segs.append(
+                    (pattern[lit_start:i], ("v1", m.group(1), m.group(2)))
+                )
+                i += m.end()
+                lit_start = i
+                continue
+        i += 1
+    segs.append((pattern[lit_start:], None))
+    return segs
+
+
 class NormalizeRule:
     """One liblognorm-style rule: literal text with %field:type%
     placeholders (char-to/char-sep/tokenized/regex parameterized types
-    included). Compiles to a single Java regex with one capture group
-    per named field; '%-:type%' matches without capturing (liblognorm
-    dash = discard). ``const_fields`` carries annotate= constants."""
+    included) and/or v2 %{...json...}% parser blocks (basic types plus
+    the `repeat` and `alternative` shapes — the two that dominate real
+    v2 rulebases; other v2 composites are rejected with a clear error).
+    Compiles to a single Java regex with one capture group per named
+    field; '%-:type%' matches without capturing (liblognorm dash =
+    discard). ``const_fields`` carries annotate= constants.
+
+    v2 semantics in the map<string,string> output: a `repeat` field's
+    value is the JSON array liblognorm would emit ("[\\"a\\",\\"b\\"]",
+    or an array of objects when the inner parsers are named); an
+    `alternative` emits only the branch that matched (empty-string
+    captures from alternatives are treated as non-participation —
+    liblognorm's basic parsers cannot match empty)."""
 
     def __init__(
         self,
@@ -295,25 +401,134 @@ class NormalizeRule:
         self.tags = tags or []
         self.const_fields = dict(const_fields or {})
         self.fields: list[str] = []
+        self.specs: list[_FieldSpec] = []
         out = []
-        pos = 0
-        for m in re.finditer(r"%([^%:]+):([^%]+)%", pattern):
-            out.append(re.escape(_unescape(pattern[pos : m.start()])))
-            name, ftype = m.group(1), m.group(2)
-            if name == "-":
-                out.append(f"(?:{_type_pattern(ftype)})")
-            elif ftype in _CAPTURE_OVERRIDE:
-                self.fields.append(name)
-                out.append(_CAPTURE_OVERRIDE[ftype])
+        grp = 0
+        for lit, spec in _scan_pattern(pattern):
+            out.append(re.escape(_unescape(lit)))
+            if spec is None:
+                continue
+            if spec[0] == "v1":
+                _, name, ftype = spec
+                if name == "-":
+                    out.append(f"(?:{_type_pattern(ftype)})")
+                elif ftype in _CAPTURE_OVERRIDE:
+                    grp += 1
+                    self.fields.append(name)
+                    self.specs.append(_FieldSpec(name, "plain", group=grp))
+                    out.append(_CAPTURE_OVERRIDE[ftype])
+                else:
+                    grp += 1
+                    self.fields.append(name)
+                    self.specs.append(_FieldSpec(name, "plain", group=grp))
+                    out.append(f"({_type_pattern(ftype)})")
+                continue
+            obj = spec[1]
+            t = obj.get("type")
+            name = obj.get("name")
+            if t == "repeat":
+                frag, grp = self._compile_repeat(obj, grp)
+                out.append(frag)
+            elif t == "alternative":
+                frag, grp = self._compile_alternative(obj, grp)
+                out.append(frag)
             else:
-                self.fields.append(name)
-                out.append(f"({_type_pattern(ftype)})")
-            pos = m.end()
-        out.append(re.escape(_unescape(pattern[pos:])))
+                pat = _v2_atom_pattern(obj)
+                if name and name not in ("-", "."):
+                    grp += 1
+                    self.fields.append(name)
+                    self.specs.append(_FieldSpec(name, "plain", group=grp))
+                    out.append(f"({pat})")
+                else:
+                    out.append(f"(?:{pat})")
+        self.n_groups = grp
         self.regex = "^" + "".join(out) + "$"
         # anchored: the whole string IS the match, so the regex doubles
         # as the single-pass group-rewrite pattern (see mmnormalize)
         self.rewrite = self.regex
+
+    def _compile_repeat(self, obj: dict, grp: int) -> tuple[str, int]:
+        """v2 repeat: `parser` (object or array) matched repeatedly,
+        iterations separated by the `while` parser (literal subset).
+        The big regex captures the whole span in ONE group; per-element
+        extraction re-parses each split item with inner_rx locally, so
+        inner groups never shift the global numbering."""
+        name = obj.get("name")
+        parsers = obj.get("parser")
+        if isinstance(parsers, dict):
+            parsers = [parsers]
+        if not isinstance(parsers, list) or not parsers:
+            raise ValueError(f"repeat needs a parser list: {obj!r}")
+        wh = obj.get("while")
+        if not isinstance(wh, dict) or wh.get("type") != "literal":
+            raise ValueError(
+                "repeat 'while' subset supports {'type':'literal'} only "
+                f"(got {wh!r})"
+            )
+        sep_rx = re.escape(_unescape(wh["text"]))
+        nc_parts, g_parts, inner_named = [], [], []
+        local_g = 0
+        for p in parsers:
+            if not isinstance(p, dict):
+                raise ValueError(f"bad repeat inner parser: {p!r}")
+            if p.get("type") in ("repeat", "alternative"):
+                raise ValueError(
+                    "nested repeat/alternative is not supported"
+                )
+            pat = _v2_atom_pattern(p)
+            pname = p.get("name")
+            nc_parts.append(f"(?:{pat})")
+            if p.get("type") != "literal" and pname and pname not in ("-", "."):
+                local_g += 1
+                inner_named.append((pname, local_g))
+                g_parts.append(f"({pat})")
+            else:
+                g_parts.append(f"(?:{pat})")
+        inner_nc = "".join(nc_parts)
+        frag = f"((?:{inner_nc})(?:{sep_rx}(?:{inner_nc}))*)"
+        if not name or name == "-":
+            return f"(?:{frag[1:-1]})", grp  # discard: no capture
+        grp += 1
+        self.fields.append(name)
+        self.specs.append(
+            _FieldSpec(
+                name, "repeat", group=grp, sep_rx=sep_rx,
+                inner_named=inner_named,
+                inner_rx="^" + "".join(g_parts) + "$",
+            )
+        )
+        return frag, grp
+
+    def _compile_alternative(self, obj: dict, grp: int) -> tuple[str, int]:
+        """v2 alternative: each branch is one parser object; named
+        branches capture, the first non-empty capture is the value.
+        Branches sharing a name merge into one output field."""
+        parsers = obj.get("parser")
+        if not isinstance(parsers, list) or not parsers:
+            raise ValueError(f"alternative needs a parser list: {obj!r}")
+        frags = []
+        named: dict[str, list[int]] = {}
+        for p in parsers:
+            if not isinstance(p, dict):
+                raise ValueError(f"bad alternative branch: {p!r}")
+            if p.get("type") in ("repeat", "alternative"):
+                raise ValueError(
+                    "nested repeat/alternative is not supported"
+                )
+            pat = _v2_atom_pattern(p)
+            pname = p.get("name")
+            if p.get("type") != "literal" and pname and pname not in ("-", "."):
+                grp += 1
+                named.setdefault(pname, []).append(grp)
+                frags.append(f"({pat})")
+            else:
+                frags.append(f"(?:{pat})")
+        for pname, groups in named.items():
+            self.fields.append(pname)
+            self.specs.append(
+                _FieldSpec(pname, "alt", alt_groups=groups)
+            )
+        return "(?:" + "|".join(frags) + ")", grp
 
 
 def load_rulebase(text: str) -> list[NormalizeRule]:
@@ -323,8 +538,9 @@ def load_rulebase(text: str) -> list[NormalizeRule]:
 
     Supported lines: ``rule=<tags>:<pattern>``, ``annotate=<tag>:
     +<field>="<value>"``, ``prefix=``, ``version=``, comments/blank.
-    The v2 inline-JSON parser syntax (%{"type":"repeat",...}%) is out
-    of scope — detected and rejected explicitly."""
+    v2 inline-JSON parser blocks (%{...}%) are supported for the basic
+    types plus `repeat` and `alternative` (liblognorm v2 syntax doc);
+    other v2 composites are rejected with a clear error at compile."""
     rules: list[NormalizeRule] = []
     annotations: dict[str, dict[str, str]] = {}
     prefix = ""
@@ -339,11 +555,6 @@ def load_rulebase(text: str) -> list[NormalizeRule]:
             continue
         if line.startswith("rule="):
             body = line[len("rule="):]
-            if '%{"' in body or "%{'" in body:
-                raise ValueError(
-                    "liblognorm v2 inline-JSON parser syntax is not "
-                    "supported (use v1 %field:type% rules)"
-                )
             tags_str, _, pattern = body.partition(":")
             tags = [t for t in tags_str.split(",") if t]
             rules.append(NormalizeRule(prefix + pattern, tags=tags))
@@ -404,9 +615,8 @@ def mmnormalize(
     tmp: dict[str, Column] = {}
     for i, r in enumerate(rules):
         if r.fields:
-            repl = _SEP + _SEP.join(
-                f"${g}" for g in range(1, len(r.fields) + 1)
-            )
+            n_groups = getattr(r, "n_groups", len(r.fields))
+            repl = _SEP + _SEP.join(f"${g}" for g in range(1, n_groups + 1))
             rew = F.regexp_replace(msg, getattr(r, "rewrite", r.regex), repl)
             tmp[f"_mmn_hit_{i}"] = rew.startswith(_SEP)
             tmp[f"_mmn_arr_{i}"] = F.split(rew, _SEP, -1)
@@ -421,23 +631,61 @@ def mmnormalize(
         r = rules[i]
         hit = F.col(f"_mmn_hit_{i}")
         entries = []
+        alt_names: list[str] = []
         if r.fields:
             arr = F.col(f"_mmn_arr_{i}")
-            entries = [
-                F.struct(
-                    F.lit(fname).alias("key"),
-                    F.coalesce(
-                        F.try_element_at(arr, F.lit(gi)), F.lit("")
-                    ).alias("value"),
-                )
+
+            def g(idx: int) -> Column:
                 # element 1 of the split is the "" before the sentinel
-                for gi, fname in enumerate(r.fields, start=2)
+                return F.coalesce(
+                    F.try_element_at(arr, F.lit(idx + 1)), F.lit("")
+                )
+
+            specs = getattr(r, "specs", None) or [
+                _FieldSpec(nm, "plain", group=gi)
+                for gi, nm in enumerate(r.fields, start=1)
             ]
+            for s in specs:
+                if s.kind == "plain":
+                    val = g(s.group)
+                elif s.kind == "repeat":
+                    items = F.split(g(s.group), s.sep_rx, -1)
+                    if s.inner_named:
+
+                        def mk(rx=s.inner_rx, named=tuple(s.inner_named)):
+                            def per_item(x: Column) -> Column:
+                                return F.struct(*[
+                                    F.regexp_extract(x, rx, lg).alias(nm)
+                                    for nm, lg in named
+                                ])
+
+                            return per_item
+
+                        val = F.to_json(F.transform(items, mk()))
+                    else:
+                        val = F.to_json(items)
+                else:  # alt: the branch that participated (non-empty)
+                    alt_names.append(s.name)
+                    val = F.coalesce(
+                        *[F.nullif(g(gr), F.lit("")) for gr in s.alt_groups],
+                        F.lit(""),
+                    )
+                entries.append(
+                    F.struct(F.lit(s.name).alias("key"), val.alias("value"))
+                )
         entries += [
             F.struct(F.lit(k).alias("key"), F.lit(v).alias("value"))
             for k, v in getattr(r, "const_fields", {}).items()
         ]
         m = F.map_from_entries(F.array(*entries)) if entries else F.create_map()
+        if alt_names:
+            # an alternative emits only the branch that matched
+            names_arr = F.array(*[F.lit(n) for n in alt_names])
+
+            def keep(k: Column, v: Column) -> Column:
+                return ~(F.array_contains(names_arr, k) & (v == ""))
+
+            m = F.map_filter(m, keep)
         result = F.when(hit, m).otherwise(result)
         rule_idx = F.when(hit, F.lit(i)).otherwise(rule_idx)
     return (
