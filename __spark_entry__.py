@@ -277,6 +277,13 @@ def q_functions_showcase(spark, sf):
         fn.faup_tld(_showcase_url(et, k)).alias("u_tld"),
         fn.faup_port(_showcase_url(et, k)).cast("long").alias("u_port"),
         fn.faup_query_string(_showcase_url(et, k)).alias("u_query"),
+        # round-3: PSL-faithful splits — multi-label public suffix
+        # (co.uk) and a wildcard-rule suffix (*.kawasaki.jp)
+        fn.faup_domain(_showcase_url2(et)).alias("u2_domain"),
+        fn.faup_subdomain(_showcase_url2(et)).alias("u2_sub"),
+        fn.faup_tld(_showcase_url2(et)).alias("u2_tld"),
+        fn.faup_tld(_showcase_url3(et)).alias("u3_tld"),
+        fn.faup_domain(_showcase_url3(et)).alias("u3_domain"),
     )
 
 
@@ -285,6 +292,14 @@ def _showcase_url(et, k):
         F.lit("https://"), et, F.lit(".example.com:8443/p?k="),
         k.cast("string"),
     )
+
+
+def _showcase_url2(et):
+    return F.concat(F.lit("https://"), et, F.lit(".shop.example.co.uk/x"))
+
+
+def _showcase_url3(et):
+    return F.concat(F.lit("http://"), et, F.lit(".foo.kawasaki.jp/"))
 
 
 def q_prifilt_mail_daemon(spark, sf):
@@ -1018,7 +1033,12 @@ def oracle_sql() -> dict[str, str]:
                    event_type AS u_sub,
                    'com' AS u_tld,
                    CAST(8443 AS BIGINT) AS u_port,
-                   'k=' || {_K} AS u_query
+                   'k=' || {_K} AS u_query,
+                   'example.co.uk' AS u2_domain,
+                   event_type || '.shop' AS u2_sub,
+                   'co.uk' AS u2_tld,
+                   'foo.kawasaki.jp' AS u3_tld,
+                   event_type || '.foo.kawasaki.jp' AS u3_domain
             FROM events
         """,
         "prifilt_mail_daemon": f"""

@@ -472,10 +472,181 @@ def hash32mod(s, mod) -> Column:
 # --- faup URL decomposition (contrib/ffaup/ffaup.c:306-318) ------------------
 # faup links libfaup; each faup_<part>(url) extracts one URL component.
 # Mapping: Spark's parse_url covers scheme/host/userinfo/path/query/
-# fragment natively; port comes off the authority; domain/tld splits are
-# label-based (libfaup consults the Mozilla public-suffix list — label
-# splitting is the documented approximation here: 'co.uk'-style
-# multi-label suffixes resolve one label short).
+# fragment natively; port comes off the authority; domain/tld/subdomain
+# follow the Mozilla public-suffix-list algorithm (libfaup consults the
+# PSL): the prevailing rule is the matching exception rule minus its
+# leading label, else the LONGEST matching rule ('*' matches one
+# label), else the implicit one-label rule; the registrable domain is
+# the public suffix plus one label (publicsuffix.org/list/ algorithm).
+#
+# This sandbox embeds a curated ICANN-registry snapshot of MULTI-LABEL
+# rules only (one-label TLDs are exactly the implicit rule, so listing
+# them changes nothing); swap in a full snapshot with set_psl(). The
+# PSL private section (blogspot.com etc.) is excluded — libfaup's
+# default mozilla tld file is the ICANN list.
+
+# multi-label suffix rules (snapshot subset of publicsuffix.org, ICANN
+# section); '*' matches exactly one label
+_PSL_RULES_DEFAULT: tuple[str, ...] = (
+    # uk / ie
+    "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk", "sch.uk",
+    "ac.uk", "gov.uk", "nhs.uk", "police.uk", "gov.ie",
+    # au / nz
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    "geek.nz", "gen.nz", "kiwi.nz", "maori.nz",
+    # jp (incl. the geographic wildcard prefectures)
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
+    "gr.jp", "lg.jp",
+    "*.kawasaki.jp", "*.kitakyushu.jp", "*.kobe.jp", "*.nagoya.jp",
+    "*.sapporo.jp", "*.sendai.jp", "*.yokohama.jp",
+    # historical all-wildcard registries
+    "*.bd", "*.ck", "*.er", "*.fk", "*.jm", "*.kh", "*.mm", "*.np",
+    "*.pg",
+    # americas
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "mil.br",
+    "art.br", "blog.br", "eco.br",
+    "com.mx", "net.mx", "org.mx", "edu.mx", "gob.mx",
+    "com.ar", "net.ar", "org.ar", "edu.ar", "gob.ar", "int.ar",
+    "mil.ar", "tur.ar",
+    "com.co", "net.co", "org.co", "edu.co", "gov.co", "mil.co",
+    "nom.co",
+    "com.pe", "net.pe", "org.pe", "edu.pe", "gob.pe", "mil.pe",
+    "nom.pe",
+    "com.uy", "net.uy", "org.uy", "edu.uy", "gub.uy", "mil.uy",
+    "gob.cl", "gov.cl", "mil.cl", "co.cl",
+    "ab.ca", "bc.ca", "mb.ca", "nb.ca", "nl.ca", "ns.ca", "nt.ca",
+    "nu.ca", "on.ca", "pe.ca", "qc.ca", "sk.ca", "yk.ca", "gc.ca",
+    # asia
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "mil.cn",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "ac.in", "edu.in", "res.in", "gov.in", "mil.in", "nic.in",
+    "co.kr", "ne.kr", "or.kr", "re.kr", "pe.kr", "go.kr", "mil.kr",
+    "ac.kr", "hs.kr", "ms.kr", "es.kr", "sc.kr", "kg.kr", "seoul.kr",
+    "busan.kr",
+    "com.sg", "net.sg", "org.sg", "gov.sg", "edu.sg", "per.sg",
+    "com.hk", "edu.hk", "gov.hk", "idv.hk", "net.hk", "org.hk",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "mil.tw",
+    "idv.tw", "game.tw", "ebiz.tw", "club.tw",
+    "co.id", "net.id", "or.id", "ac.id", "sch.id", "go.id", "mil.id",
+    "web.id", "my.id", "biz.id",
+    "co.th", "net.th", "or.th", "ac.th", "go.th", "in.th", "mi.th",
+    "com.my", "net.my", "org.my", "gov.my", "edu.my", "mil.my",
+    "name.my",
+    "com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph", "ngo.ph",
+    "mil.ph", "i.ph",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "int.vn",
+    "ac.vn", "biz.vn", "info.vn", "name.vn", "pro.vn", "health.vn",
+    "co.il", "net.il", "org.il", "ac.il", "gov.il", "idf.il", "k12.il",
+    "muni.il",
+    "com.sa", "net.sa", "org.sa", "gov.sa", "med.sa", "pub.sa",
+    "edu.sa", "sch.sa",
+    "co.ae", "net.ae", "org.ae", "sch.ae", "ac.ae", "gov.ae", "mil.ae",
+    "com.tr", "net.tr", "org.tr", "biz.tr", "info.tr", "av.tr",
+    "dr.tr", "pol.tr", "bel.tr", "tsk.tr", "k12.tr", "edu.tr",
+    "name.tr", "web.tr", "gov.tr",
+    # europe
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "info.pl",
+    "waw.pl", "wroc.pl", "krakow.pl",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    "kiev.ua", "kyiv.ua",
+    "com.ru", "net.ru", "org.ru", "pp.ru", "msk.ru", "spb.ru",
+    "ac.at", "co.at", "gv.at", "or.at",
+    "co.hu", "info.hu", "org.hu", "priv.hu", "sport.hu", "tm.hu",
+    "2000.hu", "edu.hu", "gov.hu",
+    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
+    "gov.it", "edu.it",
+    "asso.fr", "com.fr", "gouv.fr", "nom.fr", "prd.fr", "tm.fr",
+    "com.gr", "edu.gr", "net.gr", "org.gr", "gov.gr",
+    "com.pt", "edu.pt", "gov.pt", "int.pt", "net.pt", "nome.pt",
+    "org.pt", "publ.pt",
+    "com.ro", "org.ro", "tm.ro", "nt.ro", "store.ro", "info.ro",
+    "nom.ro", "arts.ro", "firm.ro", "rec.ro",
+    # africa
+    "co.za", "net.za", "org.za", "gov.za", "edu.za", "ac.za", "web.za",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke", "me.ke",
+    "mobi.ke", "info.ke",
+    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng", "name.ng",
+    "sch.ng",
+    "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg", "sci.eg",
+    "eun.eg", "mil.eg",
+)
+# exception rules (PSL '!' prefix removed): the public suffix is the
+# exception minus its leftmost label
+_PSL_EXCEPTIONS_DEFAULT: tuple[str, ...] = (
+    "www.ck",
+    "city.kawasaki.jp", "city.kitakyushu.jp", "city.kobe.jp",
+    "city.nagoya.jp", "city.sapporo.jp", "city.sendai.jp",
+    "city.yokohama.jp",
+)
+
+_psl_blob = ""
+_psl_wild_blob = ""
+_psl_exc_blob = ""
+_psl_max_labels = 1
+
+
+def set_psl(
+    rules: tuple[str, ...] | list[str] = _PSL_RULES_DEFAULT,
+    exceptions: tuple[str, ...] | list[str] = _PSL_EXCEPTIONS_DEFAULT,
+) -> None:
+    """Install a public-suffix-list snapshot for the faup_* splits.
+    ``rules``: multi-label PSL rules ('*.x.y' wildcards allowed,
+    one-label rules are implicit); ``exceptions``: '!' rules without
+    the bang. Pass a freshly downloaded full snapshot at deploy time;
+    membership is tested via newline-delimited literal blobs — O(blob)
+    per candidate, right-sized for the registry-class subset (a full
+    ~9k-rule snapshot still works, at a constant-factor cost on the
+    faup columns only)."""
+    global _psl_blob, _psl_wild_blob, _psl_exc_blob, _psl_max_labels
+    plain = [r for r in rules if not r.startswith("*.")]
+    wild = [r[2:] for r in rules if r.startswith("*.")]  # stored sans *.
+    _psl_blob = "\n" + "\n".join(plain) + "\n"
+    _psl_wild_blob = "\n" + "\n".join(wild) + "\n"
+    _psl_exc_blob = "\n" + "\n".join(exceptions) + "\n"
+    _psl_max_labels = max(
+        [r.count(".") + 1 for r in plain]
+        + [r.count(".") + 2 for r in wild]
+        + [r.count(".") + 1 for r in exceptions]
+        + [1]
+    )
+
+
+set_psl()
+
+
+def _psl_suffix_labels(h: Column) -> Column:
+    """Label count of the host's public suffix per the PSL algorithm:
+    exception rule wins (suffix = exception minus one label), else the
+    longest matching plain/wildcard rule, else 1 (implicit rule)."""
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+
+    def last(k: int) -> Column:
+        return F.concat_ws(".", F.slice(labels, -k, k))
+
+    def member(blob: str, s: Column) -> Column:
+        return F.lit(blob).contains(
+            F.concat(F.lit("\n"), s, F.lit("\n"))
+        )
+
+    ps = F.lit(1)
+    for k in range(2, _psl_max_labels + 1):
+        hit = F.when(
+            n >= k,
+            member(_psl_blob, last(k))
+            # '*.suffix' matches when the k-1 trailing labels equal
+            # `suffix` AND a k-th label exists to feed the '*'
+            | member(_psl_wild_blob, last(k - 1)),
+        ).otherwise(F.lit(False))
+        ps = F.when(hit, F.lit(k)).otherwise(ps)  # longer rule wins
+    for k in range(2, _psl_max_labels + 1):  # exceptions override all
+        exc = F.when(
+            n >= k, member(_psl_exc_blob, last(k))
+        ).otherwise(F.lit(False))
+        ps = F.when(exc, F.lit(k - 1)).otherwise(ps)
+    return ps
 
 def _url(u) -> Column:
     return _c(u)
@@ -512,13 +683,28 @@ def faup_fragment(u) -> Column:
 
 
 def faup_tld(u) -> Column:
+    """Public suffix of the host per the PSL algorithm: 'a.b.co.uk' →
+    'co.uk', 'example.com' → 'com', 'x.y.kawasaki.jp' →
+    'y.kawasaki.jp' (wildcard rule)."""
     h = faup_host(u)
-    return F.when(h.rlike(r"\."), F.regexp_extract(h, r"\.([^.]+)$", 1))
+    labels = F.split(h, r"\.")
+    ps = _psl_suffix_labels(h)
+    return F.when(
+        h.rlike(r"\."), F.concat_ws(".", F.slice(labels, -ps, ps))
+    )
 
 
 def faup_domain(u) -> Column:
+    """Registrable domain: public suffix + one label ('a.b.co.uk' →
+    'b.co.uk'); null when the host IS a public suffix."""
     h = faup_host(u)
-    return F.when(h.rlike(r"\."), F.regexp_extract(h, r"([^.]+\.[^.]+)$", 1))
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    ps = _psl_suffix_labels(h)
+    return F.when(
+        h.rlike(r"\.") & (n > ps),
+        F.concat_ws(".", F.slice(labels, -(ps + 1), ps + 1)),
+    )
 
 
 def faup_domain_without_tld(u) -> Column:

@@ -300,6 +300,35 @@ def test_faup_family(one):
     assert full["domain"] == "example.co" and full["port"] == 8443
 
 
+def test_faup_public_suffix_list(one):
+    """PSL-faithful splits (VERDICT r2 next #4, ffaup.c:306-318 links
+    libfaup's mozilla tld list): multi-label suffixes, wildcard rules
+    ('*' matches one label) and '!' exceptions per the publicsuffix.org
+    algorithm; label-only hosts keep the implicit one-label rule."""
+    def parts(url):
+        return (
+            ev(one, fn.faup_tld(F.lit(url))),
+            ev(one, fn.faup_domain(F.lit(url))),
+            ev(one, fn.faup_subdomain(F.lit(url))),
+        )
+
+    assert parts("https://www.example.co.uk/") == (
+        "co.uk", "example.co.uk", "www")
+    assert parts("https://deep.sub.host.gov.uk/") == (
+        "gov.uk", "host.gov.uk", "deep.sub")
+    assert parts("http://a.b.example.com/") == ("com", "example.com", "a.b")
+    # wildcard rule *.ck: any single label under ck is a public suffix
+    assert parts("http://foo.bar.ck/") == ("bar.ck", "foo.bar.ck", None)
+    # exception !www.ck: www.ck is registrable despite the wildcard
+    assert parts("http://www.ck/") == ("ck", "www.ck", None)
+    assert parts("http://x.city.kawasaki.jp/") == (
+        "kawasaki.jp", "city.kawasaki.jp", "x")
+    assert parts("http://y.shinagawa.kawasaki.jp/") == (
+        "shinagawa.kawasaki.jp", "y.shinagawa.kawasaki.jp", None)
+    # a bare public suffix has no registrable domain
+    assert parts("http://co.uk/") == ("co.uk", None, None)
+
+
 def test_parse_time_localtz(one):
     # explicit offset wins regardless of tz
     got = ev(one, fn.parse_time_localtz(
