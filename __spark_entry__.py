@@ -284,6 +284,9 @@ def q_functions_showcase(spark, sf):
         fn.faup_tld(_showcase_url2(et)).alias("u2_tld"),
         fn.faup_tld(_showcase_url3(et)).alias("u3_tld"),
         fn.faup_domain(_showcase_url3(et)).alias("u3_domain"),
+        # round-3: byte-faithful XXH32 in pure JVM Column arithmetic —
+        # this query's plan carries NO Python eval node (test_plans)
+        fn.hash32_jvm((k % 10).cast("string")).alias("khash"),
     )
 
 
@@ -840,6 +843,16 @@ def _lang_score(lang: str) -> str:
     )
 
 
+def _xxh32_digit_cases() -> str:
+    """WHEN arms mapping digit→XXH32(digit) — known answers from the
+    test-verified pure-Python spec implementation, so the oracle needs
+    no xxh32 in DuckDB."""
+    return " ".join(
+        f"WHEN {d} THEN CAST({fn.xxh32(str(d).encode())} AS BIGINT)"
+        for d in range(10)
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     sev, fac = O["severity"], O["facility"]
     return {
@@ -1038,7 +1051,8 @@ def oracle_sql() -> dict[str, str]:
                    event_type || '.shop' AS u2_sub,
                    'co.uk' AS u2_tld,
                    'foo.kawasaki.jp' AS u3_tld,
-                   event_type || '.foo.kawasaki.jp' AS u3_domain
+                   event_type || '.foo.kawasaki.jp' AS u3_domain,
+                   CASE {_KN} % 10 {_xxh32_digit_cases()} END AS khash
             FROM events
         """,
         "prifilt_mail_daemon": f"""

@@ -281,6 +281,22 @@ def test_hash32_udf(one):
     assert ev(one, fn.hash32mod(F.lit("alpha"), 97)) == xxh32(b"alpha") % 97
 
 
+def test_hash32_jvm_matches_spec(one):
+    """Pure-Column XXH32 (VERDICT r2 next #7): byte-identical to the
+    spec implementation across stripe/chunk/tail boundaries, seeds,
+    unicode, and empty input — with no Python eval node (plan asserted
+    in test_plans)."""
+    from rsyslog_spark.functions import hash32_jvm, xxh32
+
+    for s in ["", "a", "abc", "0123456789abcde", "0123456789abcdef",
+              "0123456789abcdefg", "x" * 33, "Ünïcödé ßtring ツ"]:
+        assert ev(one, hash32_jvm(F.lit(s))) == xxh32(s.encode("utf-8")), s
+    assert ev(one, hash32_jvm(F.lit("alpha"), seed=99)) == xxh32(
+        b"alpha", 99
+    )
+    assert ev(one, hash32_jvm(F.lit(None).cast("string"))) is None
+
+
 def test_faup_family(one):
     url = "https://user:pw@sub.example.co:8443/a/b?x=1&y=2#frag"
     assert ev(one, fn.faup_scheme(F.lit(url))) == "https"

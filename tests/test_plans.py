@@ -241,3 +241,13 @@ def test_ivf_training_sample_is_parallel(spark):
     plan = s._jdf.queryExecution().optimizedPlan().toString()
     assert "GlobalLimit" not in plan, plan
     assert "Sample" in plan, plan
+
+
+def test_functions_showcase_no_python_eval(spark, sf_dir):
+    """functions_showcase (incl. the JVM XXH32 khash column) must stay
+    entirely JVM-side — no BatchEvalPython/ArrowEvalPython node."""
+    import __spark_entry__ as entry
+
+    q = entry.queries()["functions_showcase"](spark, sf_dir)
+    p = plan_of(q)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
