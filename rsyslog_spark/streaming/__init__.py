@@ -159,7 +159,19 @@ class DynStatsStream:
     constant, exactly like the reference's counter table) and is
     re-broadcast each batch.
 
-    Use inside foreachBatch:  out = ds.process_batch(batch_df)
+    RESTART SAFETY: pass ``state_path`` to journal the admitted set +
+    counters after every batch (atomic tmp+rename, ≤ max_cardinality
+    rows — the analog of the reference's queue .qi state file /
+    tests/*dynstats*.sh persist goldens). A new instance at the same
+    path resumes with the identical admitted set. Pass the foreachBatch
+    ``batch_id`` to make crash-replays exactly-once: a replayed batch
+    whose id is already committed recomputes its OUTPUT against the
+    frozen state without re-mutating counters. (A per-key
+    applyInPandasWithState realization is the wrong shape here: the
+    cardinality cap is a GLOBAL cross-key admission decision, not
+    per-key state.)
+
+    Use inside foreachBatch:  out = ds.process_batch(batch_df, epoch)
     """
 
     def __init__(
@@ -169,6 +181,7 @@ class DynStatsStream:
         max_cardinality: int,
         ttl_seconds: int | None = None,
         overflow_key: str = "_overflow_",
+        state_path: str | None = None,
     ):
         self.key_col = key_col
         self.ts_col = ts_col
@@ -180,6 +193,44 @@ class DynStatsStream:
         self.ops_overflow = 0
         self.metrics_purged = 0
         self._prev_counts = None  # persisted per-batch agg (see below)
+        self.state_path = state_path
+        self._last_batch_id = -1
+        if state_path:
+            self._load_state()
+
+    def _load_state(self) -> None:
+        import json
+        import os
+
+        if not os.path.exists(self.state_path):
+            return
+        with open(self.state_path) as fh:
+            st = json.load(fh)
+        self.admitted = {k: list(v) for k, v in st["admitted"].items()}
+        self.ops_overflow = st["ops_overflow"]
+        self.metrics_purged = st["metrics_purged"]
+        self._last_batch_id = st.get("last_batch_id", -1)
+
+    def _save_state(self, batch_id) -> None:
+        import json
+        import os
+
+        if not self.state_path:
+            return
+        if batch_id is not None:
+            self._last_batch_id = int(batch_id)
+        tmp = self.state_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "admitted": self.admitted,
+                    "ops_overflow": self.ops_overflow,
+                    "metrics_purged": self.metrics_purged,
+                    "last_batch_id": self._last_batch_id,
+                },
+                fh,
+            )
+        os.replace(tmp, self.state_path)  # atomic commit
 
     def _evict(self, now_epoch: int) -> None:
         """unusedMetricLife purge: drop keys idle past the TTL
@@ -194,10 +245,18 @@ class DynStatsStream:
             del self.admitted[k]
         self.metrics_purged += len(dead)
 
-    def process_batch(self, batch_df: DataFrame) -> DataFrame:
+    def process_batch(self, batch_df: DataFrame, batch_id=None) -> DataFrame:
         """One micro-batch of dyn_inc calls → per-admitted-key counts
-        (key, n) plus one overflow row. Returns the batch snapshot."""
+        (key, n) plus one overflow row. Returns the batch snapshot.
+        With journaled state, a replay of an already-committed
+        ``batch_id`` recomputes the output against the FROZEN state —
+        no double admission, no double counter bumps."""
         spark = batch_df.sparkSession
+        frozen = (
+            self.state_path is not None
+            and batch_id is not None
+            and int(batch_id) <= self._last_batch_id
+        )
         counts = (
             batch_df.groupBy(F.col(self.key_col).alias("key"))
             .agg(
@@ -215,48 +274,60 @@ class DynStatsStream:
             self._prev_counts.unpersist()
         counts = counts.persist()
         self._prev_counts = counts
-        if self.ttl_seconds is not None:
+        if self.ttl_seconds is not None and not frozen:
             # event-time now = batch max ts (one scalar to the driver)
             row = counts.agg(F.max("last_ts").alias("m")).first()
             if row and row.m is not None:
                 self._evict(int(row.m))
 
-        admitted_keys = list(self.admitted)
-        remaining = self.max_cardinality - len(admitted_keys)
-        if admitted_keys:
-            adm_df = spark.createDataFrame(
-                [(k,) for k in admitted_keys], "key string"
-            )
-            new_cand = counts.join(F.broadcast(adm_df), "key", "left_anti")
-        else:
-            new_cand = counts
-        if remaining > 0:
-            # arrival order = first timestamp (deterministic tiebreak on
-            # key); TakeOrderedAndProject — at most `remaining` rows move
-            newly = new_cand.orderBy("first_ts", "key").limit(remaining).collect()
-        else:
-            newly = []
-        for r in newly:
-            self.admitted[r.key] = [int(r.first_ts), int(r.last_ts), 0]
+        if not frozen:
+            admitted_keys = list(self.admitted)
+            remaining = self.max_cardinality - len(admitted_keys)
+            if admitted_keys:
+                adm_df = spark.createDataFrame(
+                    [(k,) for k in admitted_keys], "key string"
+                )
+                new_cand = counts.join(
+                    F.broadcast(adm_df), "key", "left_anti"
+                )
+            else:
+                new_cand = counts
+            if remaining > 0:
+                # arrival order = first timestamp (deterministic
+                # tiebreak on key); TakeOrderedAndProject — at most
+                # `remaining` rows move
+                newly = (
+                    new_cand.orderBy("first_ts", "key")
+                    .limit(remaining)
+                    .collect()
+                )
+            else:
+                newly = []
+            for r in newly:
+                self.admitted[r.key] = [int(r.first_ts), int(r.last_ts), 0]
 
         adm_now = spark.createDataFrame(
             [(k,) for k in self.admitted], "key string"
         )
         kept = counts.join(F.broadcast(adm_now), "key")
-        # refresh last-seen + totals (≤ max_cardinality rows collected)
-        for r in kept.collect():
-            st = self.admitted[r.key]
-            st[1] = max(st[1], int(r.last_ts))
-            st[2] += int(r.n)
+        if not frozen:
+            # refresh last-seen + totals (≤ max_cardinality rows)
+            for r in kept.collect():
+                st = self.admitted[r.key]
+                st[1] = max(st[1], int(r.last_ts))
+                st[2] += int(r.n)
         over = counts.join(F.broadcast(adm_now), "key", "left_anti").agg(
             F.coalesce(F.sum("n"), F.lit(0)).alias("n")
         )
-        self.ops_overflow += int(over.first().n)
+        if not frozen:
+            self.ops_overflow += int(over.first().n)
         out = kept.select("key", "n").unionByName(
             over.filter(F.col("n") > 0).select(
                 F.lit(self.overflow_key).alias("key"), "n"
             )
         )
+        if not frozen:
+            self._save_state(batch_id)
         return out
 
     def snapshot(self) -> dict:
