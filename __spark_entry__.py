@@ -746,6 +746,32 @@ def q_rulebase_v2(spark, sf):
     )
 
 
+def q_leef_fields(spark, sf):
+    """mmleefparse coverage: a LEEF event derived per message is parsed
+    back into header + extension fields (plugins/mmleefparse)."""
+    from rsyslog_spark.parsing.devices import mmleefparse
+
+    ev = _events(spark, sf)
+    k = F.get_json_object("props", "$.k").cast("long")
+    line = F.concat(
+        F.lit("LEEF:1.0|RsyslogSpark|pipeline|3.0|"), F.col("event_type"),
+        F.lit("|src=10.0."), (k % 256).cast("string"),
+        F.lit(".1\tseq="), F.col("event_id").cast("string"),
+        F.lit("\tuser=u"), (F.col("user_id") % 32).cast("string"),
+    )
+    out = mmleefparse(ev.withColumn("leef_line", line), msg_col="leef_line")
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("leef.header.vendor").alias("vendor"),
+        F.col("leef.header.event_id").alias("leef_event"),
+        F.try_element_at("leef.fields", F.lit("src")).alias("src"),
+        F.try_element_at("leef.fields", F.lit("seq")).try_cast("long").alias(
+            "seq"
+        ),
+        F.try_element_at("leef.fields", F.lit("user")).alias("usr"),
+    )
+
+
 def q_perctile_window(spark, sf):
     """Sliding ring-buffer percentile window (perctile_stats analog):
     per event_type, last-5-rows min/max/count/p50 ordered by event_id."""
@@ -811,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmnormalize": q_mmnormalize,
         "rulebase_grok": q_rulebase_grok,
         "rulebase_v2": q_rulebase_v2,
+        "leef_fields": q_leef_fields,
         "perctile_window": q_perctile_window,
     }
 
@@ -1267,6 +1294,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS BIGINT) AS grok_ok,
                    lpad(CAST(event_id AS VARCHAR), 8, '0') AS msgnum,
                    {_K} AS kval
+            FROM events
+        """,
+        "leef_fields": f"""
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   'RsyslogSpark' AS vendor,
+                   event_type AS leef_event,
+                   '10.0.' || CAST({_KN} % 256 AS VARCHAR) || '.1' AS src,
+                   CAST(event_id AS BIGINT) AS seq,
+                   'u' || CAST(user_id % 32 AS VARCHAR) AS usr
             FROM events
         """,
         "rulebase_v2": f"""

@@ -185,3 +185,302 @@ def pmnormalize(
         .withColumn("norm", F.col("_pmn"))
         .drop("_pmn", "_pmn_rule")
     )
+
+
+# --- round-3 contrib tail (VERDICT r2 next #6) -------------------------------
+
+_SNARE_TAB = r"(?:\t|#011|\\t)"  # pmsnare auto-detected tab representations
+_SNARE_TAGS = r"(MSWinEventLog|LinuxKAudit)"
+_TS3164 = (
+    r"((?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)"
+    r" (?: \d|\d\d) \d{2}:\d{2}:\d{2})"
+)
+
+
+def pmsnare(df: DataFrame, raw_col: str = "rawmsg") -> DataFrame:
+    """contrib/pmsnare/pmsnare.c: detect Snare-agent messages — either
+    headerless ``host<TAB>MSWinEventLog<TAB>...`` or syslog-framed
+    ``TS host MSWinEventLog<TAB>...`` — where <TAB> may be a real tab,
+    ``#011`` (escaped control char) or ``\\t`` (pmsnare.c:244-260
+    auto-detection). The reference rewrites the tabs around the tag to
+    spaces so the 3164 parser succeeds; here the fixup assigns the
+    header columns directly: tag → syslogtag/programname, the
+    still-tab-separated payload → msg (mmsnareparse's input), and a
+    ``snare`` flag."""
+    after = F.regexp_replace(F.col(raw_col), r"^<\d{1,3}>", "")
+    # headerless: hostname<TAB>TAG<TAB>payload  (pmsnare.c:320-345)
+    rx_hdrless = rf"^([^ \t]+){_SNARE_TAB}{_SNARE_TAGS}{_SNARE_TAB}(.*)$"
+    # syslog-framed: TS host TAG<TAB>payload    (pmsnare.c:363-396)
+    rx_syslog = rf"^{_TS3164} (\S+) {_SNARE_TAGS}{_SNARE_TAB}(.*)$"
+    g_h = [F.regexp_extract(after, rx_hdrless, i) for i in range(4)]
+    g_s = [F.regexp_extract(after, rx_syslog, i) for i in range(5)]
+    hit_h = g_h[0] != ""
+    hit_s = (~hit_h) & (g_s[0] != "")
+    hit = hit_h | hit_s
+    tag = F.when(hit_h, g_h[2]).otherwise(g_s[3])
+    return (
+        df.withColumn("snare", hit)
+        .withColumn(
+            "hostname",
+            F.when(hit_h, g_h[1]).when(hit_s, g_s[2]).otherwise(
+                F.col("hostname")
+            ),
+        )
+        .withColumn(
+            "timereported_str",
+            F.when(hit_s, g_s[1])
+            .when(hit_h, F.lit(None))
+            .otherwise(F.col("timereported_str")),
+        )
+        .withColumn(
+            "syslogtag", F.when(hit, tag).otherwise(F.col("syslogtag"))
+        )
+        .withColumn(
+            "programname", F.when(hit, tag).otherwise(F.col("programname"))
+        )
+        .withColumn(
+            "msg",
+            F.when(hit_h, g_h[3]).when(hit_s, g_s[4]).otherwise(F.col("msg")),
+        )
+        .withColumn(
+            "parse_success",
+            F.when(hit, F.lit(True)).otherwise(F.col("parse_success")),
+        )
+    )
+
+
+def pmaixforwardedfrom(df: DataFrame, raw_col: str = "rawmsg") -> DataFrame:
+    """contrib/pmaixforwardedfrom/pmaixforwardedfrom.c: AIX relays
+    mangle forwarded messages into ``TS Message forwarded from
+    host: tag: msg`` (or ``From host:``); the reference strips the
+    preamble and the extra colon so `host` parses as HOSTNAME
+    (pmaixforwardedfrom.c:69-137). Fixup: hostname/tag/msg re-derived
+    for matching rows."""
+    after = F.regexp_replace(F.col(raw_col), r"^<\d{1,3}>", "")
+    rx = (
+        rf"^{_TS3164} (?:[Mm]essage forwarded from |[Ff]rom )"
+        r"([^: ]+): (?:([^ :\[]+(?:\[\d+\])?:) )?(.*)$"
+    )
+    g = [F.regexp_extract(after, rx, i) for i in range(5)]
+    hit = g[0] != ""
+    nullif = lambda c: F.when(c != "", c)  # noqa: E731
+    return (
+        df.withColumn(
+            "hostname", F.when(hit, g[2]).otherwise(F.col("hostname"))
+        )
+        .withColumn(
+            "timereported_str",
+            F.when(hit, g[1]).otherwise(F.col("timereported_str")),
+        )
+        .withColumn(
+            "syslogtag",
+            F.when(hit, nullif(g[3])).otherwise(F.col("syslogtag")),
+        )
+        .withColumn(
+            "programname",
+            F.when(
+                hit, F.regexp_extract(nullif(g[3]), r"^([^:\[ ]*)", 1)
+            ).otherwise(F.col("programname")),
+        )
+        .withColumn("msg", F.when(hit, g[4]).otherwise(F.col("msg")))
+        .withColumn(
+            "parse_success",
+            F.when(hit, F.lit(True)).otherwise(F.col("parse_success")),
+        )
+    )
+
+
+# db2diag level word → syslog severity (pmdb2diag.c:104-138)
+_DB2_SEV = {
+    "Critical": 0, "Alert": 1, "Severe": 2, "Error": 3, "Event": 5,
+    "Warning": 4, "Info": 6, "Debug": 7,
+}
+
+
+def pmdb2diag(
+    df: DataFrame,
+    raw_col: str = "rawmsg",
+    levelpos: int = 59,
+    timepos: int = 0,
+    pid_to_prog_shift: int = 49,
+) -> DataFrame:
+    """contrib/pmdb2diag/pmdb2diag.c: DB2 diagnostic log lines carry
+    LEVEL/PID/PROC at fixed offsets (defaults levelpos=59, timepos=0,
+    pidstarttoprogstartshift=49, pmdb2diag.c:226-229). Extracts:
+    severity from the level word (pmdb2diag.c:104-138), procid = the
+    digits after the first ':' past the level (pmdb2diag.c:176-188),
+    programname = pid start + shift up to space/backslash
+    (pmdb2diag.c:190-207), timereported_str from timepos."""
+    after = F.regexp_replace(F.col(raw_col), r"^<\d{1,3}>", "")
+    lvl_zone = F.substr(after, F.lit(levelpos + 1))
+    # fixed-length word compare like the reference (pmdb2diag.c reads
+    # lvl_len chars, no word boundary — the next section may abut)
+    level = F.regexp_extract(
+        lvl_zone,
+        r"^(Critical|Alert|Severe|Error|Event|Warning|Info|Debug)", 1,
+    )
+    hit = level != ""
+    sev = F.when(F.lit(False), F.lit(None).cast("int"))
+    for word, s in _DB2_SEV.items():
+        sev = F.when(level == word, F.lit(s)).otherwise(sev)
+    ts = F.regexp_extract(
+        F.substr(after, F.lit(timepos + 1)),
+        r"^(\d{4}-\d{2}-\d{2}-\d{2}\.\d{2}\.\d{2}\.\d+(?:[+-]\d+)?)", 1,
+    )
+    # pid: first ': ' after the level word, digits up to the next space
+    past_level = F.substr(lvl_zone, F.length(level) + 1)
+    pid = F.regexp_extract(past_level, r"^[^:]*: ([^ ]+) ", 1)
+    # prog: pid start + shift chars, up to space or backslash
+    pid_start = F.instr(past_level, ":") + 2
+    prog_zone = F.substr(past_level, pid_start + F.lit(pid_to_prog_shift))
+    prog = F.regexp_extract(prog_zone, r"^([^ \\]+)", 1)
+    nullif = lambda c: F.when(c != "", c)  # noqa: E731
+    return (
+        df.withColumn(
+            "severity", F.when(hit, sev).otherwise(F.col("severity"))
+        )
+        .withColumn(
+            "procid", F.when(hit, nullif(pid)).otherwise(F.col("procid"))
+        )
+        .withColumn(
+            "programname",
+            F.when(hit, nullif(prog)).otherwise(F.col("programname")),
+        )
+        .withColumn(
+            "timereported_str",
+            F.when(hit & (ts != ""), ts).otherwise(
+                F.col("timereported_str")
+            ),
+        )
+        .withColumn(
+            "parse_success",
+            F.when(hit, F.lit(True)).otherwise(F.col("parse_success")),
+        )
+    )
+
+
+# commas OUTSIDE double-quoted fields: quote-parity lookahead (bounded
+# PAN lines; the reference walks char-by-char, pmpanngfw.c:109-250)
+_CSV_COMMA_OUTSIDE = r',(?=(?:[^"]*"[^"]*")*[^"]*$)'
+_PAN_TYPES = (
+    "TRAFFIC|THREAT|SYSTEM|CONFIG|HIP-MATCH|GLOBALPROTECT|USERID|"
+    "CORRELATION|AUTH|DECRYPTION"
+)
+
+
+def pmpanngfw(df: DataFrame, msg_col: str = "msg") -> DataFrame:
+    """contrib/pmpanngfw/pmpanngfw.c: PAN-OS NGFW logs are CSV with
+    double-quoted fields ('""' escapes a quote); the reference rewrites
+    them to tab-separated so mmnormalize %fields:char-to:\\t% rules
+    apply (README.md transformation example). Detection: the MSG leads
+    with ``n,YYYY/MM/DD hh:mm:ss,serial,<TYPE>,``. Adds ``pan_tsv``
+    (the transformed message) and ``pan`` flag; msg is rewritten for
+    matching rows like the reference does in place."""
+    msg = F.col(msg_col)
+    body = F.ltrim(msg)
+    det = F.regexp_extract(
+        body,
+        rf"^(\d+,\d{{4}}/\d{{2}}/\d{{2}} \d{{2}}:\d{{2}}:\d{{2}},[^,]*,"
+        rf"(?:{_PAN_TYPES}),)", 1,
+    )
+    hit = det != ""
+    tsv = F.regexp_replace(body, _CSV_COMMA_OUTSIDE, "\t")
+    # strip the outer quotes of quoted fields, then unescape "" -> "
+    tsv = F.regexp_replace(tsv, r'(?:^|(?<=\t))"((?:[^"]|"")*)"(?=\t|$)', "$1")
+    tsv = F.regexp_replace(tsv, r'""', '"')
+    out = F.when(hit, tsv)
+    return (
+        df.withColumn("pan", hit)
+        .withColumn("pan_tsv", out)
+        .withColumn(msg_col, F.coalesce(out, msg))
+    )
+
+
+def mmleefparse(
+    df: DataFrame,
+    msg_col: str = "msg",
+    out_col: str = "leef",
+    cookie: str = "LEEF:",
+    delimiter: str = "\t",
+) -> DataFrame:
+    """plugins/mmleefparse/mmleefparse.c: parse LEEF events into a
+    structured column. Header = 5 '|'-separated segments after the
+    cookie (protocol version, vendor, product, product version, event
+    id — parse_leef_header:249-294); extensions = key=value pairs
+    separated by ``delimiter`` (parse_leef_extensions:305-356; the
+    module default is tab, PAN-OS exports use '|'). The cookie is
+    SEARCHED for like searchcookie mode (mmleefparse.c:453-455).
+    Output: struct(header struct, fields map) + ``leef_success``."""
+    import re as _re
+
+    msg = F.col(msg_col)
+    pos = F.instr(msg, cookie)
+    hit = pos > 0
+    payload = F.substr(msg, pos + len(cookie))
+    unesc_pipe = r"(?<!\\)\|"
+    parts = F.split(payload, unesc_pipe, 6)
+
+    def seg(i: int) -> Column:
+        # unescape \| and \\ like leef_unescape_copy (mmleefparse.c:205)
+        return F.regexp_replace(
+            F.try_element_at(parts, F.lit(i)), r"\\([|\\])", "$1"
+        )
+
+    ext = F.try_element_at(parts, F.lit(6))
+    # pairs split on the UNESCAPED delimiter (find_next_segment honors
+    # '\' escapes); keys/values then unescape like leef_unescape_copy
+    delim_rx = r"(?<!\\)" + _re.escape(delimiter)
+    unesc = lambda c: F.regexp_replace(c, r"\\([|\\])", "$1")  # noqa: E731
+    fields = F.str_to_map(ext, F.lit(delim_rx), F.lit("="))
+    fields = F.transform_keys(fields, lambda k, _v: unesc(k))
+    fields = F.transform_values(fields, lambda _k, v: unesc(v))
+    header = F.struct(
+        seg(1).alias("version"),
+        seg(2).alias("vendor"),
+        seg(3).alias("product"),
+        seg(4).alias("product_version"),
+        seg(5).alias("event_id"),
+    )
+    return df.withColumn(
+        out_col, F.when(hit, F.struct(header.alias("header"),
+                                      fields.alias("fields")))
+    ).withColumn("leef_success", hit)
+
+
+def _na(c: Column) -> Column:
+    """Snare placeholder tokens (is_placeholder: 'N/A', '-', '')."""
+    return F.when(~c.isin("N/A", "-", ""), c)
+
+
+def mmsnareparse(
+    df: DataFrame, msg_col: str = "msg", out_col: str = "win"
+) -> DataFrame:
+    """plugins/mmsnareparse/mmsnareparse.c (subset): split the
+    tab-delimited Snare Windows payload and populate the event
+    metadata the reference extracts in populate_event_metadata
+    (mmsnareparse.c:4607-4705): RFC5424 layout (MSWinEventLog at token
+    0) → eventid=5 provider=6 eventtype=9 computer=10 categorytext=11
+    (+channel=2, record=3); RFC3164 layout (tag consumed by the syslog
+    parser) → eventid=1 provider=2 eventtype=5 computer=6 category=7.
+    Placeholders (N/A, -) become null. The deep per-event-type field
+    mappings (logon types, TLS, LAPS, WDAC sections) are out of this
+    subset."""
+    toks = F.split(F.col(msg_col), r"\t", -1)
+    t = lambda i: F.try_element_at(toks, F.lit(i + 1))  # noqa: E731
+    is5424 = t(0) == "MSWinEventLog"
+    idx = lambda a, b: F.when(is5424, t(a)).otherwise(t(b))  # noqa: E731
+    hit = is5424 | (F.size(toks) >= 8)
+    ev = idx(5, 1)
+    struct = F.struct(
+        ev.try_cast("long").alias("EventID"),
+        F.when(ev.try_cast("long").isNull(), _na(ev)).alias("EventIDRaw"),
+        _na(idx(6, 2)).alias("Provider"),
+        _na(idx(9, 5)).alias("EventType"),
+        _na(idx(10, 6)).alias("Computer"),
+        _na(idx(11, 7)).alias("Category"),
+        F.when(is5424, _na(t(2))).alias("Channel"),
+        F.when(is5424, t(3).try_cast("long")).alias("RecordNumber"),
+    )
+    return df.withColumn(out_col, F.when(hit, struct)).withColumn(
+        "win_success", hit
+    )

@@ -82,3 +82,160 @@ def test_pmnormalize_promotes_fields(spark):
     assert r.msg == "port 22"
     assert r.norm["peer"] == "10.0.0.7"
     assert not rows[1].pmn_matched and rows[1].hostname is None
+
+
+def _parsed(spark, lines):
+    df = spark.createDataFrame([(s,) for s in lines], "line string")
+    from pyspark.sql import functions as F
+
+    df = df.withColumn("rawmsg", F.col("line"))
+    # minimal header-column scaffold like parse() provides
+    for c in ("hostname", "syslogtag", "programname", "timereported_str",
+              "procid", "msg"):
+        df = df.withColumn(c, F.lit(None).cast("string"))
+    return df.withColumn("severity", F.lit(None).cast("int")).withColumn(
+        "parse_success", F.lit(False)
+    )
+
+
+def test_pmsnare(spark):
+    """pmsnare.c detection shapes: headerless host<TAB>tag and
+    syslog-framed TS host tag<TAB>, with real-tab and #011
+    representations (pmsnare.c:244-260 auto-detect)."""
+    from rsyslog_spark.parsing.devices import pmsnare
+
+    rows = pmsnare(_parsed(spark, [
+        "other.lab.home\tMSWinEventLog\t1\tSecurity\t606129",
+        "<14>May 17 02:25:10 syslog.lab.home MSWinEventLog\t1\tSecurity",
+        "web01#011LinuxKAudit#011type=SYSCALL",
+        "<13>May 17 02:25:10 host55 sshd[1]: normal message",
+    ])).collect()
+    assert rows[0].snare and rows[0].hostname == "other.lab.home"
+    assert rows[0].programname == "MSWinEventLog"
+    assert rows[0].msg == "1\tSecurity\t606129"
+    assert rows[1].snare and rows[1].hostname == "syslog.lab.home"
+    assert rows[1].timereported_str == "May 17 02:25:10"
+    assert rows[2].snare and rows[2].programname == "LinuxKAudit"
+    assert rows[2].msg == "type=SYSCALL"
+    assert not rows[3].snare and rows[3].hostname is None
+
+
+def test_pmaixforwardedfrom(spark):
+    """pmaixforwardedfrom.c: strip 'Message forwarded from host:' /
+    'From host:' preambles, keeping host as HOSTNAME."""
+    from rsyslog_spark.parsing.devices import pmaixforwardedfrom
+
+    rows = pmaixforwardedfrom(_parsed(spark, [
+        "<13>May 17 02:25:10 Message forwarded from aixbox1: "
+        "sshd[123]: session opened",
+        "<13>May 17 02:25:10 From aixbox2: cron: job done",
+        "<13>May 17 02:25:10 host9 app: unrelated",
+    ])).collect()
+    assert rows[0].hostname == "aixbox1"
+    assert rows[0].syslogtag == "sshd[123]:" and rows[0].programname == "sshd"
+    assert rows[0].msg == "session opened"
+    assert rows[1].hostname == "aixbox2" and rows[1].msg == "job done"
+    assert rows[2].hostname is None  # untouched
+
+
+def test_pmdb2diag(spark):
+    """pmdb2diag.c at the reference defaults (levelpos=59, timepos=0,
+    shift=49) over a tests/pmdb2diag*-shaped line."""
+    from rsyslog_spark.parsing.devices import pmdb2diag
+
+    # pad so PROC's value sits exactly pid_start+49 like real db2diag
+    tail = "PID : 4390912              TID : 1           PROC : "
+    tail += " " * (49 + (tail.index(":") + 2) - len(tail) - 1) + " db2sysc 0"
+    line = ("<14>2015-05-06-16.53.26.989430+120 E1876227378A1702     "
+            "LEVEL: Info" + tail)
+    lvlpos = line.replace("<14>", "").index("LEVEL: I") + len("LEVEL: ")
+    rows = pmdb2diag(
+        _parsed(spark, [line, "<13>ordinary message"]),
+        levelpos=lvlpos, pid_to_prog_shift=49,
+    ).collect()
+    r = rows[0]
+    assert r.severity == 6  # Info
+    assert r.procid == "4390912"
+    assert r.programname == "db2sysc"
+    assert r.timereported_str == "2015-05-06-16.53.26.989430+120"
+    assert rows[1].severity is None and rows[1].procid is None
+
+
+def test_pmpanngfw(spark):
+    """pmpanngfw.c README transformation: CSV→TSV, quoted fields keep
+    embedded commas, '""' unescapes to '"'."""
+    from rsyslog_spark.parsing.devices import pmpanngfw
+
+    msg = ('1,2012/04/10 02:48:29,001606001116,THREAT,url,1,'
+           '"www.fb.com/x.php?a=1&b={""k"":2},more",(9999),social')
+    out = pmpanngfw(
+        spark.createDataFrame([(msg,), ("plain text msg",)], "msg string")
+    ).collect()
+    assert out[0].pan
+    fields = out[0].msg.split("\t")
+    assert fields[3] == "THREAT"
+    assert fields[6] == 'www.fb.com/x.php?a=1&b={"k":2},more'
+    assert fields[7] == "(9999)"
+    assert not out[1].pan and out[1].msg == "plain text msg"
+
+
+def test_mmleefparse(spark):
+    """mmleefparse.c over the tests/mmleefparse_basic.sh PAN-OS shape
+    ('|' extension delimiter) and a tab-delimited LEEF 2.0 event."""
+    from rsyslog_spark.parsing.devices import mmleefparse
+
+    pan = ("LEEF:1.0|Palo Alto Networks|PAN-OS Syslog Integration|"
+           "11.1.6-h14|allow|cat=TRAFFIC|src=172.19.50.39|"
+           "dst=172.19.5.50|proto=tcp|usrName=")
+    out = mmleefparse(
+        spark.createDataFrame([(pan,)], "msg string"), delimiter="|"
+    ).first()
+    assert out.leef_success
+    h = out.leef.header
+    assert h.version == "1.0" and h.vendor == "Palo Alto Networks"
+    assert h.product_version == "11.1.6-h14" and h.event_id == "allow"
+    f = out.leef.fields
+    assert f["cat"] == "TRAFFIC" and f["src"] == "172.19.50.39"
+    assert f["proto"] == "tcp" and f["usrName"] == ""
+
+    tabbed = ("<13>Feb 18 06:42:17 host LEEF:2.0|IBM|QRadar|2.0|12345|"
+              "devTime=Sep 17 2025\tsev=5\tescaped\\|pipe=yes")
+    out2 = mmleefparse(
+        spark.createDataFrame([(tabbed,)], "msg string")
+    ).first()
+    assert out2.leef_success  # cookie searched mid-message
+    assert out2.leef.header.vendor == "IBM"
+    assert out2.leef.fields["sev"] == "5"
+    assert out2.leef.fields["escaped|pipe"] == "yes"
+    out3 = mmleefparse(
+        spark.createDataFrame([("no cookie here",)], "msg string")
+    ).first()
+    assert not out3.leef_success and out3.leef is None
+
+
+def test_mmsnareparse(spark):
+    """mmsnareparse.c populate_event_metadata layouts over the
+    tests/mmsnareparse-basic.sh fixture shape."""
+    from rsyslog_spark.parsing.devices import mmsnareparse
+
+    rfc5424 = ("MSWinEventLog\t1\tSecurity\t802301\t"
+               "Tue Feb 18 06:42:17 2025\t4624\t"
+               "Microsoft-Windows-Security-Auditing\tN/A\tN/A\t"
+               "Success Audit\tDC25-PREVIEW\tLogon\t\t"
+               "An account was successfully logged on.")
+    rfc3164 = ("2017\t4625\tMicrosoft-Windows-Security-Auditing\tN/A\t"
+               "N/A\tFailure Audit\tWS-01\tLogon\t\tfailed")
+    rows = mmsnareparse(
+        spark.createDataFrame([(rfc5424,), (rfc3164,), ("short msg",)],
+                              "msg string")
+    ).collect()
+    w = rows[0].win
+    assert w.EventID == 4624
+    assert w.Provider == "Microsoft-Windows-Security-Auditing"
+    assert w.EventType == "Success Audit" and w.Computer == "DC25-PREVIEW"
+    assert w.Category == "Logon" and w.Channel == "Security"
+    assert w.RecordNumber == 802301
+    w2 = rows[1].win
+    assert w2.EventID == 4625 and w2.EventType == "Failure Audit"
+    assert w2.Computer == "WS-01" and w2.Channel is None
+    assert not rows[2].win_success and rows[2].win is None
