@@ -230,3 +230,71 @@ def enrich_sources(df: DataFrame, sources: DataFrame, on: str = "source") -> Dat
     """Per-source metadata broadcast join (north_star requirement;
     dnscache / per-source config analog, runtime/dnscache.c)."""
     return df.join(broadcast(sources), on, "left")
+
+
+# --- mmkubernetes-shaped enrichment (contrib/mmkubernetes) -------------------
+
+# The module's OWN default filename rulebase (DFLT_FILENAME_LNRULES,
+# mmkubernetes.c:79-81): /var/log/containers/<pod>_<namespace>_
+# <container>-<64-hex docker id>.log
+K8S_FILENAME_RULES = (
+    "rule=:/var/log/containers/%pod_name:char-to:_%_"
+    "%namespace_name:char-to:_%_%container_name_and_id:char-to:.%.log"
+)
+
+
+def mmkubernetes(
+    df: DataFrame,
+    pod_metadata: DataFrame,
+    filename_col: str = "filename",
+    prefix: str = "k8s_",
+) -> DataFrame:
+    """contrib/mmkubernetes/mmkubernetes.c: derive kubernetes identity
+    from the container-log filename using the module's default
+    liblognorm rulebase (loaded through the same load_rulebase path the
+    reference hands to ln_loadSamples), then enrich with pod metadata.
+
+    The reference queries the API server per (namespace, pod) and
+    caches the response in per-instance hashtables with
+    cacheexpireinterval-driven expiry (mmkubernetes.c:115-123, 241).
+    The Spark analog: ``pod_metadata`` IS the cache — a dimension table
+    keyed by (namespace_name, pod_name) carrying whatever metadata the
+    deployment syncs from the API server (labels, uid, node, ...). It
+    broadcasts (pods-per-cluster is dimension-sized), and the
+    cache-expiry analog is re-reading the dimension per micro-batch —
+    wrap it in a ReloadingLookup-style ``spark.read`` inside
+    foreachBatch so a refreshed snapshot takes effect on the next epoch
+    exactly like cacheexpireinterval.
+
+    Adds ``<prefix>pod_name / namespace_name / container_name`` (the
+    64-hex docker id is split off like the reference's container
+    rulebase does) plus every non-key column of ``pod_metadata``."""
+    from rsyslog_spark import mm as _mm
+
+    rules = _mm.load_rulebase(K8S_FILENAME_RULES)
+    out = _mm.mmnormalize(
+        df, rules, msg_col=filename_col, out_col="_k8s", rule_col="_k8s_rule"
+    )
+    got = lambda k: F.try_element_at("_k8s", F.lit(k))  # noqa: E731
+    cont = got("container_name_and_id")
+    out = (
+        out.withColumn(f"{prefix}pod_name", got("pod_name"))
+        .withColumn(f"{prefix}namespace_name", got("namespace_name"))
+        .withColumn(
+            f"{prefix}container_name",
+            F.regexp_replace(cont, r"-[0-9a-f]{64}$", ""),
+        )
+        .drop("_k8s", "_k8s_rule")
+    )
+    meta = pod_metadata
+    renames = {
+        "pod_name": f"{prefix}pod_name",
+        "namespace_name": f"{prefix}namespace_name",
+    }
+    for old, new in renames.items():
+        meta = meta.withColumnRenamed(old, new)
+    return out.join(
+        broadcast(meta),
+        [f"{prefix}pod_name", f"{prefix}namespace_name"],
+        "left",
+    )
