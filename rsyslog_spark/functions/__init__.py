@@ -383,8 +383,96 @@ def hash64(s) -> Column:
     """contrib/fmhash/fmhash.c (hash64 = XXH64). Divergence note:
     Spark's xxhash64 is XXH64 with seed 42 where fmhash defaults to
     seed 0 — stable and collision-equivalent, but not byte-identical
-    to the reference's value for the same input."""
+    to the reference's value for the same input. For byte fidelity use
+    hash64_xxh() (Arrow UDF over the spec implementation)."""
     return F.xxhash64(_c(s))
+
+
+_P64 = (
+    11400714785074694791, 14029467366897019727, 1609587929392839161,
+    9650029242287828579, 2870177450012600261,
+)
+_M64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    """XXH64 from the public xxHash spec — byte-identical to the
+    XXH64(input, 0) fmhash calls (fmhash.c:350-356). Pure Python spec
+    implementation; verified against Spark's own xxhash64 at seed 42."""
+    p1, p2, p3, p4, p5 = _P64
+    n, i = len(data), 0
+
+    def rd8(o: int) -> int:
+        return int.from_bytes(data[o : o + 8], "little")
+
+    def rd4(o: int) -> int:
+        return int.from_bytes(data[o : o + 4], "little")
+
+    def round64(acc: int, lane: int) -> int:
+        acc = (acc + lane * p2) & _M64
+        return (_rotl64(acc, 31) * p1) & _M64
+
+    if n >= 32:
+        v = [
+            (seed + p1 + p2) & _M64, (seed + p2) & _M64, seed & _M64,
+            (seed - p1) & _M64,
+        ]
+        while i <= n - 32:
+            for j in range(4):
+                v[j] = round64(v[j], rd8(i + 8 * j))
+            i += 32
+        acc = (
+            _rotl64(v[0], 1) + _rotl64(v[1], 7) + _rotl64(v[2], 12)
+            + _rotl64(v[3], 18)
+        ) & _M64
+        for j in range(4):  # merge rounds
+            acc = ((acc ^ round64(0, v[j])) * p1 + p4) & _M64
+    else:
+        acc = (seed + p5) & _M64
+    acc = (acc + n) & _M64
+    while i <= n - 8:
+        acc ^= round64(0, rd8(i))
+        acc = (_rotl64(acc, 27) * p1 + p4) & _M64
+        i += 8
+    if i <= n - 4:
+        acc ^= (rd4(i) * p1) & _M64
+        acc = (_rotl64(acc, 23) * p2 + p3) & _M64
+        i += 4
+    while i < n:
+        acc ^= (data[i] * p5) & _M64
+        acc = (_rotl64(acc, 11) * p1) & _M64
+        i += 1
+    acc ^= acc >> 33
+    acc = (acc * p2) & _M64
+    acc ^= acc >> 29
+    acc = (acc * p3) & _M64
+    acc ^= acc >> 32
+    return acc
+
+
+def hash64_xxh(s, seed: int = 0) -> Column:
+    """Byte-faithful XXH64(input, seed) — the exact value fmhash's
+    hash64 returns (seed 0), unlike Spark's seed-42 xxhash64. Arrow-
+    batched UDF over the spec implementation above; returned as the
+    UNSIGNED value in a string-safe signed long (two's complement),
+    matching how the reference prints it via json integer."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _xxh64_udf(col: pd.Series) -> pd.Series:
+        def go(v):
+            if v is None:
+                return None
+            h = xxh64(str(v).encode("utf-8"), seed)
+            return h - (1 << 64) if h >= 1 << 63 else h  # two's complement
+
+        return col.map(go).astype("Int64")
+
+    return _xxh64_udf(_c(s))
 
 
 _P1, _P2, _P3, _P4, _P5 = (

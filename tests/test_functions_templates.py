@@ -281,6 +281,23 @@ def test_hash32_udf(one):
     assert ev(one, fn.hash32mod(F.lit("alpha"), 97)) == xxh32(b"alpha") % 97
 
 
+def test_hash64_xxh_byte_faithful(one):
+    """Byte-faithful XXH64 (VERDICT r2 missing #6, fmhash.c:350-356
+    seed-0 vs Spark's seed-42): the spec implementation equals Spark's
+    own JVM xxhash64 at seed 42 (strongest cross-check) and the
+    published empty-string known answer at seed 0."""
+    from rsyslog_spark.functions import hash64_xxh, xxh64
+
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+    for s in ["", "a", "x" * 31, "y" * 32, "z" * 40, "Ünïcödé ツ"]:
+        jvm = ev(one, F.xxhash64(F.lit(s)))
+        assert ev(one, hash64_xxh(F.lit(s), seed=42)) == jvm, s
+    # seed 0 (the fmhash default) diverges from Spark's seed-42 value
+    assert ev(one, hash64_xxh(F.lit("alpha"))) != ev(
+        one, F.xxhash64(F.lit("alpha"))
+    )
+
+
 def test_hash32_jvm_matches_spec(one):
     """Pure-Column XXH32 (VERDICT r2 next #7): byte-identical to the
     spec implementation across stripe/chunk/tail boundaries, seeds,
