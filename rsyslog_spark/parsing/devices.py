@@ -484,3 +484,144 @@ def mmsnareparse(
     return df.withColumn(out_col, F.when(hit, struct)).withColumn(
         "win_success", hit
     )
+
+
+def pmcisconames(df: DataFrame, raw_col: str = "rawmsg") -> DataFrame:
+    """contrib/pmcisconames/pmcisconames.c: some relays mangle Cisco
+    logs into ``TS host : %FAC-SEV-MNEM: msg`` (an orphaned ':' between
+    hostname and the %-tag). The reference deletes the extra ': ' so
+    the 3164 parser sees ``TS host %FAC-SEV-MNEM: msg``; this fixup
+    assigns those parse results directly. Both the 16-char and the
+    21-char (year) timestamps are accepted (pmcisconames.c:48-76)."""
+    after = F.regexp_replace(F.col(raw_col), r"^<\d{1,3}>", "")
+    rx = (
+        r"^((?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)"
+        r" (?: \d|\d\d)(?: \d{4})? \d{2}:\d{2}:\d{2}) (\S+) : "
+        r"(%[A-Z0-9_-]+-\d-[A-Z0-9_]+):\s?(.*)$"
+    )
+    g = [F.regexp_extract(F.ltrim(after), rx, i) for i in range(5)]
+    hit = g[0] != ""
+    return (
+        df.withColumn(
+            "timereported_str",
+            F.when(hit, g[1]).otherwise(F.col("timereported_str")),
+        )
+        .withColumn(
+            "hostname", F.when(hit, g[2]).otherwise(F.col("hostname"))
+        )
+        .withColumn(
+            "syslogtag",
+            F.when(hit, F.concat(g[3], F.lit(":"))).otherwise(
+                F.col("syslogtag")
+            ),
+        )
+        .withColumn(
+            "programname", F.when(hit, g[3]).otherwise(F.col("programname"))
+        )
+        .withColumn("msg", F.when(hit, g[4]).otherwise(F.col("msg")))
+        .withColumn(
+            "parse_success",
+            F.when(hit, F.lit(True)).otherwise(F.col("parse_success")),
+        )
+    )
+
+
+def mmsnmptrapd(
+    df: DataFrame,
+    tag_id: str = "snmptrapd",
+    tag_name: str = "snmptrapd:",
+    severity_mapping: dict[str, int] | None = None,
+    tag_col: str = "syslogtag",
+) -> DataFrame:
+    """plugins/mmsnmptrapd/mmsnmptrapd.c: snmptrapd emits everything
+    under one tag with the ORIGINATOR's severity and host folded into
+    it — ``snmptrapd/<severity>/<host>:``. Messages whose tag starts
+    with ``tag_id`` get: TAG ← ``tag_name`` (MsgSetTAG), HOSTNAME ← the
+    host component (trailing ':' stripped), severity ← the user's
+    severity-string mapping (lookupSeverityCode; unmapped strings leave
+    severity untouched, mmsnmptrapd.c:200-232)."""
+    severity_mapping = severity_mapping or {}
+    tag = F.col(tag_col)
+    hit = tag.startswith(tag_id + "/")
+    rest = F.substr(tag, F.lit(len(tag_id) + 2))
+    parts = F.split(rest, "/", 2)
+    sev_str = F.lower(F.try_element_at(parts, F.lit(1)))
+    host = F.regexp_replace(
+        F.coalesce(F.try_element_at(parts, F.lit(2)), F.lit("")), r":$", ""
+    )
+    sev_code = F.lit(None).cast("int")
+    for name, code in severity_mapping.items():
+        sev_code = F.when(sev_str == name.lower(), F.lit(code)).otherwise(
+            sev_code
+        )
+    # the tag rewrite must come LAST: F.col(tag_col) inside hit/host
+    # resolves against the frame each withColumn sees, so rewriting the
+    # tag first would make every later condition read the NEW tag
+    return (
+        df.withColumn(
+            "hostname",
+            F.when(hit & (host != ""), host).otherwise(F.col("hostname")),
+        )
+        .withColumn(
+            "severity",
+            F.when(hit & sev_code.isNotNull(), sev_code).otherwise(
+                F.col("severity")
+            ),
+        )
+        .withColumn(tag_col, F.when(hit, F.lit(tag_name)).otherwise(tag))
+    )
+
+
+# mmaitag default label set (doc/source/configuration/modules/mmaitag.rst)
+AITAG_LABELS = ("NOISE", "REGULAR", "IMPORTANT", "CRITICAL")
+
+
+def mmaitag(
+    df: DataFrame,
+    msg_col: str = "msg",
+    out_col: str = "aitag",
+    provider: str = "heuristic",
+    classify_fn=None,
+) -> DataFrame:
+    """contrib mmaitag (doc/configuration/modules/mmaitag.rst):
+    classify each message into NOISE/REGULAR/IMPORTANT/CRITICAL and
+    store the label in a custom variable (the `tag` param's $.aitag).
+
+    Providers:
+    * ``heuristic`` — a deterministic JVM-side stand-in (the external
+      AI service is unreachable from this sandbox): CRITICAL on
+      panic/fatal/emergency markers, IMPORTANT on error/fail/denied,
+      NOISE on debug/heartbeat/keepalive chatter, else REGULAR. The
+      real provider's label SET and storage contract are preserved.
+    * ``external`` — pass ``classify_fn`` (e.g. a wrapped
+      datapipe.multimodal.mmexternal child that calls the model API);
+      it must map a msg Column to a label Column. Raises if missing —
+      the API boundary is explicit, like the media-decoder stub."""
+    msg = F.lower(F.coalesce(F.col(msg_col), F.lit("")))
+    if provider == "heuristic":
+        label = (
+            F.when(
+                msg.rlike(r"panic|fatal|emergency|out of memory|segfault"),
+                F.lit("CRITICAL"),
+            )
+            .when(
+                msg.rlike(r"error|fail|denied|refused|unreachable"),
+                F.lit("IMPORTANT"),
+            )
+            .when(
+                msg.rlike(r"debug|heartbeat|keepalive|stats: |trace"),
+                F.lit("NOISE"),
+            )
+            .otherwise(F.lit("REGULAR"))
+        )
+    elif provider == "external":
+        if classify_fn is None:
+            raise NotImplementedError(
+                "mmaitag external provider needs classify_fn — no AI "
+                "service is reachable from this sandbox; wire the model "
+                "call through datapipe.multimodal.mmexternal"
+            )
+        label = classify_fn(F.col(msg_col))
+    else:
+        raise ValueError(f"unknown mmaitag provider {provider!r}")
+    return df.withColumn(out_col, label)

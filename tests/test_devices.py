@@ -239,3 +239,65 @@ def test_mmsnareparse(spark):
     assert w2.EventID == 4625 and w2.EventType == "Failure Audit"
     assert w2.Computer == "WS-01" and w2.Channel is None
     assert not rows[2].win_success and rows[2].win is None
+
+
+def test_pmcisconames(spark):
+    """pmcisconames.c: strip the orphaned ':' between hostname and the
+    %-tag; both short and year timestamps accepted."""
+    from rsyslog_spark.parsing.devices import pmcisconames
+
+    rows = pmcisconames(_parsed(spark, [
+        "<189>Oct 11 10:12:13 fw01 : %ASA-6-302013: Built outbound TCP",
+        "<189>Oct 11 2024 10:12:13 fw02 : %ASA-4-106023: Deny tcp src",
+        "<189>Oct 11 10:12:13 host9 app: ordinary",
+    ])).collect()
+    assert rows[0].hostname == "fw01"
+    assert rows[0].syslogtag == "%ASA-6-302013:"
+    assert rows[0].programname == "%ASA-6-302013"
+    assert rows[0].msg == "Built outbound TCP"
+    assert rows[1].hostname == "fw02" and rows[1].msg == "Deny tcp src"
+    assert rows[2].hostname is None
+
+
+def test_mmsnmptrapd(spark):
+    """mmsnmptrapd.c: tag 'snmptrapd/<sev>/<host>:' → TAG reset,
+    HOSTNAME from tag, severity via user mapping; unmapped severity
+    strings leave severity untouched."""
+    from pyspark.sql import functions as F
+
+    from rsyslog_spark.parsing.devices import mmsnmptrapd
+
+    df = spark.createDataFrame(
+        [("snmptrapd/warning/router9:", "h0", 6),
+         ("snmptrapd/weird/sw1:", "h0", 6),
+         ("sshd[1]:", "h0", 6)],
+        "syslogtag string, hostname string, severity int",
+    )
+    rows = mmsnmptrapd(
+        df, severity_mapping={"warning": 4, "error": 3}
+    ).collect()
+    assert rows[0].syslogtag == "snmptrapd:"
+    assert rows[0].hostname == "router9" and rows[0].severity == 4
+    assert rows[1].hostname == "sw1" and rows[1].severity == 6  # unmapped
+    assert rows[2].syslogtag == "sshd[1]:" and rows[2].hostname == "h0"
+
+
+def test_mmaitag(spark):
+    """mmaitag.rst label set via the deterministic heuristic provider;
+    the external provider's API boundary is explicit."""
+    import pytest
+
+    from rsyslog_spark.parsing.devices import AITAG_LABELS, mmaitag
+
+    df = spark.createDataFrame(
+        [("kernel panic - not syncing",), ("connection refused by peer",),
+         ("debug: cache warm",), ("user logged in",)],
+        "msg string",
+    )
+    rows = mmaitag(df).collect()
+    assert [r.aitag for r in rows] == [
+        "CRITICAL", "IMPORTANT", "NOISE", "REGULAR"
+    ]
+    assert all(r.aitag in AITAG_LABELS for r in rows)
+    with pytest.raises(NotImplementedError, match="external"):
+        mmaitag(df, provider="external")
