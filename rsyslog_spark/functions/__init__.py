@@ -327,6 +327,36 @@ def unflatten(s, sep=".") -> Column:
     return parse_json(s)
 
 
+def flatten_json(s, sep: str = ".", depth: int = 6) -> Column:
+    """plugins/mmjsontransform flatten mode: nested JSON objects →
+    dotted flat map ({"a":{"b":1}} → {"a.b":"1"}), entirely in Column
+    expressions. One expansion pass per nesting level, unrolled to
+    ``depth`` (linear expression growth — each pass references the
+    previous entries array once; deeper trees keep their remaining
+    nesting as raw JSON strings, documented bound). Malformed nested
+    values stay as-is (coalesce guard). Arrays remain string values,
+    like map<string,string> parsing renders them."""
+    entries = F.map_entries(F.from_json(_c(s), "map<string,string>"))
+    looks_obj = lambda v: v.rlike(r"^\s*\{")  # noqa: E731
+    for _ in range(depth):
+
+        def expand(e: Column) -> Column:
+            kids = F.map_entries(F.from_json(e["value"], "map<string,string>"))
+            prefixed = F.transform(
+                kids,
+                lambda c: F.struct(
+                    F.concat(e["key"], F.lit(sep), c["key"]).alias("key"),
+                    c["value"].alias("value"),
+                ),
+            )
+            return F.when(
+                looks_obj(e["value"]), F.coalesce(prefixed, F.array(e))
+            ).otherwise(F.array(e))
+
+        entries = F.flatten(F.transform(entries, expand))
+    return F.map_from_entries(entries)
+
+
 def unflatten_json(s, sep: str = ".") -> Column:
     """contrib/fmunflatten/fmunflatten.c:206 — nested-tree output as a
     JSON string: {"a.b":1,"a.c":2} → {"a":{"b":1,"c":2}}. Arrow-batched

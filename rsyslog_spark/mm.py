@@ -831,3 +831,32 @@ def mmgrok(
     return out.withColumn("grok_success", F.col("_grok_rule") == 0).drop(
         "_grok_rule"
     )
+
+
+# --- mmjsontransform (plugins/mmjsontransform) --------------------------------
+
+def mmjsontransform(
+    df: DataFrame,
+    input_col: str,
+    output_col: str,
+    mode: str = "unflatten",
+    sep: str = ".",
+) -> DataFrame:
+    """plugins/mmjsontransform/mmjsontransform.c: transform a JSON
+    container between dotted-flat and nested forms (modes 'unflatten' —
+    dotted keys → nested containers, mmjsontransform.c:64,552 — and
+    'flatten' — the inverse). Input is a JSON-string column (the $!
+    container analog); unflatten emits the nested tree as a JSON
+    string, flatten emits the dotted map<string,string> column."""
+    from rsyslog_spark import functions as fn
+
+    if mode == "unflatten":
+        out = fn.unflatten_json(F.col(input_col), sep=sep)
+    elif mode == "flatten":
+        out = fn.flatten_json(F.col(input_col), sep=sep)
+    else:
+        raise ValueError(
+            f"mmjsontransform: mode {mode!r} is invalid; "
+            "use 'unflatten' or 'flatten'"
+        )
+    return df.withColumn(output_col, out)

@@ -588,3 +588,24 @@ def test_mmexternal_real_child_process(spark):
     assert rows["hello"] == {"up": "HELLO", "len": 5}
     assert rows["World"] == {"up": "WORLD", "len": 5}
     assert rows[""] == {"up": "", "len": 0}
+
+
+def test_mmjsontransform(spark):
+    """plugins/mmjsontransform: unflatten (dotted → nested containers)
+    and flatten (nested → dotted map), mmjsontransform.c:64,552."""
+    import json
+
+    import pytest
+
+    df = spark.createDataFrame(
+        [('{"a":{"b":1,"c":{"d":"x"}},"e":2}',), (None,)], "j string"
+    )
+    flat = mm.mmjsontransform(df, "j", "flat", mode="flatten").collect()
+    assert dict(flat[0].flat) == {"a.b": "1", "a.c.d": "x", "e": "2"}
+    assert flat[1].flat is None
+    df2 = spark.createDataFrame([('{"a.b":"1","a.c":"2","e":"3"}',)],
+                                "j string")
+    nested = mm.mmjsontransform(df2, "j", "nested").first().nested
+    assert json.loads(nested) == {"a": {"b": "1", "c": "2"}, "e": "3"}
+    with pytest.raises(ValueError, match="invalid"):
+        mm.mmjsontransform(df, "j", "x", mode="bogus")
