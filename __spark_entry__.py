@@ -746,6 +746,42 @@ def q_rulebase_v2(spark, sf):
     )
 
 
+def q_session_stats(spark, sf):
+    """Gap-based sessionization over the event stream: per source,
+    sessions split on >300s inter-event gaps; one row per session."""
+    from rsyslog_spark.corpus import _SRC_CASE
+
+    ev = _events(spark, sf).withColumn(
+        "source",
+        F.concat(F.lit("src"), F.expr(_SRC_CASE).cast("string")),
+    )
+    out = agg.sessionize(ev, "source", "ts", gap_seconds=300,
+                         tiebreak_col="event_id")
+    return out.select(
+        "source",
+        F.col("session_id").cast("long").alias("session_id"),
+        F.col("start_ep").cast("long").alias("start_ep"),
+        F.col("end_ep").cast("long").alias("end_ep"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("duration_secs").cast("long").alias("duration_secs"),
+    )
+
+
+def q_corpus_filter(spark, sf):
+    """Training-corpus quality gate: language + length + alpha + punct
+    rules with first-failing reason — the standard pre-training filter
+    stack over the documents table."""
+    from rsyslog_spark.datapipe.textstats import corpus_filter
+
+    d = corpus_filter(_docs(spark, sf), min_words=8, max_words=5000,
+                      min_alpha_ratio=0.6, max_punct_ratio=0.1)
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("keep").cast("long").alias("keep"),
+        F.col("reason").alias("reason"),
+    )
+
+
 def q_leef_fields(spark, sf):
     """mmleefparse coverage: a LEEF event derived per message is parsed
     back into header + extension fields (plugins/mmleefparse)."""
@@ -838,6 +874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rulebase_grok": q_rulebase_grok,
         "rulebase_v2": q_rulebase_v2,
         "leef_fields": q_leef_fields,
+        "session_stats": q_session_stats,
+        "corpus_filter": q_corpus_filter,
         "perctile_window": q_perctile_window,
     }
 
@@ -1295,6 +1333,72 @@ def oracle_sql() -> dict[str, str]:
                    lpad(CAST(event_id AS VARCHAR), 8, '0') AS msgnum,
                    {_K} AS kval
             FROM events
+        """,
+        "session_stats": f"""
+            WITH e AS (
+                SELECT {O['source']} AS source,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+                       event_id
+                FROM events
+            ), flagged AS (
+                SELECT source, ep, event_id,
+                       CASE WHEN lag(ep) OVER w IS NULL
+                                 OR ep - lag(ep) OVER w > 300
+                            THEN 1 ELSE 0 END AS ns
+                FROM e
+                WINDOW w AS (PARTITION BY source ORDER BY ep, event_id)
+            ), sess AS (
+                SELECT source, ep,
+                       sum(ns) OVER (PARTITION BY source
+                                     ORDER BY ep, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged
+            )
+            SELECT source, CAST(sid AS BIGINT) AS session_id,
+                   CAST(min(ep) AS BIGINT) AS start_ep,
+                   CAST(max(ep) AS BIGINT) AS end_ep,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(max(ep) - min(ep) AS BIGINT) AS duration_secs
+            FROM sess GROUP BY source, sid
+        """,
+        "corpus_filter": f"""
+            WITH scored AS (
+                SELECT doc_id, text,
+                       {_lang_score('en')} AS s_en, {_lang_score('es')} AS s_es,
+                       {_lang_score('de')} AS s_de, {_lang_score('fr')} AS s_fr,
+                       len(string_split_regex(trim(text), '\\s+')) AS n_words,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                           * 1.0 / greatest(length(text), 1) AS alpha_ratio,
+                       length(regexp_replace(text,
+                           '[^!-/:-@\\[-`{{-~]', '', 'g'))
+                           * 1.0 / greatest(length(text), 1) AS punct_ratio
+                FROM documents
+            ), lang AS (
+                SELECT *,
+                    CASE
+                        WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
+                             AND s_en > 0 THEN 'en'
+                        WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0
+                            THEN 'es'
+                        WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+                        WHEN s_fr > 0 THEN 'fr'
+                        ELSE 'und' END AS lang_pred
+                FROM scored
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS BIGINT)
+                       AS keep,
+                   reason
+            FROM (
+                SELECT doc_id,
+                    CASE WHEN lang_pred != 'en' THEN 'lang'
+                         WHEN n_words < 8 THEN 'too_short'
+                         WHEN n_words > 5000 THEN 'too_long'
+                         WHEN alpha_ratio < 0.6 THEN 'low_alpha'
+                         WHEN punct_ratio > 0.1 THEN 'high_punct'
+                         ELSE 'ok' END AS reason
+                FROM lang
+            )
         """,
         "leef_fields": f"""
             SELECT CAST(event_id AS BIGINT) AS event_id,

@@ -278,3 +278,47 @@ def sender_stats(
         F.min(ts_col).alias("first_seen"),
         F.max(ts_col).alias("last_seen"),
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization (the classic pipeline op this engine's
+    event streams feed): per key, a new session starts when the gap to
+    the previous event exceeds ``gap_seconds``. Emits one row per
+    session: key, session_id (1-based per key), start/end epochs,
+    n_events, duration_secs.
+
+    Scale shape: ONE shuffle on the key (the window partition), then a
+    running sum over the lag flag and a partial-aggregated groupBy on
+    (key, session_id) that reuses the same partitioning — Catalyst
+    collapses it to a single Exchange. Skewed keys inherit the window's
+    skew; at 100 TB pre-filter or salt monster keys first (same caveat
+    as any per-entity ordered scan)."""
+    from pyspark.sql.window import Window
+
+    ep = F.unix_timestamp(F.col(ts_col))
+    # deterministic order under tied timestamps (lag would otherwise be
+    # free to pick either neighbor and diverge run-to-run)
+    order = [ep] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev = F.lag(ep).over(w)
+    new_sess = (
+        prev.isNull() | ((ep - prev) > gap_seconds)
+    ).cast("long")
+    sess = df.withColumn("_ep", ep).withColumn(
+        "session_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return sess.groupBy(key_col, "session_id").agg(
+        F.min("_ep").alias("start_ep"),
+        F.max("_ep").alias("end_ep"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("_ep") - F.min("_ep")).alias("duration_secs"),
+    )

@@ -121,3 +121,33 @@ def doc_fingerprint(col: Column, rolling_k: int = 8) -> Column:
     return F.when(n >= rolling_k, F.array_min(grams)).otherwise(
         F.xxhash64(F.array_join(words, " "))
     )
+
+
+def corpus_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    lang: str = "en",
+    min_words: int = 5,
+    max_words: int = 100_000,
+    min_alpha_ratio: float = 0.5,
+    max_punct_ratio: float = 0.2,
+) -> DataFrame:
+    """Training-corpus quality gate (the C4/Gopher-style rule stack):
+    language match, word-count band, alphabetic ratio floor, and
+    punctuation-density ceiling, applied in that order. Adds ``keep``
+    and ``reason`` (the FIRST failing rule, or 'ok') on top of the
+    language_id/quality_score component columns — all pure Column
+    expressions, so the whole gate rides one codegen'd projection and
+    the filter pushes into the scan when used as a predicate."""
+    out = quality_score(language_id(df, text_col), text_col)
+    reason = (
+        F.when(F.col("lang_pred") != lang, F.lit("lang"))
+        .when(F.col("n_words") < min_words, F.lit("too_short"))
+        .when(F.col("n_words") > max_words, F.lit("too_long"))
+        .when(F.col("alpha_ratio") < min_alpha_ratio, F.lit("low_alpha"))
+        .when(F.col("punct_ratio") > max_punct_ratio, F.lit("high_punct"))
+        .otherwise(F.lit("ok"))
+    )
+    return out.withColumn("reason", reason).withColumn(
+        "keep", F.col("reason") == "ok"
+    )

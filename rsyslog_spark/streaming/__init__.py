@@ -141,6 +141,101 @@ def stateful_ratelimit(
     )
 
 
+_SESS_OUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("start_ep", LongType()),
+        StructField("end_ep", LongType()),
+        StructField("n_events", LongType()),
+        StructField("duration_secs", LongType()),
+    ]
+)
+_SESS_STATE = StructType(
+    [
+        StructField("start_ep", LongType()),
+        StructField("last_ep", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def make_sessionize_fn(gap_seconds: int, idle_timeout_ms: int | None = None):
+    """Gap-session transition function for applyInPandasWithState.
+
+    State per key = the OPEN session (start, last, count). Events
+    extend it while within the gap; a larger gap closes it (emit) and
+    opens a new one. A processing-time timeout closes idle sessions so
+    state never grows past one row per active key."""
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        closed = []
+        if state.hasTimedOut:
+            if state.exists:
+                s0, last, n = state.get
+                closed.append((key[0], s0, last, n, last - s0))
+            state.remove()
+        else:
+            if state.exists:
+                s0, last, n = state.get
+            else:
+                s0 = None
+            for pdf in pdfs:
+                for ep in pdf.sort_values("event_epoch")["event_epoch"]:
+                    ep = int(ep)
+                    if s0 is None:
+                        s0, last, n = ep, ep, 1
+                    elif ep - last > gap_seconds:
+                        closed.append((key[0], s0, last, n, last - s0))
+                        s0, last, n = ep, ep, 1
+                    else:
+                        last, n = max(last, ep), n + 1
+            if s0 is not None:
+                state.update((s0, last, n))
+                state.setTimeoutDuration(
+                    gap_seconds * 1000 if idle_timeout_ms is None
+                    else idle_timeout_ms
+                )
+        yield pd.DataFrame(
+            closed,
+            columns=["key", "start_ep", "end_ep", "n_events",
+                     "duration_secs"],
+        )
+
+    return fn
+
+
+def sessionize_stream(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Cross-batch gap sessionization: the streaming twin of
+    aggregates.sessionize. applyInPandasWithState keeps the one open
+    session per key across micro-batches and emits sessions as they
+    CLOSE (gap exceeded in-stream, or processing-time timeout for
+    keys that go quiet — ``idle_timeout_ms`` decouples the WALL-CLOCK
+    idle close from the event-time gap; default gap_seconds*1000).
+    Note: a trigger(availableNow) query stays alive until pending
+    timeouts fire — poll/stop explicitly in drain-style jobs."""
+    prepped = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.unix_timestamp(F.col(ts_col)).alias("event_epoch"),
+    )
+    return prepped.groupBy("key").applyInPandasWithState(
+        make_sessionize_fn(gap_seconds, idle_timeout_ms),
+        outputStructType=_SESS_OUT,
+        stateStructType=_SESS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 class DynStatsStream:
     """Streaming dynstats with FIRST-SEEN cardinality admission and
     TTL eviction — the arrival-order semantics of

@@ -224,3 +224,29 @@ def test_mmkubernetes_enrichment(spark):
     with contextlib.redirect_stdout(buf):
         mmkubernetes(df, meta).explain()
     assert "BroadcastHashJoin" in buf.getvalue()
+
+
+def test_sessionize_batch(spark):
+    """Gap sessionization: new session when the inter-event gap exceeds
+    gap_seconds; per-session start/end/count/duration."""
+    from rsyslog_spark import aggregates as agg
+
+    rows = [
+        ("h1", "2024-01-01 00:00:00"), ("h1", "2024-01-01 00:00:30"),
+        ("h1", "2024-01-01 00:02:00"),  # 90s gap > 60 → new session
+        ("h1", "2024-01-01 00:02:10"),
+        ("h2", "2024-01-01 00:00:05"),
+    ]
+    df = spark.createDataFrame(rows, "host string, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = {(r.host, r.session_id): r for r in agg.sessionize(
+        df, "host", "ts", gap_seconds=60
+    ).collect()}
+    s11 = got[("h1", 1)]
+    assert s11.n_events == 2 and s11.duration_secs == 30
+    s12 = got[("h1", 2)]
+    assert s12.n_events == 2 and s12.duration_secs == 10
+    assert s12.start_ep - s11.end_ep == 90
+    assert got[("h2", 1)].n_events == 1
+    assert len(got) == 3

@@ -251,3 +251,21 @@ def test_functions_showcase_no_python_eval(spark, sf_dir):
     q = entry.queries()["functions_showcase"](spark, sf_dir)
     p = plan_of(q)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_sessionize_single_exchange(spark):
+    """Gap sessionization must shuffle the facts ONCE: the window and
+    the per-session groupBy share the key partitioning, so Catalyst
+    reuses one Exchange."""
+    from rsyslog_spark import aggregates as agg2
+
+    df = spark.createDataFrame(
+        [(f"h{i % 5}", f"2024-01-01 00:{i % 60:02d}:00") for i in range(500)],
+        "host string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    p = plan_of(agg2.sessionize(df, "host", "ts", gap_seconds=60))
+    n_exchange = sum(
+        1 for l in p.splitlines()
+        if l.strip().startswith("(") and "Exchange" in l and "Reused" not in l
+    )
+    assert n_exchange == 1, p

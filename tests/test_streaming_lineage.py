@@ -211,3 +211,67 @@ def test_dynstats_kill_and_resume(spark, tmp_path):
     ds3 = DynStatsStream("prog", "ts", max_cardinality=3, state_path=path)
     assert ds3.snapshot() == ds2.snapshot()
     assert ds3.snapshot()["ops_overflow"] == snap_before["ops_overflow"] + 1
+
+
+def test_sessionize_stream_state_spans_batches(spark, tmp_path):
+    """applyInPandasWithState gap sessions: the open session carries
+    across micro-batches (maxFilesPerTrigger=1 forces two batches),
+    in-stream gap closure emits exactly once, and the processing-time
+    timeout closes the key that goes quiet. The query is polled and
+    stopped explicitly — with pending processing-time timeouts an
+    availableNow query stays alive until they fire."""
+    import os
+    import time
+
+    from rsyslog_spark.streaming import sessionize_stream
+
+    src = str(tmp_path / "sess")
+    os.makedirs(src)
+
+    def write(rows):
+        spark.createDataFrame(rows, "host string, ts string").withColumn(
+            "ts", F.to_timestamp("ts")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: two events of an open session
+    write([("h1", "2024-01-01 00:00:00"), ("h1", "2024-01-01 00:00:10")])
+    # batch 2: one more within the gap, then a 5-min jump closing it
+    write([("h1", "2024-01-01 00:00:30"), ("h1", "2024-01-01 00:05:00")])
+    static = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "sessout")
+    q = (
+        sessionize_stream(stream, "host", "ts", gap_seconds=60,
+                          idle_timeout_ms=3000)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck_sess"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        got = []
+        deadline = time.time() + 150
+        while time.time() < deadline and len(got) < 2:
+            time.sleep(3)
+            try:
+                got = spark.read.parquet(out).collect()
+            except Exception:
+                got = []
+    finally:
+        q.stop()
+    sessions = {r.start_ep: r for r in got}
+    assert len(sessions) == 2, got
+    first = sessions[min(sessions)]
+    # 00:00:00..00:00:30, 3 events — the tail event arrived in the
+    # SECOND micro-batch, proving the state crossed the batch boundary
+    assert first.n_events == 3 and first.duration_secs == 30
+    # the 00:05:00 single-event session was closed by the 3s wall
+    # idle timeout (decoupled from the 60s event-time gap)
+    last = sessions[max(sessions)]
+    assert last.n_events == 1 and last.duration_secs == 0
