@@ -471,6 +471,7 @@ def mmsnareparse(
     idx = lambda a, b: F.when(is5424, t(a)).otherwise(t(b))  # noqa: E731
     hit = is5424 | (F.size(toks) >= 8)
     ev = idx(5, 1)
+    desc = idx(13, 9)
     struct = F.struct(
         ev.try_cast("long").alias("EventID"),
         F.when(ev.try_cast("long").isNull(), _na(ev)).alias("EventIDRaw"),
@@ -480,9 +481,18 @@ def mmsnareparse(
         _na(idx(11, 7)).alias("Category"),
         F.when(is5424, _na(t(2))).alias("Channel"),
         F.when(is5424, t(3).try_cast("long")).alias("RecordNumber"),
+        _na(desc).alias("Description"),
     )
-    return df.withColumn(out_col, F.when(hit, struct)).withColumn(
-        "win_success", hit
+    return (
+        df.withColumn(out_col, F.when(hit, struct))
+        .withColumn("win_success", hit)
+        # the description's per-section key/values, 'Section.Key'-
+        # flattened (the reference's nested JSON shape is one
+        # mm.mmjsontransform(mode='unflatten') away)
+        .withColumn(
+            "win_fields",
+            F.when(hit, snare_description_fields(desc)),
+        )
     )
 
 
@@ -625,3 +635,50 @@ def mmaitag(
     else:
         raise ValueError(f"unknown mmaitag provider {provider!r}")
     return df.withColumn(out_col, label)
+
+
+def snare_description_fields(col: Column, sep: str = ".") -> Column:
+    """Parse the free-text Snare event DESCRIPTION into section-scoped
+    fields (mmsnareparse.c's per-section key/value walk — Subject /
+    Logon Information / Network Information blocks etc., flattened to
+    'Section.Key' names; mm.mmjsontransform(mode='unflatten') rebuilds
+    the reference's nested JSON shape).
+
+    Format (NXLog/Snare): fields separated by runs of 3+ spaces; a
+    segment ending in ':' opens a section; 'Key:  Value' (2+ spaces)
+    is a pair under the current section; prose segments are skipped.
+    One split + one aggregate fold — pure JVM."""
+    segs = F.split(col, r"\s{3,}")
+    # 1+ spaces after the colon: the NXLog format mostly uses two, but
+    # long keys ('Source Network Address: 192.168.50.12') use one
+    pair_rx = r"^([^:]{1,60}):\s+(.*?)\s*$"
+
+    def step(acc: Column, s: Column) -> Column:
+        hdr = F.regexp_extract(s, r"^([^:]{1,60}):$", 1)
+        k = F.regexp_extract(s, pair_rx, 1)
+        v = F.regexp_extract(s, pair_rx, 2)
+        full = F.when(acc["section"] == "", k).otherwise(
+            F.concat(acc["section"], F.lit(sep), k)
+        )
+        return (
+            F.when(
+                hdr != "",
+                F.struct(hdr.alias("section"), acc["m"].alias("m")),
+            )
+            .when(
+                k != "",
+                F.struct(
+                    acc["section"].alias("section"),
+                    F.map_concat(
+                        acc["m"], F.create_map(full, v)
+                    ).alias("m"),
+                ),
+            )
+            .otherwise(acc)
+        )
+
+    init = F.struct(
+        F.lit("").alias("section"),
+        F.create_map().cast("map<string,string>").alias("m"),
+    )
+    return F.aggregate(segs, init, step, lambda a: a["m"])

@@ -222,7 +222,10 @@ def test_mmsnareparse(spark):
                "Tue Feb 18 06:42:17 2025\t4624\t"
                "Microsoft-Windows-Security-Auditing\tN/A\tN/A\t"
                "Success Audit\tDC25-PREVIEW\tLogon\t\t"
-               "An account was successfully logged on.")
+               "An account was successfully logged on.    Subject:   "
+               "Security ID:  S-1-5-18   Account Name:  SYSTEM    "
+               "Logon Information:   Logon Type:  2    Network "
+               "Information:   Source Network Address: 192.168.50.12")
     rfc3164 = ("2017\t4625\tMicrosoft-Windows-Security-Auditing\tN/A\t"
                "N/A\tFailure Audit\tWS-01\tLogon\t\tfailed")
     rows = mmsnareparse(
@@ -235,6 +238,15 @@ def test_mmsnareparse(spark):
     assert w.EventType == "Success Audit" and w.Computer == "DC25-PREVIEW"
     assert w.Category == "Logon" and w.Channel == "Security"
     assert w.RecordNumber == 802301
+    assert w.Description.startswith("An account was successfully")
+    # description sections parsed into Section.Key fields
+    # (mmsnareparse.c's per-section walk)
+    f = rows[0].win_fields
+    assert f["Subject.Security ID"] == "S-1-5-18"
+    assert f["Subject.Account Name"] == "SYSTEM"
+    assert f["Logon Information.Logon Type"] == "2"
+    assert f["Network Information.Source Network Address"] == \
+        "192.168.50.12"
     w2 = rows[1].win
     assert w2.EventID == 4625 and w2.EventType == "Failure Audit"
     assert w2.Computer == "WS-01" and w2.Channel is None
