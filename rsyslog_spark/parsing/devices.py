@@ -10,8 +10,42 @@ chain stays one narrow stage.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# group-separator for single-pass extraction — cannot appear in
+# SanitizeMsg-sanitized input (same trick as mm.mmnormalize and the
+# header parser, parsing/core.py)
+_SEP = "\x01"
+
+
+def _rewrite_groups(df: DataFrame, src: Column, rx: str, n_groups: int,
+                    prefix: str):
+    """ONE regexp_replace per dialect per row: all capture groups are
+    rewritten into a \\x01-joined string whose leading sentinel is the
+    match flag, computed UNCONDITIONALLY in a lower projection (codegen
+    CSE dedupes unconditional occurrences; per-group regexp_extract
+    would re-execute the full regex once per group — the cost the
+    mmnormalize single-pass rewrite exists to avoid). `rx` must be
+    whole-string anchored. Returns (df, hit, group-getter); caller
+    drops `<prefix>_hit`/`<prefix>_arr` when done."""
+    repl = _SEP + _SEP.join(f"${g}" for g in range(1, n_groups + 1))
+    rew = F.regexp_replace(src, rx, repl)
+    df = df.withColumns(
+        {
+            f"{prefix}_hit": rew.startswith(_SEP),
+            f"{prefix}_arr": F.split(rew, _SEP, -1),
+        }
+    )
+
+    def g(i: int) -> Column:
+        # element 1 of the split is the "" before the sentinel
+        return F.coalesce(
+            F.try_element_at(F.col(f"{prefix}_arr"), F.lit(i + 1)),
+            F.lit(""),
+        )
+
+    return df, F.col(f"{prefix}_hit"), g
 
 # Cisco IOS: <PRI>SEQ: [host: ]*TS: %FAC-SEV-MNEMONIC: text
 # (plugins/pmciscoios/pmciscoios.c)
@@ -26,37 +60,38 @@ _CISCO_RE = (
 def pmciscoios(df: DataFrame, raw_col: str = "rawmsg") -> DataFrame:
     """Recognize Cisco-IOS-framed lines and re-derive header fields:
     sequence number → cisco_seq, %FAC-SEV-MNEM → syslogtag/programname,
-    device timestamp → timereported_str."""
+    device timestamp → timereported_str. Single regex pass per row
+    (group-rewrite, see _rewrite_groups)."""
     after = F.regexp_replace(F.col(raw_col), r"^<\d{1,3}>", "")
-    groups = [F.regexp_extract(after, _CISCO_RE, i) for i in range(6)]
-    hit = groups[0] != ""
+    df, hit, g = _rewrite_groups(df, after, _CISCO_RE, 5, "_cisco")
     nullif = lambda c: F.when(c != "", c)  # noqa: E731
     return (
-        df.withColumn("cisco_seq", F.when(hit, groups[1].cast("long")))
+        df.withColumn("cisco_seq", F.when(hit, g(1).cast("long")))
         .withColumn(
             "hostname",
-            F.when(hit, F.coalesce(nullif(groups[2]), F.col("hostname")))
+            F.when(hit, F.coalesce(nullif(g(2)), F.col("hostname")))
             .otherwise(F.col("hostname")),
         )
         .withColumn(
             "timereported_str",
-            F.when(hit, groups[3]).otherwise(F.col("timereported_str")),
+            F.when(hit, g(3)).otherwise(F.col("timereported_str")),
         )
         .withColumn(
             "syslogtag",
-            F.when(hit, F.concat(groups[4], F.lit(":"))).otherwise(
+            F.when(hit, F.concat(g(4), F.lit(":"))).otherwise(
                 F.col("syslogtag")
             ),
         )
         .withColumn(
             "programname",
-            F.when(hit, groups[4]).otherwise(F.col("programname")),
+            F.when(hit, g(4)).otherwise(F.col("programname")),
         )
-        .withColumn("msg", F.when(hit, groups[5]).otherwise(F.col("msg")))
+        .withColumn("msg", F.when(hit, g(5)).otherwise(F.col("msg")))
         .withColumn(
             "parse_success",
             F.when(hit, F.lit(True)).otherwise(F.col("parse_success")),
         )
+        .drop("_cisco_hit", "_cisco_arr")
     )
 
 
@@ -212,23 +247,23 @@ def pmsnare(df: DataFrame, raw_col: str = "rawmsg") -> DataFrame:
     rx_hdrless = rf"^([^ \t]+){_SNARE_TAB}{_SNARE_TAGS}{_SNARE_TAB}(.*)$"
     # syslog-framed: TS host TAG<TAB>payload    (pmsnare.c:363-396)
     rx_syslog = rf"^{_TS3164} (\S+) {_SNARE_TAGS}{_SNARE_TAB}(.*)$"
-    g_h = [F.regexp_extract(after, rx_hdrless, i) for i in range(4)]
-    g_s = [F.regexp_extract(after, rx_syslog, i) for i in range(5)]
-    hit_h = g_h[0] != ""
-    hit_s = (~hit_h) & (g_s[0] != "")
+    df, hit_h0, g_h = _rewrite_groups(df, after, rx_hdrless, 3, "_snh")
+    df, hit_s0, g_s = _rewrite_groups(df, after, rx_syslog, 4, "_sns")
+    hit_h = hit_h0
+    hit_s = (~hit_h0) & hit_s0
     hit = hit_h | hit_s
-    tag = F.when(hit_h, g_h[2]).otherwise(g_s[3])
+    tag = F.when(hit_h, g_h(2)).otherwise(g_s(3))
     return (
         df.withColumn("snare", hit)
         .withColumn(
             "hostname",
-            F.when(hit_h, g_h[1]).when(hit_s, g_s[2]).otherwise(
+            F.when(hit_h, g_h(1)).when(hit_s, g_s(2)).otherwise(
                 F.col("hostname")
             ),
         )
         .withColumn(
             "timereported_str",
-            F.when(hit_s, g_s[1])
+            F.when(hit_s, g_s(1))
             .when(hit_h, F.lit(None))
             .otherwise(F.col("timereported_str")),
         )
@@ -240,12 +275,13 @@ def pmsnare(df: DataFrame, raw_col: str = "rawmsg") -> DataFrame:
         )
         .withColumn(
             "msg",
-            F.when(hit_h, g_h[3]).when(hit_s, g_s[4]).otherwise(F.col("msg")),
+            F.when(hit_h, g_h(3)).when(hit_s, g_s(4)).otherwise(F.col("msg")),
         )
         .withColumn(
             "parse_success",
             F.when(hit, F.lit(True)).otherwise(F.col("parse_success")),
         )
+        .drop("_snh_hit", "_snh_arr", "_sns_hit", "_sns_arr")
     )
 
 
@@ -261,32 +297,32 @@ def pmaixforwardedfrom(df: DataFrame, raw_col: str = "rawmsg") -> DataFrame:
         rf"^{_TS3164} (?:[Mm]essage forwarded from |[Ff]rom )"
         r"([^: ]+): (?:([^ :\[]+(?:\[\d+\])?:) )?(.*)$"
     )
-    g = [F.regexp_extract(after, rx, i) for i in range(5)]
-    hit = g[0] != ""
+    df, hit, g = _rewrite_groups(df, after, rx, 4, "_aix")
     nullif = lambda c: F.when(c != "", c)  # noqa: E731
     return (
         df.withColumn(
-            "hostname", F.when(hit, g[2]).otherwise(F.col("hostname"))
+            "hostname", F.when(hit, g(2)).otherwise(F.col("hostname"))
         )
         .withColumn(
             "timereported_str",
-            F.when(hit, g[1]).otherwise(F.col("timereported_str")),
+            F.when(hit, g(1)).otherwise(F.col("timereported_str")),
         )
         .withColumn(
             "syslogtag",
-            F.when(hit, nullif(g[3])).otherwise(F.col("syslogtag")),
+            F.when(hit, nullif(g(3))).otherwise(F.col("syslogtag")),
         )
         .withColumn(
             "programname",
             F.when(
-                hit, F.regexp_extract(nullif(g[3]), r"^([^:\[ ]*)", 1)
+                hit, F.regexp_extract(nullif(g(3)), r"^([^:\[ ]*)", 1)
             ).otherwise(F.col("programname")),
         )
-        .withColumn("msg", F.when(hit, g[4]).otherwise(F.col("msg")))
+        .withColumn("msg", F.when(hit, g(4)).otherwise(F.col("msg")))
         .withColumn(
             "parse_success",
             F.when(hit, F.lit(True)).otherwise(F.col("parse_success")),
         )
+        .drop("_aix_hit", "_aix_arr")
     )
 
 
@@ -509,30 +545,30 @@ def pmcisconames(df: DataFrame, raw_col: str = "rawmsg") -> DataFrame:
         r" (?: \d|\d\d)(?: \d{4})? \d{2}:\d{2}:\d{2}) (\S+) : "
         r"(%[A-Z0-9_-]+-\d-[A-Z0-9_]+):\s?(.*)$"
     )
-    g = [F.regexp_extract(F.ltrim(after), rx, i) for i in range(5)]
-    hit = g[0] != ""
+    df, hit, g = _rewrite_groups(df, F.ltrim(after), rx, 4, "_cnam")
     return (
         df.withColumn(
             "timereported_str",
-            F.when(hit, g[1]).otherwise(F.col("timereported_str")),
+            F.when(hit, g(1)).otherwise(F.col("timereported_str")),
         )
         .withColumn(
-            "hostname", F.when(hit, g[2]).otherwise(F.col("hostname"))
+            "hostname", F.when(hit, g(2)).otherwise(F.col("hostname"))
         )
         .withColumn(
             "syslogtag",
-            F.when(hit, F.concat(g[3], F.lit(":"))).otherwise(
+            F.when(hit, F.concat(g(3), F.lit(":"))).otherwise(
                 F.col("syslogtag")
             ),
         )
         .withColumn(
-            "programname", F.when(hit, g[3]).otherwise(F.col("programname"))
+            "programname", F.when(hit, g(3)).otherwise(F.col("programname"))
         )
-        .withColumn("msg", F.when(hit, g[4]).otherwise(F.col("msg")))
+        .withColumn("msg", F.when(hit, g(4)).otherwise(F.col("msg")))
         .withColumn(
             "parse_success",
             F.when(hit, F.lit(True)).otherwise(F.col("parse_success")),
         )
+        .drop("_cnam_hit", "_cnam_arr")
     )
 
 

@@ -252,9 +252,33 @@ def _upsert_recover(path: str) -> None:
     import shutil
 
     old_park = path + ".old"
-    if os.path.isdir(old_park):
+    pending_full = path + ".pending_full"
+    if os.path.exists(pending_full):
+        # interrupted FULL rewrite (first write / legacy migration /
+        # re-bucket): the journal records the batch_id and whether a
+        # prior state was parked, so recovery can tell "crash before
+        # the rename" from "crash after" and keep exactly-once
+        with open(pending_full) as fh:
+            pf = json.load(fh)
+        bid = pf.get("batch_id")
+        committed = bid is not None and os.path.exists(
+            os.path.join(path + ".batches", str(bid))
+        )
+        if committed:
+            shutil.rmtree(old_park, ignore_errors=True)  # roll forward
+        elif pf.get("had_old"):
+            if os.path.isdir(old_park):  # roll back to the parked state
+                shutil.rmtree(path, ignore_errors=True)
+                os.rename(old_park, path)
+            # else: crashed before the park — path IS the pre-batch state
+        else:
+            # first write: pre-batch state is ABSENCE
+            shutil.rmtree(path, ignore_errors=True)
+        os.remove(pending_full)
+    elif os.path.isdir(old_park):
+        # pre-journal interruption (older layout): conservative restore
         if not os.path.isdir(path):
-            os.rename(old_park, path)  # crashed between park and rename
+            os.rename(old_park, path)
         else:
             shutil.rmtree(old_park, ignore_errors=True)
 
@@ -366,10 +390,12 @@ def upsert_aggregate(
         and any(d.endswith(".parquet") for d in os.listdir(path))
     )
     # a num_buckets change makes the on-disk bucket ids wrong for the
-    # new modulus: re-bucket the WHOLE state (one full merge rewrite)
-    rebucket = (
-        bucketed and stored_nb is not None and stored_nb != num_buckets
-    )
+    # new modulus: re-bucket the WHOLE state (one full merge rewrite).
+    # A bucketed state WITHOUT .meta (written before the meta existed)
+    # has an UNKNOWN modulus — treat it as mismatched and migrate once
+    # rather than trusting the caller's value (silently splitting keys
+    # across two moduli is the corruption this guard exists to stop).
+    rebucket = bucketed and stored_nb != num_buckets
     if bucketed and not rebucket:
         # touched bucket ids: at most num_buckets ints — tiny driver list
         touched = sorted(
@@ -405,15 +431,27 @@ def upsert_aggregate(
     merged.write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
 
     if touched is None:
-        # full rewrite: park the old state (never rmtree before the new
-        # tree is in place — a crash between the two would lose it)
+        # full rewrite: journal first (batch_id + whether a prior state
+        # is parked — recovery needs both to stay exactly-once), park
+        # the old state (never rmtree before the new tree is in place),
+        # rename the new tree in; the batch marker below is the commit
+        # point and the journal is dropped only after it
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         old_park = path + ".old"
         shutil.rmtree(old_park, ignore_errors=True)
-        if os.path.isdir(path):
+        had_old = os.path.isdir(path)
+        with open(path + ".pending_full.tmp", "w") as fh:
+            _json.dump(
+                {
+                    "batch_id": None if batch_id is None else str(batch_id),
+                    "had_old": had_old,
+                },
+                fh,
+            )
+        os.replace(path + ".pending_full.tmp", path + ".pending_full")
+        if had_old:
             os.rename(path, old_park)
         os.rename(tmp, path)
-        shutil.rmtree(old_park, ignore_errors=True)
     else:
         # journaled swap: the _PENDING manifest (touched buckets +
         # batch_id) lands in .bak BEFORE any move. The batch marker is
@@ -453,10 +491,15 @@ def upsert_aggregate(
         with open(marker + ".tmp", "w") as fh:
             fh.write("committed")
         os.replace(marker + ".tmp", marker)
-    # post-commit cleanup: dropping the journal+backups makes recovery
+    # post-commit cleanup: dropping the journals+backups makes recovery
     # a no-op for this batch (and is itself crash-safe: recovery sees
     # the marker and rolls forward)
     shutil.rmtree(path + ".bak", ignore_errors=True)
+    shutil.rmtree(path + ".old", ignore_errors=True)
+    try:
+        os.remove(path + ".pending_full")
+    except FileNotFoundError:
+        pass
     return spark.read.parquet(path).drop("_bucket")
 
 

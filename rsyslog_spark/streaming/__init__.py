@@ -95,9 +95,13 @@ def make_ratelimit_fn(interval_seconds: int, burst: int):
         else:
             bucket_start, used = -1, 0
         out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("event_epoch")
-            for _, row in pdf.iterrows():
+        # concatenate ALL Arrow chunks before sorting: per-chunk sorts
+        # would feed out-of-order epochs into the bucket fold when a
+        # key's batch spans chunks (arrow.maxRecordsPerBatch)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            allpdf = pd.concat(chunks).sort_values("event_epoch")
+            for _, row in allpdf.iterrows():
                 epoch = int(row["event_epoch"])
                 win = epoch - (epoch % interval_seconds)
                 if win != bucket_start:
@@ -183,16 +187,24 @@ def make_sessionize_fn(gap_seconds: int, idle_timeout_ms: int | None = None):
                 s0, last, n = state.get
             else:
                 s0 = None
-            for pdf in pdfs:
-                for ep in pdf.sort_values("event_epoch")["event_epoch"]:
-                    ep = int(ep)
-                    if s0 is None:
-                        s0, last, n = ep, ep, 1
-                    elif ep - last > gap_seconds:
-                        closed.append((key[0], s0, last, n, last - s0))
-                        s0, last, n = ep, ep, 1
-                    else:
-                        last, n = max(last, ep), n + 1
+            # a key's micro-batch may arrive as MULTIPLE Arrow chunks
+            # (arrow.maxRecordsPerBatch); sorting each chunk alone
+            # would fold out-of-order epochs into the wrong session —
+            # concatenate first, sort ONCE, then fold
+            chunks = [pdf for pdf in pdfs if len(pdf)]
+            epochs = (
+                pd.concat(chunks)["event_epoch"].sort_values()
+                if chunks else []
+            )
+            for ep in epochs:
+                ep = int(ep)
+                if s0 is None:
+                    s0, last, n = ep, ep, 1
+                elif ep - last > gap_seconds:
+                    closed.append((key[0], s0, last, n, last - s0))
+                    s0, last, n = ep, ep, 1
+                else:
+                    last, n = max(last, ep), n + 1
             if s0 is not None:
                 state.update((s0, last, n))
                 state.setTimeoutDuration(

@@ -269,3 +269,30 @@ def test_sessionize_single_exchange(spark):
         if l.strip().startswith("(") and "Exchange" in l and "Reused" not in l
     )
     assert n_exchange == 1, p
+
+
+def test_device_parsers_single_regex_pass(spark):
+    """Device fixups use the group-rewrite trick (code-review r3 #4):
+    one regexp_replace per dialect per row plus the PRI strip — never
+    one regex execution per capture group."""
+    from rsyslog_spark.parsing.devices import (
+        pmaixforwardedfrom,
+        pmciscoios,
+        pmcisconames,
+        pmsnare,
+    )
+
+    df = spark.createDataFrame([("x",)], "rawmsg string")
+    for c in ("hostname", "syslogtag", "programname", "timereported_str",
+              "msg"):
+        df = df.withColumn(c, F.lit(None).cast("string"))
+    df = df.withColumn("parse_success", F.lit(False))
+    # expected sites = PRI strip + one rewrite per dialect regex
+    for fixup, want in ((pmciscoios, 2), (pmaixforwardedfrom, 2),
+                        (pmcisconames, 2), (pmsnare, 3)):
+        code = codegen_of(fixup(df))
+        got = code.count("invalidRegexpReplaceError")
+        assert got == want, (fixup.__name__, got, want)
+        assert "RegExpExtract" not in code.replace(
+            "RegExpExtractAll", ""
+        ) or fixup is pmaixforwardedfrom  # programname re-derivation

@@ -275,3 +275,67 @@ def test_sessionize_stream_state_spans_batches(spark, tmp_path):
     # idle timeout (decoupled from the 60s event-time gap)
     last = sessions[max(sessions)]
     assert last.n_events == 1 and last.duration_secs == 0
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for transition-function units."""
+
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+def test_sessionize_fn_multi_chunk_order():
+    """A key's micro-batch arriving as MULTIPLE Arrow chunks must fold
+    in global time order (code-review r3 finding #1): epochs [0, 5000]
+    + [100] across two chunks are one gap=300 session {0,100} plus an
+    open session at 5000 — per-chunk sorting would merge 100 into the
+    5000 session."""
+    import pandas as pd
+
+    from rsyslog_spark.streaming import make_sessionize_fn
+
+    fn = make_sessionize_fn(gap_seconds=300)
+    st = _FakeState()
+    chunk1 = pd.DataFrame({"event_epoch": [0, 5000]})
+    chunk2 = pd.DataFrame({"event_epoch": [100]})
+    out = pd.concat(list(fn(("k1",), iter([chunk1, chunk2]), st)))
+    closed = out.to_dict("records")
+    assert len(closed) == 1, closed
+    assert closed[0]["start_ep"] == 0 and closed[0]["end_ep"] == 100
+    assert closed[0]["n_events"] == 2
+    assert st.get == (5000, 5000, 1)  # the open session
+
+
+def test_ratelimit_fn_multi_chunk_order():
+    """Same multi-chunk ordering guarantee for the token bucket: the
+    first `burst` events BY TIME pass, independent of chunk split."""
+    import pandas as pd
+
+    from rsyslog_spark.streaming import make_ratelimit_fn
+
+    fn = make_ratelimit_fn(interval_seconds=60, burst=2)
+    st = _FakeState()
+    chunk1 = pd.DataFrame({"event_epoch": [0, 30], "doc_id": ["d3", "d4"]})
+    chunk2 = pd.DataFrame({"event_epoch": [1, 2], "doc_id": ["d1", "d2"]})
+    out = pd.concat(list(fn(("h",), iter([chunk1, chunk2]), st)))
+    passed = set(out[out.rl_pass]["doc_id"])
+    assert passed == {"d3", "d1"}, passed  # earliest two epochs (0, 1)

@@ -226,3 +226,96 @@ def test_upsert_migrates_legacy_flat_layout(spark, tmp_path):
                            num_buckets=4)
     state = {r.sender: r.n for r in got.collect()}
     assert state == {"h1": 8, "h2": 2, "h3": 1}
+
+
+def test_upsert_full_rewrite_crash_before_marker_replays_once(spark, tmp_path):
+    """Exactly-once for the FULL-REWRITE path (code-review r3 #2): a
+    crash after the first write's rename but before the batch marker
+    must roll the state back to ABSENCE so the replay applies once —
+    without the journal, the replay would double every sum."""
+    import json
+    import os
+
+    path = str(tmp_path / "state")
+    b = spark.createDataFrame([("k1", 5), ("k2", 2)], "key string, n long")
+    upsert_aggregate(b, path, ["key"], {"n": "sum"}, batch_id="e0")
+    # simulate: rename completed, marker never written — re-create the
+    # journal and delete the marker (state currently holds e0's data)
+    with open(path + ".pending_full", "w") as fh:
+        json.dump({"batch_id": "e0", "had_old": False}, fh)
+    os.remove(os.path.join(path + ".batches", "e0"))
+    got = upsert_aggregate(b, path, ["key"], {"n": "sum"}, batch_id="e0")
+    state = {r.key: r.n for r in got.collect()}
+    assert state == {"k1": 5, "k2": 2}, state  # NOT doubled
+
+
+def test_upsert_full_rewrite_crash_after_marker_rolls_forward(spark, tmp_path):
+    """...and when the marker DID commit, recovery keeps the new state
+    (replay is a no-op via the marker)."""
+    import json
+
+    path = str(tmp_path / "state")
+    b = spark.createDataFrame([("k1", 5)], "key string, n long")
+    upsert_aggregate(b, path, ["key"], {"n": "sum"}, batch_id="e0")
+    with open(path + ".pending_full", "w") as fh:
+        json.dump({"batch_id": "e0", "had_old": False}, fh)
+    got = upsert_aggregate(b, path, ["key"], {"n": "sum"}, batch_id="e0")
+    assert {r.key: r.n for r in got.collect()} == {"k1": 5}
+
+
+def test_upsert_rebucket_migration_crash_rolls_back(spark, tmp_path):
+    """Re-bucket migration (full rewrite with had_old): a crash between
+    rename and marker restores the PARKED pre-batch state."""
+    import json
+    import os
+    import shutil
+
+    path = str(tmp_path / "state")
+    b0 = spark.createDataFrame(
+        [(f"k{i}", 1) for i in range(40)], "key string, n long"
+    )
+    upsert_aggregate(b0, path, ["key"], {"n": "sum"}, num_buckets=8,
+                     batch_id="e0")
+    # simulate a crashed re-bucket: park the current state as .old,
+    # put a half-written replacement at path, journal without marker
+    os.rename(path, path + ".old")
+    shutil.copytree(path + ".old", path)
+    shutil.rmtree(
+        os.path.join(path, os.listdir(path + ".old")[0]),
+        ignore_errors=True,
+    )
+    with open(path + ".pending_full", "w") as fh:
+        json.dump({"batch_id": "e1", "had_old": True}, fh)
+    b1 = spark.createDataFrame([("k0", 1)], "key string, n long")
+    got = upsert_aggregate(b1, path, ["key"], {"n": "sum"}, num_buckets=8,
+                           batch_id="e1")
+    state = {r.key: r.n for r in got.collect()}
+    assert len(state) == 40 and state["k0"] == 2  # nothing lost, applied once
+
+
+def test_upsert_meta_less_bucketed_state_migrates(spark, tmp_path):
+    """A bucketed state WITHOUT .meta (pre-upgrade) has an unknown
+    modulus: the next call must migrate it with a full merge rewrite
+    (code-review r3 #3) instead of pruning with the caller's modulus."""
+    import json
+    import os
+
+    path = str(tmp_path / "state")
+    b0 = spark.createDataFrame(
+        [(f"key{i}", 1) for i in range(100)], "key string, n long"
+    )
+    upsert_aggregate(b0, path, ["key"], {"n": "sum"}, num_buckets=16)
+    os.remove(path + ".meta")  # simulate a round-2 state
+    # different modulus against the meta-less state: keys must merge,
+    # never split across moduli
+    got = upsert_aggregate(
+        spark.createDataFrame([(f"key{i}", 1) for i in range(100)],
+                              "key string, n long"),
+        path, ["key"], {"n": "sum"}, num_buckets=4,
+    )
+    state = {r.key: r.n for r in got.collect()}
+    assert len(state) == 100 and all(v == 2 for v in state.values())
+    with open(path + ".meta") as fh:
+        assert json.load(fh)["num_buckets"] == 4
+    dirs = {d for d in os.listdir(path) if d.startswith("_bucket=")}
+    assert dirs == {f"_bucket={i}" for i in range(4)}
