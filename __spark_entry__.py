@@ -490,10 +490,30 @@ def q_media_frames(spark, sf):
 
 
 def q_embedding_dup_pairs(spark, sf):
+    """Embedding near-dup pairs via hyperplane LSH + verify-in-bucket.
+    The synthetic corpus has NO natural near-dups (max pairwise cosine
+    ≈0.46), which would make a rows-only check vacuous — so ten
+    PLANTED near-duplicates (vec_id+100000 = the same vector with one
+    dimension nudged, cosine ≈0.9999) are unioned in; finding exactly
+    those pairs is the recall evidence."""
     from rsyslog_spark.datapipe import embedding_dedup_pairs
 
+    emb = _emb(spark, sf)
+    planted = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x + F.when(i == 0, F.lit(0.001)).otherwise(
+                    F.lit(0.0)
+                ),
+            ).alias("embedding"),
+        )
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
     return embedding_dedup_pairs(
-        _emb(spark, sf), threshold=0.99, n_planes=10, dim=64
+        corpus, threshold=0.99, n_planes=10, dim=64
     ).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
