@@ -479,11 +479,6 @@ def upsert_aggregate(
             os.rename(src, dst)
         shutil.rmtree(tmp, ignore_errors=True)
 
-    if stored_nb != num_buckets:
-        with open(meta_path + ".tmp", "w") as fh:
-            _json.dump({"num_buckets": num_buckets}, fh)
-        os.replace(meta_path + ".tmp", meta_path)
-
     if batch_id is not None:
         # single atomic commit point (os.replace, never a partial file)
         os.makedirs(batches_dir, exist_ok=True)
@@ -491,6 +486,15 @@ def upsert_aggregate(
         with open(marker + ".tmp", "w") as fh:
             fh.write("committed")
         os.replace(marker + ".tmp", marker)
+
+    # meta AFTER the commit point: a crash in either window degrades to
+    # one redundant migration rewrite, never a modulus mismatch — meta
+    # written before the marker could claim the NEW modulus over a
+    # ROLLED-BACK old-modulus state (silent split, the bug this guards)
+    if stored_nb != num_buckets:
+        with open(meta_path + ".tmp", "w") as fh:
+            _json.dump({"num_buckets": num_buckets}, fh)
+        os.replace(meta_path + ".tmp", meta_path)
     # post-commit cleanup: dropping the journals+backups makes recovery
     # a no-op for this batch (and is itself crash-safe: recovery sees
     # the marker and rolls forward)
