@@ -520,3 +520,102 @@ def failover_chain(
         out.append(p & ~seen)
         seen = seen | p
     return out
+
+
+def omhttp_batch(
+    df: DataFrame,
+    template: str = "RSYSLOG_StdJSONFmt",
+    batch_format: str = "newline",
+    batch_size: int = 100,
+    ts_col: str | None = None,
+    loki_labels: dict[str, str] | None = None,
+) -> DataFrame:
+    """contrib/omhttp/omhttp.c batch serialization: render each message
+    with `template`, group into request bodies of ``batch_size`` and
+    frame per ``batch.format`` (VALID_BATCH_FORMATS, omhttp.c:126):
+
+    * ``newline``   — messages joined by '\\n' (serializeBatchNewline)
+    * ``jsonarray`` — '[m1,m2,...]' (messages are JSON documents)
+    * ``kafkarest`` — '{"records":[{"value":m1},...]}'
+    * ``lokirest``  — '{"streams":[{"stream":{labels},"values":
+      [["<ns>",line],...]}]}' (needs ``ts_col``)
+
+    Batching is per input partition in row order (the reference batches
+    per worker): batch id = (partition, row-index ÷ size) from
+    monotonically_increasing_id, so assembling a batch shuffles at most
+    ``batch_size`` rows to one reducer — the real sink path would POST
+    from foreachPartition/foreachBatch without materializing frames."""
+    from rsyslog_spark.templates import compile_template
+
+    if batch_format not in ("newline", "jsonarray", "kafkarest",
+                            "lokirest"):
+        raise ValueError(
+            f"batch.format {batch_format!r} invalid; use one of "
+            "newline jsonarray kafkarest lokirest"
+        )
+    line = compile_template(template)
+    mid = F.monotonically_increasing_id()
+    sel = [
+        line.alias("line"),
+        F.shiftright(mid, 33).alias("_part"),
+        F.floor(
+            mid.bitwiseAND(F.lit((1 << 33) - 1)) / F.lit(batch_size)
+        ).alias("_seq"),
+    ]
+    if batch_format == "lokirest":
+        if ts_col is None:
+            raise ValueError("lokirest needs ts_col for the values pairs")
+        sel.append(
+            (F.unix_timestamp(F.col(ts_col)) * F.lit(1_000_000_000))
+            .cast("string").alias("_ns")
+        )
+    rows = df.select(*sel)
+    if batch_format == "lokirest":
+        agg = rows.groupBy("_part", "_seq").agg(
+            F.collect_list(
+                F.to_json(F.array(F.col("_ns"), F.col("line")))
+            ).alias("items"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        labels = F.to_json(
+            F.struct(*[
+                F.lit(v).alias(k)
+                for k, v in (loki_labels or {"job": "rsyslog"}).items()
+            ])
+        )
+        body = F.concat(
+            F.lit('{"streams":[{"stream":'), labels,
+            F.lit(',"values":['), F.array_join("items", ","),
+            F.lit("]}]}"),
+        )
+    else:
+        agg = rows.groupBy("_part", "_seq").agg(
+            F.collect_list("line").alias("items"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        if batch_format == "newline":
+            body = F.array_join("items", "\n")
+        elif batch_format == "jsonarray":
+            body = F.concat(
+                F.lit("["), F.array_join("items", ","), F.lit("]")
+            )
+        else:  # kafkarest
+            body = F.concat(
+                F.lit('{"records":['),
+                F.array_join(
+                    F.transform(
+                        "items",
+                        lambda x: F.concat(
+                            F.lit('{"value":'), x, F.lit("}")
+                        ),
+                    ),
+                    ",",
+                ),
+                F.lit("]}"),
+            )
+    return agg.select(
+        F.col("_part").alias("partition"),
+        F.col("_seq").alias("batch_seq"),
+        F.col("n").alias("n_messages"),
+        body.alias("body"),
+    )

@@ -158,3 +158,48 @@ def test_omprog_confirm_messages(spark, tmp_path):
     # fire-and-forget mode: everything reported delivered
     rows2 = omprog(df, child, template="%msg%").collect()
     assert all(r.delivered for r in rows2)
+
+
+def test_omhttp_batch_formats(spark, sf_dir):
+    """omhttp batch serialization (omhttp.c VALID_BATCH_FORMATS):
+    newline/jsonarray/kafkarest/lokirest bodies, batch_size grouping."""
+    import json
+
+    from rsyslog_spark import flagship
+    from rsyslog_spark.sinks import omhttp_batch
+
+    p = flagship.build_parsed(spark, sf_dir).limit(25)
+    nl = omhttp_batch(p, batch_format="newline", batch_size=10)
+    rows = nl.collect()
+    assert sum(r.n_messages for r in rows) == 25
+    assert all(r.body.count("\n") == r.n_messages - 1 for r in rows)
+
+    ja = omhttp_batch(p, batch_format="jsonarray", batch_size=10).first()
+    arr = json.loads(ja.body)
+    assert isinstance(arr, list) and len(arr) == ja.n_messages
+    assert "message" in arr[0]  # StdJSON docs
+
+    kr = omhttp_batch(p, batch_format="kafkarest", batch_size=10).first()
+    recs = json.loads(kr.body)["records"]
+    assert len(recs) == kr.n_messages and "value" in recs[0]
+
+    import pyspark.sql.functions as F2
+
+    p2 = p.withColumn("ts", F2.to_timestamp(F2.lit("2024-01-01 00:00:00")))
+    lk = omhttp_batch(
+        p2, batch_format="lokirest", batch_size=10, ts_col="ts",
+        loki_labels={"job": "syslog", "env": "test"},
+    ).first()
+    body = json.loads(lk.body)
+    stream = body["streams"][0]
+    assert stream["stream"] == {"job": "syslog", "env": "test"}
+    assert len(stream["values"]) == lk.n_messages
+    ns, line = stream["values"][0]
+    assert ns.endswith("000000000") and line.startswith("{")
+
+    import pytest
+
+    with pytest.raises(ValueError, match="invalid"):
+        omhttp_batch(p, batch_format="bogus")
+    with pytest.raises(ValueError, match="ts_col"):
+        omhttp_batch(p, batch_format="lokirest")
