@@ -493,16 +493,17 @@ def q_embedding_dup_pairs(spark, sf):
     """Embedding near-dup pairs via hyperplane LSH + verify-in-bucket.
     The synthetic corpus has NO natural near-dups (max pairwise cosine
     ≈0.46), which would make a rows-only check vacuous — so ten
-    PLANTED near-duplicates (vec_id+100000 = the same vector with one
-    dimension nudged, cosine ≈0.9999) are unioned in; finding exactly
-    those pairs is the recall evidence."""
+    PLANTED near-duplicates (the same vector with one dimension
+    nudged, cosine ≈0.9999) are unioned in under a NEGATIVE-id
+    namespace that can never collide with real vec_ids at any scale
+    factor; finding exactly those pairs is the recall evidence."""
     from rsyslog_spark.datapipe import embedding_dedup_pairs
 
     emb = _emb(spark, sf)
     planted = (
         emb.filter(F.col("vec_id") < 10)
         .select(
-            (F.col("vec_id") + 100000).alias("vec_id"),
+            (-(F.col("vec_id") + 1)).alias("vec_id"),
             F.transform(
                 "embedding",
                 lambda x, i: x + F.when(i == 0, F.lit(0.001)).otherwise(

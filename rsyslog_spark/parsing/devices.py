@@ -681,36 +681,47 @@ def snare_description_fields(col: Column, sep: str = ".") -> Column:
     the reference's nested JSON shape).
 
     Format (NXLog/Snare): fields separated by runs of 3+ spaces; a
-    segment ending in ':' opens a section; 'Key:  Value' (2+ spaces)
-    is a pair under the current section; prose segments are skipped.
-    One split + one aggregate fold — pure JVM."""
+    segment ending in ':' opens a section; 'Key:  Value' (1+ spaces —
+    long keys like 'Source Network Address' use one) is a pair under
+    the current section; prose segments are skipped. One split + one
+    aggregate fold, ONE regex execution per segment (the key/value are
+    group-rewritten into a \\x01-joined string bound once per element
+    — lambda-variable references are O(1), inline copies inside the
+    fold would re-run the regex per field)."""
     segs = F.split(col, r"\s{3,}")
-    # 1+ spaces after the colon: the NXLog format mostly uses two, but
-    # long keys ('Source Network Address: 192.168.50.12') use one
-    pair_rx = r"^([^:]{1,60}):\s+(.*?)\s*$"
+    # headers ('X:') and pairs ('K:  V') in one pattern: group 2 is
+    # non-participating for headers and substitutes as ""
+    seg_rx = r"^([^:\x01]{1,60}):(?:\s+(.*?))?\s*$"
 
     def step(acc: Column, s: Column) -> Column:
-        hdr = F.regexp_extract(s, r"^([^:]{1,60}):$", 1)
-        k = F.regexp_extract(s, pair_rx, 1)
-        v = F.regexp_extract(s, pair_rx, 2)
-        full = F.when(acc["section"] == "", k).otherwise(
-            F.concat(acc["section"], F.lit(sep), k)
-        )
-        return (
-            F.when(
-                hdr != "",
-                F.struct(hdr.alias("section"), acc["m"].alias("m")),
+        rew = F.regexp_replace(s, seg_rx, "\x01$1\x01$2")
+
+        def with_parts(r: Column) -> Column:
+            parts = F.split(r, "\x01", -1)
+            k = F.try_element_at(parts, F.lit(2))
+            v = F.try_element_at(parts, F.lit(3))
+            full = F.when(acc["section"] == "", k).otherwise(
+                F.concat(acc["section"], F.lit(sep), k)
             )
-            .when(
-                k != "",
-                F.struct(
-                    acc["section"].alias("section"),
-                    F.map_concat(
-                        acc["m"], F.create_map(full, v)
-                    ).alias("m"),
-                ),
+            return (
+                F.when(~r.startswith("\x01"), acc)  # prose: no match
+                .when(  # header: empty value opens a section
+                    v == "",
+                    F.struct(k.alias("section"), acc["m"].alias("m")),
+                )
+                .otherwise(
+                    F.struct(
+                        acc["section"].alias("section"),
+                        F.map_concat(
+                            acc["m"], F.create_map(full, v)
+                        ).alias("m"),
+                    )
+                )
             )
-            .otherwise(acc)
+
+        # bind the rewrite once (transform's array arg evaluates once)
+        return F.try_element_at(
+            F.transform(F.array(rew), with_parts), F.lit(1)
         )
 
     init = F.struct(

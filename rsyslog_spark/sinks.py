@@ -553,14 +553,16 @@ def omhttp_batch(
             f"batch.format {batch_format!r} invalid; use one of "
             "newline jsonarray kafkarest lokirest"
         )
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
     line = compile_template(template)
     mid = F.monotonically_increasing_id()
+    idx = mid.bitwiseAND(F.lit((1 << 33) - 1))
     sel = [
         line.alias("line"),
+        idx.alias("_idx"),
         F.shiftright(mid, 33).alias("_part"),
-        F.floor(
-            mid.bitwiseAND(F.lit((1 << 33) - 1)) / F.lit(batch_size)
-        ).alias("_seq"),
+        F.floor(idx / F.lit(batch_size)).alias("_seq"),
     ]
     if batch_format == "lokirest":
         if ts_col is None:
@@ -570,13 +572,28 @@ def omhttp_batch(
             .cast("string").alias("_ns")
         )
     rows = df.select(*sel)
+
+    # collect_list's within-group order is NOT guaranteed after the
+    # shuffle (sort-based agg fallback / task retry permute it) — carry
+    # the row index and array_sort to restore it; Loki in particular
+    # rejects out-of-timestamp-order entries
+    def ordered(items_struct: Column) -> Column:
+        return F.transform(
+            F.array_sort(items_struct), lambda e: e["line"]
+        )
+
     if batch_format == "lokirest":
         agg = rows.groupBy("_part", "_seq").agg(
             F.collect_list(
-                F.to_json(F.array(F.col("_ns"), F.col("line")))
-            ).alias("items"),
+                F.struct(
+                    F.col("_idx").alias("idx"),
+                    F.to_json(
+                        F.array(F.col("_ns"), F.col("line"))
+                    ).alias("line"),
+                )
+            ).alias("raw"),
             F.count(F.lit(1)).alias("n"),
-        )
+        ).withColumn("items", ordered(F.col("raw")))
         labels = F.to_json(
             F.struct(*[
                 F.lit(v).alias(k)
@@ -590,9 +607,12 @@ def omhttp_batch(
         )
     else:
         agg = rows.groupBy("_part", "_seq").agg(
-            F.collect_list("line").alias("items"),
+            F.collect_list(
+                F.struct(F.col("_idx").alias("idx"),
+                         F.col("line").alias("line"))
+            ).alias("raw"),
             F.count(F.lit(1)).alias("n"),
-        )
+        ).withColumn("items", ordered(F.col("raw")))
         if batch_format == "newline":
             body = F.array_join("items", "\n")
         elif batch_format == "jsonarray":

@@ -203,8 +203,17 @@ def make_sessionize_fn(gap_seconds: int, idle_timeout_ms: int | None = None):
                 elif ep - last > gap_seconds:
                     closed.append((key[0], s0, last, n, last - s0))
                     s0, last, n = ep, ep, 1
+                elif s0 - ep > gap_seconds:
+                    # LATE event older than the open session's reach
+                    # (arrived in a later micro-batch): emit it as its
+                    # own session rather than folding it into a span it
+                    # lies outside of — the watermark-late policy
+                    closed.append((key[0], ep, ep, 1, 0))
                 else:
-                    last, n = max(last, ep), n + 1
+                    # in-gap: extend the span in BOTH directions so the
+                    # emitted (start, end, n) stays internally
+                    # consistent under cross-batch reordering
+                    s0, last, n = min(s0, ep), max(last, ep), n + 1
             if s0 is not None:
                 state.update((s0, last, n))
                 state.setTimeoutDuration(

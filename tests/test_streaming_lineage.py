@@ -339,3 +339,31 @@ def test_ratelimit_fn_multi_chunk_order():
     out = pd.concat(list(fn(("h",), iter([chunk1, chunk2]), st)))
     passed = set(out[out.rl_pass]["doc_id"])
     assert passed == {"d3", "d1"}, passed  # earliest two epochs (0, 1)
+
+
+def test_sessionize_fn_late_cross_batch_events():
+    """Out-of-order CROSS-BATCH events (code-review r3b #1): an event
+    within the gap BEFORE the open session's start extends the span
+    backward (start_ep moves); one older than the gap is emitted as
+    its own late session — never silently folded into a span it lies
+    outside of."""
+    import pandas as pd
+
+    from rsyslog_spark.streaming import make_sessionize_fn
+
+    fn = make_sessionize_fn(gap_seconds=300)
+    st = _FakeState()
+    # batch 1 opens a session at 1000
+    list(fn(("k",), iter([pd.DataFrame({"event_epoch": [1000]})]), st))
+    assert st.get == (1000, 1000, 1)
+    # batch 2: 800 is within the gap before start → backward extension
+    out = pd.concat(list(fn(
+        ("k",), iter([pd.DataFrame({"event_epoch": [800]})]), st)))
+    assert len(out) == 0 and st.get == (800, 1000, 2)
+    # batch 3: 100 is older than gap → emitted as its own late session
+    out = pd.concat(list(fn(
+        ("k",), iter([pd.DataFrame({"event_epoch": [100]})]), st)))
+    rec = out.to_dict("records")
+    assert len(rec) == 1 and rec[0]["start_ep"] == 100
+    assert rec[0]["n_events"] == 1
+    assert st.get == (800, 1000, 2)  # open session untouched
