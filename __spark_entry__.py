@@ -803,6 +803,24 @@ def q_corpus_filter(spark, sf):
     )
 
 
+def q_log_templates(spark, sf):
+    """Drain-style log template mining over the parsed stream: mask
+    variable parts (IP/hex/digits), group by (program, template)."""
+    from rsyslog_spark.datapipe.textstats import log_templates
+
+    p = flagship.build_parsed(spark, sf)
+    # prefix the program for a meaningful per-shape breakdown
+    out = log_templates(
+        p.withColumn(
+            "msg", F.concat(F.col("programname"), F.lit("|"), F.col("msg"))
+        ),
+        "msg",
+    )
+    return out.select(
+        F.col("template"), F.col("n").cast("long").alias("n")
+    )
+
+
 def q_leef_fields(spark, sf):
     """mmleefparse coverage: a LEEF event derived per message is parsed
     back into header + extension fields (plugins/mmleefparse)."""
@@ -897,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leef_fields": q_leef_fields,
         "session_stats": q_session_stats,
         "corpus_filter": q_corpus_filter,
+        "log_templates": q_log_templates,
         "perctile_window": q_perctile_window,
     }
 
@@ -1420,6 +1439,15 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 'ok' END AS reason
                 FROM lang
             )
+        """,
+        "log_templates": f"""
+            SELECT regexp_replace(regexp_replace(regexp_replace(
+                       event_type || '|' || {O['msg']},
+                       '\\b\\d{{1,3}}(\\.\\d{{1,3}}){{3}}\\b', '<IP>', 'g'),
+                       '\\b0[xX][0-9A-Fa-f]+\\b', '<X>', 'g'),
+                       '\\d+', '<N>', 'g') AS template,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
         """,
         "leef_fields": f"""
             SELECT CAST(event_id AS BIGINT) AS event_id,

@@ -151,3 +151,30 @@ def corpus_filter(
     return out.withColumn("reason", reason).withColumn(
         "keep", F.col("reason") == "ok"
     )
+
+
+def log_templates(
+    df: DataFrame,
+    msg_col: str = "msg",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Log template mining (Drain-style, simplified): mask the variable
+    parts of each message — digit runs → <N>, hex runs → <X>, IPv4s →
+    <IP> — and group by the masked TEMPLATE. The classic first step of
+    log analytics over a parse→route pipeline: the template set is the
+    'schema' of the stream, counts are its distribution, and rare
+    templates are anomaly candidates.
+
+    Masking order matters (IP before digits, hex before digits so
+    '0x3E7' doesn't half-mask); all three rewrites are codegen'd
+    regexp_replace passes, then ONE hash-partial groupBy — scales like
+    any count-by-key (the template count is bounded by message shapes,
+    thousands, not rows)."""
+    m = F.col(msg_col)
+    m = F.regexp_replace(m, r"\b\d{1,3}(?:\.\d{1,3}){3}\b", "<IP>")
+    m = F.regexp_replace(m, r"\b0[xX][0-9A-Fa-f]+\b", "<X>")
+    m = F.regexp_replace(m, r"\d+", "<N>")
+    agg = [F.count(F.lit(1)).alias("n")]
+    if id_col is not None:
+        agg.append(F.min(id_col).alias("first_id"))
+    return df.groupBy(m.alias("template")).agg(*agg)

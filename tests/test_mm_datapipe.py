@@ -609,3 +609,26 @@ def test_mmjsontransform(spark):
     assert json.loads(nested) == {"a": {"b": "1", "c": "2"}, "e": "3"}
     with pytest.raises(ValueError, match="invalid"):
         mm.mmjsontransform(df, "j", "x", mode="bogus")
+
+
+def test_log_templates(spark):
+    """Drain-style template mining: IP/hex/digit masking collapses
+    messages to their shapes; masking order keeps 0x3E7 whole."""
+    from rsyslog_spark.datapipe.textstats import log_templates
+
+    df = spark.createDataFrame(
+        [
+            ("conn from 10.0.0.1 port 443",),
+            ("conn from 192.168.7.9 port 80",),
+            ("logon id 0x3E7 ok",),
+            ("logon id 0xA1 ok",),
+            ("heartbeat",),
+        ],
+        "msg string",
+    )
+    got = {r.template: r.n for r in log_templates(df).collect()}
+    assert got == {
+        "conn from <IP> port <N>": 2,
+        "logon id <X> ok": 2,
+        "heartbeat": 1,
+    }
