@@ -803,6 +803,20 @@ def q_corpus_filter(spark, sf):
     )
 
 
+def q_token_minhash(spark, sf):
+    """Token-NATIVE near-dup pairs: MinHash over the tokens array<int>
+    itself (one xxhash64 per 4-gram slice), no decode — the dedup
+    shape the input table (doc_id, tokens, n_tok, source) calls for."""
+    from rsyslog_spark.datapipe import token_minhash_pairs
+
+    lt = corpus.logtokens(spark, sf)
+    out = token_minhash_pairs(lt, threshold=0.6)
+    return out.select(
+        "id_a", "id_b",
+        F.round(F.col("est_jaccard") * 64).cast("long").alias("sig_matches"),
+    )
+
+
 def q_log_templates(spark, sf):
     """Drain-style log template mining over the parsed stream: mask
     variable parts (IP/hex/digits), group by (program, template)."""
@@ -916,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "corpus_filter": q_corpus_filter,
         "log_templates": q_log_templates,
+        "token_minhash": q_token_minhash,
         "perctile_window": q_perctile_window,
     }
 

@@ -16,6 +16,7 @@ All are designed scale-first:
 from rsyslog_spark.datapipe.dedup import (  # noqa: F401
     exact_dedup,
     minhash_lsh_pairs,
+    token_minhash_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
 )

@@ -170,6 +170,63 @@ def minhash_lsh_pairs(
         )
         .repartition(npart, "id")
     )
+    return _pairs_from_shingle_hashes(
+        hashed, num_hashes, bands, threshold, bucket_cap, npart
+    )
+
+
+def token_minhash_pairs(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    gram_k: int = 4,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    bucket_cap: int | None = 512,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs NATIVELY over the ``tokens``
+    array<int> column — no decode, no string shingling: each k-gram of
+    token ids hashes with one xxhash64(slice), then rides the same
+    affine-family → banding → capped-bucket-join pipeline as the text
+    variant. The natural dedup for this engine's input table (doc_id,
+    tokens, n_tok, source): byte-identical content means token-
+    identical content, and near-dup token streams are near-dup logs."""
+    npart = _parallelism(df)
+    toks = F.col("_tk")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (gram_k - 1), F.lit(1)))
+    hashed = (
+        df.select(F.col(id_col).alias("id"), F.col(tokens_col).alias("_tk"))
+        .repartition(npart, "id")
+        .filter(n > 0)
+        .select(
+            "id",
+            F.transform(
+                idx,
+                lambda i: fold31(F.xxhash64(F.slice(toks, i, gram_k))),
+            ).alias("sh_hashes"),
+        )
+        .repartition(npart, "id")
+    )
+    return _pairs_from_shingle_hashes(
+        hashed, num_hashes, bands, threshold, bucket_cap, npart
+    )
+
+
+def _pairs_from_shingle_hashes(
+    hashed: DataFrame,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    bucket_cap: int | None,
+    npart: int,
+) -> DataFrame:
+    """Shared tail of the MinHash pipelines: (id, sh_hashes) →
+    signatures → band buckets → capped bucket join → Jaccard estimate.
+    See minhash_lsh_pairs for the stage/barrier rationale."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
     sig = hashed.select(
         "id", minhash_signature(F.col("sh_hashes"), num_hashes).alias("sig")
     ).repartition(npart, "id")

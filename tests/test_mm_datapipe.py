@@ -632,3 +632,22 @@ def test_log_templates(spark):
         "logon id <X> ok": 2,
         "heartbeat": 1,
     }
+
+
+def test_token_minhash_pairs(spark):
+    """Token-native MinHash (no decode/string shingling): near-identical
+    token streams pair up, disjoint ones don't; short arrays (< gram_k)
+    hash as one whole-array gram."""
+    from rsyslog_spark.datapipe import token_minhash_pairs
+
+    base = list(range(100))
+    near = base[:95] + [999, 998, 997, 996, 995]   # ~90% shared grams
+    other = list(range(1000, 1100))
+    df = spark.createDataFrame(
+        [("a", base), ("b", near), ("c", other), ("d", [1, 2])],
+        "doc_id string, tokens array<int>",
+    )
+    pairs = token_minhash_pairs(df, threshold=0.6).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert ("a", "b") in got
+    assert all({p[0], p[1]} <= {"a", "b"} for p in got), got
