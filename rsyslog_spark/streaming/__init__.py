@@ -550,3 +550,21 @@ def run_stream_to_table(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_dedup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state: duplicate redelivery
+    suppression (the at-least-once seam of every source/queue replay —
+    imfile re-reads, Kafka rebalances, foreachBatch retries) via
+    dropDuplicatesWithinWatermark. State holds only keys younger than
+    the watermark horizon, so memory is rate×horizon, not stream
+    length — the scale-correct form of streaming dedup (a plain
+    dropDuplicates on a stream grows state forever)."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

@@ -367,3 +367,35 @@ def test_sessionize_fn_late_cross_batch_events():
     assert len(rec) == 1 and rec[0]["start_ep"] == 100
     assert rec[0]["n_events"] == 1
     assert st.get == (800, 1000, 2)  # open session untouched
+
+
+def test_stream_dedup_suppresses_redelivery(spark, tmp_path):
+    """Watermark-bounded streaming dedup: the same doc_id redelivered
+    within the horizon is emitted once."""
+    import os
+
+    from rsyslog_spark.streaming import stream_dedup
+
+    src = str(tmp_path / "dd")
+    rows = [("d1", "2024-01-01 00:00:00"), ("d2", "2024-01-01 00:00:01"),
+            ("d1", "2024-01-01 00:00:02"),  # redelivery
+            ("d3", "2024-01-01 00:00:03"), ("d2", "2024-01-01 00:00:04")]
+    spark.createDataFrame(rows, "doc_id string, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    ).write.parquet(src)
+    static = spark.read.parquet(src)
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    out = str(tmp_path / "ddout")
+    q = (
+        stream_dedup(stream, ["doc_id"], "ts")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck_dd"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 3
+    assert {r.doc_id for r in got.collect()} == {"d1", "d2", "d3"}
