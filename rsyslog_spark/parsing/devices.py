@@ -395,9 +395,6 @@ def pmdb2diag(
     )
 
 
-# commas OUTSIDE double-quoted fields: quote-parity lookahead (bounded
-# PAN lines; the reference walks char-by-char, pmpanngfw.c:109-250)
-_CSV_COMMA_OUTSIDE = r',(?=(?:[^"]*"[^"]*")*[^"]*$)'
 _PAN_TYPES = (
     "TRAFFIC|THREAT|SYSTEM|CONFIG|HIP-MATCH|GLOBALPROTECT|USERID|"
     "CORRELATION|AUTH|DECRYPTION"
@@ -420,7 +417,22 @@ def pmpanngfw(df: DataFrame, msg_col: str = "msg") -> DataFrame:
         rf"(?:{_PAN_TYPES}),)", 1,
     )
     hit = det != ""
-    tsv = F.regexp_replace(body, _CSV_COMMA_OUTSIDE, "\t")
+    # commas OUTSIDE double-quoted fields → tabs, in LINEAR time: split
+    # on '"' — even-indexed segments are outside quotes (escaped ""
+    # contributes an empty odd segment and flips parity back), replace
+    # commas there only, rejoin. (A quote-parity lookahead regex is
+    # O(line × commas) — measured ~5× slower on 1.2 KB PAN lines.
+    # The reference walks char-by-char, pmpanngfw.c:109-250.)
+    parts = F.split(body, '"', -1)
+    tsv = F.array_join(
+        F.transform(
+            parts,
+            lambda p, i: F.when(
+                i % 2 == 0, F.regexp_replace(p, ",", "\t")
+            ).otherwise(p),
+        ),
+        '"',
+    )
     # strip the outer quotes of quoted fields, then unescape "" -> "
     tsv = F.regexp_replace(tsv, r'(?:^|(?<=\t))"((?:[^"]|"")*)"(?=\t|$)', "$1")
     tsv = F.regexp_replace(tsv, r'""', '"')
