@@ -248,8 +248,14 @@ def _pairs_from_shingle_hashes(
             for b in range(bands)
         ]
     )
-    banded = sig.select("id", "sig", F.explode(band_entries).alias("be")).select(
-        "id", "sig", F.col("be.band").alias("band"), F.col("be.bucket").alias("bucket")
+    # band rows carry ONLY (id, band, bucket): signatures rejoin AFTER
+    # candidate dedup. A pair sharing many bands would otherwise drag
+    # its two num_hashes-long arrays through the join and the distinct
+    # up to `bands` times — on self-similar corpora (token streams,
+    # mass templates) that payload dominates the tail (measured ~3×
+    # end-to-end on the tokens corpus at sf0.1).
+    banded = sig.select("id", F.explode(band_entries).alias("be")).select(
+        "id", F.col("be.band").alias("band"), F.col("be.bucket").alias("bucket")
     )
     if bucket_cap is not None:
         # drop over-full buckets before the self-join: bounded candidate
@@ -274,11 +280,12 @@ def _pairs_from_shingle_hashes(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    sig_a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    cand = cand.join(sig_a, "id_a").join(sig_b, "id_b")
     est = (
         F.size(
             F.filter(
