@@ -860,3 +860,91 @@ def mmjsontransform(
             "use 'unflatten' or 'flatten'"
         )
     return df.withColumn(output_col, out)
+
+
+# --- mmaudit (plugins/mmaudit) ------------------------------------------------
+
+_AUDIT_HDR = r"^\s*type=(\d+) audit\(([^)]*)\):\s*(.*)$"
+_AUDIT_KV = r'(\w+)=("[^"]*"|\S*)'
+
+
+def mmaudit(
+    df: DataFrame, msg_col: str = "msg", out_col: str = "audit"
+) -> DataFrame:
+    """plugins/mmaudit/mmaudit.c: detect Linux audit records
+    ``type=NNNN audit(<auditid>): k=v k=v ...`` (mmaudit.c:210-242) and
+    parse them into a struct: hdr.auditid, hdr.type, and the key/value
+    fields as a map (audit_parse:162-205; quoted values keep embedded
+    spaces, quotes stripped). Non-audit rows get a null struct +
+    ``audit_success`` false (MsgSetParseSuccess)."""
+    msg = F.col(msg_col)
+    typ = F.regexp_extract(msg, _AUDIT_HDR, 1)
+    auditid = F.regexp_extract(msg, _AUDIT_HDR, 2)
+    tail = F.regexp_extract(msg, _AUDIT_HDR, 3)
+    hit = typ != ""
+    keys = F.regexp_extract_all(tail, F.lit(_AUDIT_KV), F.lit(1))
+    vals = F.transform(
+        F.regexp_extract_all(tail, F.lit(_AUDIT_KV), F.lit(2)),
+        lambda v: F.regexp_replace(v, r'^"|"$', ""),
+    )
+    struct = F.struct(
+        F.struct(
+            auditid.alias("auditid"),
+            typ.try_cast("long").alias("type"),
+        ).alias("hdr"),
+        F.map_from_arrays(keys, vals).alias("fields"),
+    )
+    return df.withColumn(out_col, F.when(hit, struct)).withColumn(
+        "audit_success", hit
+    )
+
+
+# --- mmrfc5424addhmac (contrib/mmrfc5424addhmac) ------------------------------
+
+def hmac_sha256(col: Column, key: bytes) -> Column:
+    """HMAC-SHA256 as pure Column expressions (RFC 2104): the key pads
+    are Python-side byte literals, the two hash passes are sha2() with
+    unhex() bridging the inner hex digest back to bytes — no UDF."""
+    if len(key) > 64:
+        import hashlib
+
+        key = hashlib.sha256(key).digest()
+    key = key.ljust(64, b"\x00")
+    ipad = bytes(b ^ 0x36 for b in key)
+    opad = bytes(b ^ 0x5C for b in key)
+    inner = F.sha2(F.concat(F.lit(ipad), F.encode(col, "utf-8")), 256)
+    return F.sha2(F.concat(F.lit(opad), F.unhex(inner)), 256)
+
+
+def mmrfc5424addhmac(
+    df: DataFrame,
+    key: bytes,
+    sdid: str = "hmac@0",
+    raw_col: str = "rawmsg",
+    sd_col: str = "structured_data",
+) -> DataFrame:
+    """contrib/mmrfc5424addhmac/mmrfc5424addhmac.c: append
+    ``[<sdid> hash="<hex hmac of the raw message>"]`` to the RFC5424
+    structured data (hashMsg:306-330). Only 5424 messages without an
+    existing <sdid> element are touched (doAction:343); '-' SD is
+    replaced, otherwise the element is appended —
+    MsgAddToStructuredData semantics. HMAC-SHA256 runs entirely
+    JVM-side (see hmac_sha256)."""
+    sd = F.col(sd_col)
+    is5424 = (
+        F.col("protocol_version") == 1
+        if "protocol_version" in df.columns
+        else F.lit(True)
+    )
+    already = F.coalesce(sd, F.lit("")).contains(f"[{sdid} ")
+    elem = F.concat(
+        F.lit(f"[{sdid} hash=\""),
+        hmac_sha256(F.col(raw_col), key),
+        F.lit('"]'),
+    )
+    newsd = F.when(
+        sd.isNull() | (sd == "-"), elem
+    ).otherwise(F.concat(sd, elem))
+    return df.withColumn(
+        sd_col, F.when(is5424 & ~already, newsd).otherwise(sd)
+    )

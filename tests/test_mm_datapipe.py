@@ -651,3 +651,63 @@ def test_token_minhash_pairs(spark):
     got = {(r.id_a, r.id_b) for r in pairs}
     assert ("a", "b") in got
     assert all({p[0], p[1]} <= {"a", "b"} for p in got), got
+
+
+def test_mmaudit(spark):
+    """mmaudit.c: type=NNNN audit(id): k=v parsing, quoted values keep
+    embedded spaces, non-audit rows nulled."""
+    df = spark.createDataFrame(
+        [
+            ('type=1300 audit(1364481363.243:24287): arch=c000003e '
+             'syscall=2 exe="/usr/bin/cat more" success=yes',),
+            ("ordinary message",),
+        ],
+        "msg string",
+    )
+    rows = mm.mmaudit(df).collect()
+    r = rows[0]
+    assert r.audit_success
+    assert r.audit.hdr.auditid == "1364481363.243:24287"
+    assert r.audit.hdr.type == 1300
+    assert dict(r.audit.fields) == {
+        "arch": "c000003e", "syscall": "2",
+        "exe": "/usr/bin/cat more", "success": "yes",
+    }
+    assert not rows[1].audit_success and rows[1].audit is None
+
+
+def test_mmrfc5424addhmac(spark):
+    """mmrfc5424addhmac.c: [sdid hash="hex"] appended to 5424 SD only,
+    '-' replaced, existing element untouched; the pure-Column HMAC
+    matches Python's hmac byte-for-byte."""
+    import hashlib
+    import hmac as pyhmac
+
+    import pyspark.sql.functions as F2
+
+    key = b"secret-key"
+    got = spark.range(1).select(
+        mm.hmac_sha256(F2.lit("payload"), key).alias("h")
+    ).first().h
+    assert got == pyhmac.new(key, b"payload", hashlib.sha256).hexdigest()
+    # >64-byte keys hash down per RFC 2104
+    got2 = spark.range(1).select(
+        mm.hmac_sha256(F2.lit("p"), b"k" * 100).alias("h")
+    ).first().h
+    assert got2 == pyhmac.new(b"k" * 100, b"p", hashlib.sha256).hexdigest()
+
+    df = spark.createDataFrame(
+        [
+            ("<107>1 ... msg1", "-", 1),
+            ("<107>1 ... msg2", '[ex@1 k="v"]', 1),
+            ("<13>old style", "-", 0),
+            ("<107>1 ... msg3", '[hmac@0 hash="deadbeef"]', 1),
+        ],
+        "rawmsg string, structured_data string, protocol_version int",
+    )
+    rows = mm.mmrfc5424addhmac(df, key).collect()
+    h1 = pyhmac.new(key, b"<107>1 ... msg1", hashlib.sha256).hexdigest()
+    assert rows[0].structured_data == f'[hmac@0 hash="{h1}"]'
+    assert rows[1].structured_data.startswith('[ex@1 k="v"][hmac@0 hash="')
+    assert rows[2].structured_data == "-"          # non-5424 untouched
+    assert rows[3].structured_data == '[hmac@0 hash="deadbeef"]'  # already
