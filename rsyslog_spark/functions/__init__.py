@@ -349,8 +349,15 @@ def flatten_json(s, sep: str = ".", depth: int = 6) -> Column:
                     c["value"].alias("value"),
                 ),
             )
+            # guard: '{}' parses to an EMPTY (non-null) entries array —
+            # substituting it would silently drop the key, so only
+            # replace the entry when the child map is non-empty
+            # (malformed JSON parses to null and also falls through)
             return F.when(
-                looks_obj(e["value"]), F.coalesce(prefixed, F.array(e))
+                looks_obj(e["value"])
+                & prefixed.isNotNull()
+                & (F.size(prefixed) > 0),
+                prefixed,
             ).otherwise(F.array(e))
 
         entries = F.flatten(F.transform(entries, expand))
@@ -359,39 +366,113 @@ def flatten_json(s, sep: str = ".", depth: int = 6) -> Column:
 
 def unflatten_json(s, sep: str = ".") -> Column:
     """contrib/fmunflatten/fmunflatten.c:206 — nested-tree output as a
-    JSON string: {"a.b":1,"a.c":2} → {"a":{"b":1,"c":2}}. Arrow-batched
-    UDF (tree construction is genuinely recursive; rare script fn)."""
-    from pyspark.sql.functions import pandas_udf
+    JSON string: {"a.b":1,"a.c":2} → {"a":{"b":1,"c":2}}, entirely in
+    Column expressions (no Python evaluator; was the last Arrow UDF on
+    a mm* path).
 
-    @pandas_udf("string")
-    def _unflat(col: pd.Series) -> pd.Series:
-        import json
+    Method: one global regex pass extracts (raw key, raw value-token)
+    pairs from the flat object TEXT — values keep their source JSON
+    spelling, so numbers/bools/strings survive untouched. Entries are
+    sorted by key (siblings of a shared dotted prefix become
+    contiguous) and serialized with the classic common-prefix walk:
+    each entry closes the braces the previous entry's deeper levels
+    opened, opens its own new intermediate levels, then emits
+    ``"leaf":value``.
 
-        def go(v):
-            if v is None:
-                return None
-            try:
-                flat = json.loads(v)
-            except (TypeError, ValueError):
-                return None
-            if not isinstance(flat, dict):
-                return json.dumps(flat)
-            root: dict = {}
-            for k, val in flat.items():
-                node = root
-                parts = str(k).split(sep)
-                for p in parts[:-1]:
-                    nxt = node.get(p)
-                    if not isinstance(nxt, dict):
-                        nxt = {}
-                        node[p] = nxt
-                    node = nxt
-                node[parts[-1]] = val
-            return json.dumps(root, separators=(",", ":"))
+    Documented bounds (each the mirror of flatten_json's depth bound):
+    object/array literal VALUES are captured to one brace level
+    (flatten never emits them — deeper remnants ride as JSON strings,
+    which are captured exactly); conflicting paths ("a" and "a.b")
+    resolve deeper-path-wins — the "a" leaf is dropped (the reference
+    resolves by insertion order, fmunflatten.c:206: whichever comes
+    last overwrites; a sorted serialization can't see source order, so
+    the deterministic rule is documented instead); key order in the
+    output is sorted, not source order (JSON object semantics).
+    Non-object / malformed input → null."""
+    import re as _re
 
-        return col.map(go)
+    col = _c(s)
+    guard = F.from_json(col, "map<string,string>")
+    val_tok = r'"(?:[^"\\]|\\.)*"|\[[^\]]*\]|\{[^}]*\}|[^,}\s][^,}]*'
+    pat = r'"((?:[^"\\]|\\.)*)"\s*:\s*(' + val_tok + r")"
+    keys = F.regexp_extract_all(col, F.lit(pat), F.lit(1))
+    vals = F.regexp_extract_all(col, F.lit(pat), F.lit(2))
+    entries = F.array_sort(
+        F.zip_with(
+            keys,
+            vals,
+            lambda k, v: F.struct(
+                k.alias("key"), F.rtrim(v).alias("value")
+            ),
+        )
+    )
+    # deeper-path-wins conflict rule: a leaf whose key is a strict
+    # segment-prefix of another key ("a" vs "a.b") would serialize as a
+    # scalar AND an open brace at the same position — drop the leaf
+    # (n² over the handful of entries of one flat object; per-row cost
+    # is trivial and stays JVM-side)
+    entries = F.filter(
+        entries,
+        lambda e: ~F.exists(
+            entries,
+            lambda o: o["key"].startswith(F.concat(e["key"], F.lit(sep))),
+        ),
+    )
+    n = F.size(entries)
+    seprx = _re.escape(sep)
 
-    return _unflat(_c(s))
+    def piece(i: Column) -> Column:
+        e = F.try_element_at(entries, i)
+        # ANSI: index 0 is invalid even for try_element_at — guard the
+        # first entry behind the CASE (branches evaluate lazily)
+        pe = F.when(i > 1, F.try_element_at(entries, i - 1))
+        segs = F.split(e["key"], seprx, -1)
+        psegs = F.split(pe["key"], seprx, -1)
+        # first position where the segment paths diverge (null-safe eq:
+        # the shorter path zero-pads with nulls, which compare false)
+        fpos = F.array_position(
+            F.zip_with(segs, psegs, lambda x, y: x.eqNullSafe(y)),
+            F.lit(False),
+        )
+        common = (
+            F.when(pe.isNull(), F.lit(0).cast("long"))
+            .when(fpos == 0, F.size(segs).cast("long") - 1)  # dup key
+            .otherwise(fpos - 1)
+        )
+        closers = F.repeat(
+            F.lit("}"),
+            F.greatest(
+                F.lit(0), (F.size(psegs) - 1 - common).cast("int")
+            ),
+        )
+        pre = F.when(pe.isNull(), F.lit("")).otherwise(
+            F.concat(closers, F.lit(","))
+        )
+        inter = F.slice(
+            segs, common + 1, (F.size(segs) - 1 - common).cast("int")
+        )
+        opens = F.array_join(
+            F.transform(
+                inter, lambda seg: F.concat(F.lit('"'), seg, F.lit('":{'))
+            ),
+            "",
+        )
+        return F.concat(
+            pre, opens,
+            F.lit('"'), F.element_at(segs, -1), F.lit('":'), e["value"],
+        )
+
+    body = F.array_join(F.transform(F.sequence(F.lit(1), n), piece), "")
+    tail = F.repeat(
+        F.lit("}"),
+        (F.size(F.split(F.try_element_at(entries, n)["key"], seprx, -1)) - 1)
+        .cast("int"),
+    )
+    return (
+        F.when(guard.isNull(), F.lit(None).cast("string"))
+        .when(n == 0, F.lit("{}"))
+        .otherwise(F.concat(F.lit("{"), body, tail, F.lit("}")))
+    )
 
 
 def append_json(src, dst) -> Column:

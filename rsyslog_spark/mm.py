@@ -936,7 +936,24 @@ def mmrfc5424addhmac(
         if "protocol_version" in df.columns
         else F.lit(True)
     )
-    already = F.coalesce(sd, F.lit("")).contains(f"[{sdid} ")
+    # presence check mirrors isHmacPresent (mmrfc5424addhmac.c): the
+    # sdid must open an actual SD *element*, not merely occur inside a
+    # quoted param value. Drop escaped chars (\" \] \\), then keep only
+    # the outside-quotes segments (quote-parity split: even segments of
+    # a split on '"' are outside quotes) before anchoring on '[sdid '
+    # or '[sdid]'.
+    import re as _re
+
+    outside_quotes = F.array_join(
+        F.filter(
+            F.split(
+                F.regexp_replace(F.coalesce(sd, F.lit("")), r"\\.", ""), '"'
+            ),
+            lambda x, i: i % 2 == 0,
+        ),
+        "",
+    )
+    already = outside_quotes.rlike(r"\[" + _re.escape(sdid) + r"[ \]]")
     elem = F.concat(
         F.lit(f"[{sdid} hash=\""),
         hmac_sha256(F.col(raw_col), key),

@@ -410,32 +410,39 @@ def pmpanngfw(df: DataFrame, msg_col: str = "msg") -> DataFrame:
     (the transformed message) and ``pan`` flag; msg is rewritten for
     matching rows like the reference does in place."""
     msg = F.col(msg_col)
-    body = F.ltrim(msg)
+    # detection tolerates leading whitespace, but the transform runs on
+    # the ORIGINAL msg (reference rewrites in place, pmpanngfw.c:109 —
+    # leading whitespace must survive; it sits in segment 0, outside
+    # quotes, and contains no commas)
     det = F.regexp_extract(
-        body,
+        F.ltrim(msg),
         rf"^(\d+,\d{{4}}/\d{{2}}/\d{{2}} \d{{2}}:\d{{2}}:\d{{2}},[^,]*,"
         rf"(?:{_PAN_TYPES}),)", 1,
     )
     hit = det != ""
-    # commas OUTSIDE double-quoted fields → tabs, in LINEAR time: split
-    # on '"' — even-indexed segments are outside quotes (escaped ""
-    # contributes an empty odd segment and flips parity back), replace
-    # commas there only, rejoin. (A quote-parity lookahead regex is
-    # O(line × commas) — measured ~5× slower on 1.2 KB PAN lines.
-    # The reference walks char-by-char, pmpanngfw.c:109-250.)
-    parts = F.split(body, '"', -1)
+    # Structural mirror of the reference's char walker
+    # (pmpanngfw.c:109-250), in LINEAR time: split on '"'. Each quote
+    # toggles in-quote state, so even-indexed segments are outside
+    # quotes (an escaped "" is two toggles = net zero — parity stays
+    # correct for every NON-empty segment). Per segment:
+    #   odd (inside quotes)  → emitted literally;
+    #   even, empty, interior → this is the gap inside an in-quote '""'
+    #                           pair → emit the escaped literal '"';
+    #   even otherwise        → outside quotes → commas become tabs.
+    # Field-delimiting quotes vanish because segments join on ''. An
+    # empty ODD interior segment is an empty quoted field ("") outside
+    # quotes and correctly emits nothing.
+    parts = F.split(msg, '"', -1)
+    last = F.size(parts) - 1
     tsv = F.array_join(
         F.transform(
             parts,
-            lambda p, i: F.when(
-                i % 2 == 0, F.regexp_replace(p, ",", "\t")
-            ).otherwise(p),
+            lambda p, i: F.when(i % 2 == 1, p)
+            .when((p == "") & (i > 0) & (i < last), F.lit('"'))
+            .otherwise(F.regexp_replace(p, ",", "\t")),
         ),
-        '"',
+        "",
     )
-    # strip the outer quotes of quoted fields, then unescape "" -> "
-    tsv = F.regexp_replace(tsv, r'(?:^|(?<=\t))"((?:[^"]|"")*)"(?=\t|$)', "$1")
-    tsv = F.regexp_replace(tsv, r'""', '"')
     out = F.when(hit, tsv)
     return (
         df.withColumn("pan", hit)

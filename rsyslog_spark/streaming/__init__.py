@@ -366,7 +366,15 @@ class DynStatsStream:
         (key, n) plus one overflow row. Returns the batch snapshot.
         With journaled state, a replay of an already-committed
         ``batch_id`` recomputes the output against the FROZEN state —
-        no double admission, no double counter bumps."""
+        no double admission, no double counter bumps. Exactness caveat:
+        the frozen replay runs against the CURRENT admitted set, so it
+        is bit-identical only for the MOST RECENT committed batch (the
+        only one Structured Streaming's foreachBatch ever replays after
+        a crash — it never re-delivers older epochs). Replaying an
+        older batch_id out-of-band can admit-classify keys that were
+        admitted after that batch originally ran; per-batch admitted
+        snapshots would be needed for bit-identical arbitrary replay,
+        which the journal deliberately does not store."""
         spark = batch_df.sparkSession
         frozen = (
             self.state_path is not None

@@ -179,6 +179,27 @@ def test_pmpanngfw(spark):
     assert not out[1].pan and out[1].msg == "plain text msg"
 
 
+def test_pmpanngfw_whitespace_and_stray_quotes(spark):
+    """r4 ADVICE fixes: the in-place rewrite preserves leading
+    whitespace (reference rewrites msg in place, pmpanngfw.c:109), and
+    '""' outside a quoted field is an EMPTY field, not an unescape
+    target (the old global '""'->'"' pass corrupted it)."""
+    from rsyslog_spark.parsing.devices import pmpanngfw
+
+    msg = (' 1,2025/01/01 00:00:00,serial,TRAFFIC,"",a""b,"x""y"')
+    out = pmpanngfw(
+        spark.createDataFrame([(msg,)], "msg string")
+    ).first()
+    assert out.pan
+    # leading space survives the rewrite
+    assert out.msg.startswith(" 1\t")
+    fields = out.msg.lstrip().split("\t")
+    assert fields[4] == ""            # "" = empty quoted field
+    assert fields[5] == "ab"          # a""b: toggle in + straight out —
+    #                                   NOT an escape (old code made a"b)
+    assert fields[6] == 'x"y'         # escaped quote INSIDE quotes
+
+
 def test_mmleefparse(spark):
     """mmleefparse.c over the tests/mmleefparse_basic.sh PAN-OS shape
     ('|' extension delimiter) and a tab-delimited LEEF 2.0 event."""

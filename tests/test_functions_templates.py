@@ -413,6 +413,41 @@ def test_unflatten_json_nested(one):
         F.lit('{"a.b":"1","a.c":"2","top":"x"}')))
     assert json.loads(got) == {"a": {"b": "1", "c": "2"}, "top": "x"}
     assert ev(one, fn.unflatten_json(F.lit("not json"))) is None
+    # r4 pure-Column rewrite: scalar JSON types survive (values are
+    # captured as raw source text, not re-rendered strings)
+    typed = ev(one, fn.unflatten_json(
+        F.lit('{"a.b":1,"a.c":true,"z":null,"n":-2.5e3}')))
+    assert json.loads(typed) == {
+        "a": {"b": 1, "c": True}, "z": None, "n": -2500.0
+    }
+    # escaped quotes / commas / braces inside string values stay intact
+    tricky = ev(one, fn.unflatten_json(
+        F.lit('{"k":"has \\"quotes\\" and, commas}"}')))
+    assert json.loads(tricky) == {"k": 'has "quotes" and, commas}'}
+    # deeper-path-wins conflict rule (documented divergence from the
+    # reference's insertion-order overwrite, fmunflatten.c:206)
+    clash = ev(one, fn.unflatten_json(F.lit('{"m.a":"x","m":"clash"}')))
+    assert json.loads(clash) == {"m": {"a": "x"}}
+    assert ev(one, fn.unflatten_json(F.lit("{}"))) == "{}"
+
+
+def test_flatten_json_empty_object_kept(one):
+    """r4 ADVICE fix: '{}' values must survive flattening (an empty
+    child map used to substitute an empty entries array, silently
+    dropping the key)."""
+    got = ev(one, F.map_keys(fn.flatten_json(
+        F.lit('{"a":{},"b":{"c":"1"},"d":"x"}'))))
+    assert sorted(got) == ["a", "b.c", "d"]
+
+
+def test_unflatten_json_plan_is_udf_free(one):
+    """VERDICT r3 #3: mmjsontransform must be UDF-free in BOTH
+    directions — no Python evaluator in the unflatten plan."""
+    plan = (
+        one.select(fn.unflatten_json(F.lit('{"a.b":"1"}')).alias("x"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan
 
 
 def test_list_template(logrow):

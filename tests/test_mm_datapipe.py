@@ -711,3 +711,19 @@ def test_mmrfc5424addhmac(spark):
     assert rows[1].structured_data.startswith('[ex@1 k="v"][hmac@0 hash="')
     assert rows[2].structured_data == "-"          # non-5424 untouched
     assert rows[3].structured_data == '[hmac@0 hash="deadbeef"]'  # already
+
+    # r4 ADVICE fix: the presence check parses SD element starts like
+    # isHmacPresent — '[hmac@0 ' INSIDE a quoted param value must NOT
+    # suppress the append, and a no-param '[hmac@0]' element must
+    df2 = spark.createDataFrame(
+        [
+            ("m1", '[ex@1 note="saw [hmac@0 hash] text"]', 1),
+            ("m2", "[hmac@0]", 1),
+            ("m3", '[ex@1 esc="\\"quoted\\""][hmac@0 hash="x"]', 1),
+        ],
+        "rawmsg string, structured_data string, protocol_version int",
+    )
+    r2 = mm.mmrfc5424addhmac(df2, key).collect()
+    assert '[hmac@0 hash="' in r2[0].structured_data   # value text ignored
+    assert r2[1].structured_data == "[hmac@0]"         # element present
+    assert r2[2].structured_data.count("[hmac@0") == 1  # escaped quotes ok
