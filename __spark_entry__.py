@@ -957,6 +957,66 @@ def q_leef_fields(spark, sf):
     )
 
 
+def q_win_events(spark, sf):
+    """mmsnareparse + snare_event_metadata end-to-end: 50 Snare
+    Windows-event lines synthesized arithmetically (event ids cycle
+    through the logon/privilege/filtering families, logon types sweep
+    g_logonTypeMap) are tab-split, section-parsed, and mapped through
+    g_eventMappings/g_logonTypeMap — the oracle recomputes every output
+    column from the same arithmetic without parsing anything."""
+    from rsyslog_spark.parsing.devices import (
+        mmsnareparse, snare_event_metadata,
+    )
+
+    base = spark.range(50).select(F.col("id").alias("i"))
+    i = F.col("i")
+    s = lambda c: c.cast("string")  # noqa: E731
+    ev_id = F.element_at(
+        F.array(F.lit(4624), F.lit(4625), F.lit(4672), F.lit(5157),
+                F.lit(4634)),
+        (i % 5).cast("int") + 1,
+    )
+    is_logon = (i % 5) < 2
+    audit = F.when(
+        ev_id.isin(4625, 5157), F.lit("Failure Audit")
+    ).otherwise(F.lit("Success Audit"))
+    logon_desc = F.concat(
+        F.lit("An account event.    Subject:   Security ID:  S-1-5-"),
+        s(i),
+        F.lit("   Account Name:  USER"), s(i),
+        F.lit("   Account Domain:  DOM"), s(i),
+        F.lit("    Logon Information:   Logon Type:  "), s(i % 14),
+        F.lit("    Network Information:   Source Network Address: 10.0."),
+        s(i % 256), F.lit("."), s((2 * i) % 256),
+        F.lit("   Source Port:  "), s(40000 + i),
+    )
+    desc = F.when(is_logon, logon_desc).otherwise(
+        F.lit("A system event occurred.")
+    )
+    msg = F.concat(
+        F.lit("MSWinEventLog\t1\tSecurity\t"), s(100 + i),
+        F.lit("\tTue Feb 18 06:42:17 2025\t"), s(ev_id),
+        F.lit("\tMicrosoft-Windows-Security-Auditing\tN/A\tN/A\t"),
+        audit, F.lit("\tHOST"), s(i % 7), F.lit("\tCat\t\t"), desc,
+    )
+    out = snare_event_metadata(
+        mmsnareparse(base.select("i", msg.alias("msg")))
+    )
+    return out.select(
+        F.col("win")["RecordNumber"].alias("rec"),
+        F.col("win")["EventID"].alias("event_id"),
+        F.col("win_event")["Category"].alias("category"),
+        F.col("win_event")["Subtype"].alias("subtype"),
+        F.col("win_event")["Outcome"].alias("outcome"),
+        F.col("win_logon")["LogonType"].alias("logon_type"),
+        F.col("win_logon")["LogonTypeName"].alias("logon_type_name"),
+        F.col("win_logon")["Subject"]["AccountName"].alias("account"),
+        F.col("win_logon")["SourceNetworkAddress"].alias("src_addr"),
+        F.col("win_logon")["SourcePort"].alias("src_port"),
+        F.col("win_valid").alias("valid"),
+    )
+
+
 def q_perctile_window(spark, sf):
     """Sliding ring-buffer percentile window (perctile_stats analog):
     per event_type, last-5-rows min/max/count/p50 ordered by event_id."""
@@ -1023,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rulebase_grok": q_rulebase_grok,
         "rulebase_v2": q_rulebase_v2,
         "leef_fields": q_leef_fields,
+        "win_events": q_win_events,
         "session_stats": q_session_stats,
         "corpus_filter": q_corpus_filter,
         "log_templates": q_log_templates,
@@ -1626,5 +1687,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(-(i + 1) AS BIGINT) AS id_a,
                    CAST(i AS BIGINT) AS id_b
             FROM generate_series(0, 9) t(i)
+        """,
+        "win_events": """
+            SELECT CAST(100 + i AS BIGINT) AS rec,
+                   CAST(CASE i % 5 WHEN 0 THEN 4624 WHEN 1 THEN 4625
+                        WHEN 2 THEN 4672 WHEN 3 THEN 5157
+                        ELSE 4634 END AS BIGINT) AS event_id,
+                   CASE i % 5 WHEN 0 THEN 'Logon' WHEN 1 THEN 'Logon'
+                        WHEN 2 THEN 'Privilege'
+                        WHEN 3 THEN 'FilteringPlatform' END AS category,
+                   CASE i % 5 WHEN 0 THEN 'Success' WHEN 1 THEN 'Failure'
+                        WHEN 2 THEN 'Assignment'
+                        WHEN 3 THEN 'PacketDrop' END AS subtype,
+                   CASE i % 5 WHEN 1 THEN 'failure' WHEN 3 THEN 'failure'
+                        ELSE 'success' END AS outcome,
+                   CASE WHEN i % 5 < 2
+                        THEN CAST(i % 14 AS BIGINT) END AS logon_type,
+                   CASE WHEN i % 5 < 2 THEN
+                     CASE i % 14
+                          WHEN 0 THEN 'System' WHEN 1 THEN 'System'
+                          WHEN 2 THEN 'Interactive' WHEN 3 THEN 'Network'
+                          WHEN 4 THEN 'Batch' WHEN 5 THEN 'Service'
+                          WHEN 7 THEN 'Unlock'
+                          WHEN 8 THEN 'NetworkCleartext'
+                          WHEN 9 THEN 'NewCredentials'
+                          WHEN 10 THEN 'RemoteInteractive'
+                          WHEN 11 THEN 'CachedInteractive'
+                          WHEN 12 THEN 'CachedRemoteInteractive'
+                          WHEN 13 THEN 'CachedUnlock' END
+                   END AS logon_type_name,
+                   CASE WHEN i % 5 < 2
+                        THEN 'USER' || CAST(i AS VARCHAR) END AS account,
+                   CASE WHEN i % 5 < 2
+                        THEN '10.0.' || CAST(i % 256 AS VARCHAR) || '.'
+                             || CAST((2 * i) % 256 AS VARCHAR)
+                   END AS src_addr,
+                   CASE WHEN i % 5 < 2
+                        THEN CAST(40000 + i AS BIGINT) END AS src_port,
+                   TRUE AS valid
+            FROM generate_series(0, 49) t(i)
         """,
     }

@@ -748,3 +748,203 @@ def snare_description_fields(col: Column, sep: str = ".") -> Column:
         F.create_map().cast("map<string,string>").alias("m"),
     )
     return F.aggregate(segs, init, step, lambda a: a["m"])
+
+
+# --- mmsnareparse event-type metadata (r4) -----------------------------------
+# g_eventMappings (mmsnareparse.c:563-632): eventId → (Category, Subtype,
+# Outcome). Windows Security event-id facts, embedded as data.
+_SNARE_EVENT_MAP: dict[int, tuple[str, str, str | None]] = {
+    4624: ("Logon", "Success", "success"),
+    4625: ("Logon", "Failure", "failure"),
+    4626: ("Logon", "Success", "success"),
+    4627: ("Logon", "Success", "success"),
+    4672: ("Privilege", "Assignment", "success"),
+    4688: ("Process", "Creation", "success"),
+    4768: ("Kerberos", "TGTRequest", None),
+    4769: ("Kerberos", "ServiceTicket", None),
+    4771: ("Kerberos", "PreAuthFailure", None),
+    5140: ("FileShare", "Access", None),
+    5157: ("FilteringPlatform", "PacketDrop", "failure"),
+    6281: ("WDAC", "Enforcement", None),
+    1102: ("Audit", "LogCleared", None),
+    1243: ("WindowsUpdate", "Deployment", None),
+    4720: ("AccountManagement", "Creation", "success"),
+    4722: ("AccountManagement", "Enabled", "success"),
+    4723: ("AccountManagement", "PasswordChangeAttempt", "success"),
+    4724: ("AccountManagement", "PasswordReset", "success"),
+    4725: ("AccountManagement", "AccountDisabled", "success"),
+    4726: ("AccountManagement", "AccountDeleted", "success"),
+    4738: ("AccountManagement", "AccountChange", "success"),
+    4781: ("AccountManagement", "AccountNameChange", "success"),
+    4650: ("IPsec", "MainModeEstablished", "success"),
+    4651: ("IPsec", "MainModeFailure", "failure"),
+    4652: ("IPsec", "QuickModeEstablished", "success"),
+    4653: ("IPsec", "QuickModeFailure", "failure"),
+    4654: ("IPsec", "MainModeAuthFailure", "failure"),
+    4655: ("IPsec", "MainModeAuthFailure", "failure"),
+    4656: ("IPsec", "MainModeKeyFailure", "failure"),
+    4657: ("IPsec", "MainModePeerAuthFailure", "failure"),
+    4658: ("IPsec", "MainModeInvalidCookie", "failure"),
+    4659: ("IPsec", "MainModeDuplicateSPI", "failure"),
+    4660: ("IPsec", "MainModeInvalidProposal", "failure"),
+    4661: ("IPsec", "MainModeTimeout", "failure"),
+    4663: ("IPsec", "MainModeTimeout", "failure"),
+    4664: ("IPsec", "MainModeTimeout", "failure"),
+    4665: ("IPsec", "MainModeTimeout", "failure"),
+    4666: ("IPsec", "MainModeTimeout", "failure"),
+    4667: ("IPsec", "MainModeTimeout", "failure"),
+    4668: ("IPsec", "MainModeTimeout", "failure"),
+    4670: ("IPsec", "MainModeTimeout", "failure"),
+    4671: ("IPsec", "MainModeTimeout", "failure"),
+    4608: ("System", "Startup", "success"),
+    4609: ("System", "Shutdown", "success"),
+    4610: ("System", "Startup", "success"),
+    4611: ("System", "Shutdown", "success"),
+    4612: ("System", "AuditLogCleared", "success"),
+    4614: ("System", "AuditLogCleared", "success"),
+    4615: ("System", "IPCStatusChange", "success"),
+    4616: ("System", "SystemTimeChange", "success"),
+    4618: ("System", "SecurityStateChange", "success"),
+    4621: ("System", "AdminLogon", "success"),
+    4622: ("System", "Logon", "success"),
+    4697: ("System", "ServiceInstalled", "success"),
+    4821: ("System", "CertificateServices", "success"),
+    4822: ("System", "CertificateServices", "success"),
+    4823: ("System", "CertificateServices", "success"),
+    4824: ("System", "CertificateServices", "success"),
+    4830: ("System", "CertificateServices", "success"),
+}
+
+# g_logonTypeMap (mmsnareparse.c:549-562)
+_SNARE_LOGON_TYPES = {
+    0: "System", 1: "System", 2: "Interactive", 3: "Network", 4: "Batch",
+    5: "Service", 7: "Unlock", 8: "NetworkCleartext", 9: "NewCredentials",
+    10: "RemoteInteractive", 11: "CachedInteractive",
+    12: "CachedRemoteInteractive", 13: "CachedUnlock",
+}
+
+
+def _litmap(d: dict) -> Column:
+    pairs: list[Column] = []
+    for k, v in d.items():
+        pairs += [F.lit(k), F.lit(v)]
+    return F.create_map(*pairs)
+
+
+def snare_event_metadata(
+    df: DataFrame,
+    win_col: str = "win",
+    fields_col: str = "win_fields",
+    desc_col: str | None = None,
+) -> DataFrame:
+    """Per-event-type metadata on top of :func:`mmsnareparse` —
+    apply_event_mapping (mmsnareparse.c:3848-3861) plus the logon-event
+    field promotion the reference routes through g_coreFieldPatterns
+    (mmsnareparse.c:198-270) and populate_event_metadata
+    (mmsnareparse.c:4607-4705, 4851: 4624/4625 required-field check).
+
+    Adds:
+      win_event  — struct(Category, Subtype, Outcome): g_eventMappings
+                   lookup; Outcome falls back to derive_outcome over the
+                   Snare EventType token ('Success Audit' → success,
+                   mmsnareparse.c:3765-3774).
+      win_logon  — for Logon-category events (4624-4627): the promoted
+                   fields (LogonType + LogonTypeName via g_logonTypeMap,
+                   Subject/NewLogon account structs, network and
+                   detailed-authentication info, 4625 failure block),
+                   each read from the section-scoped win_fields map.
+      win_valid  — validate_required_fields subset: for 4624/4625 the
+                   description must mention Security ID / Account Name /
+                   Account Domain (strict-mode gate in the reference).
+
+    Everything is literal-map lookups over the already-built fields map
+    — pure Column, no extra scan, no shuffle."""
+    ev = F.col(win_col)["EventID"]
+    m = F.col(fields_col)
+    g = lambda k: _na(F.coalesce(F.try_element_at(m, F.lit(k)), F.lit("")))  # noqa: E731
+    cat = F.try_element_at(_litmap({k: v[0] for k, v in _SNARE_EVENT_MAP.items()}), ev)
+    sub = F.try_element_at(_litmap({k: v[1] for k, v in _SNARE_EVENT_MAP.items()}), ev)
+    out_map = {
+        k: v[2] for k, v in _SNARE_EVENT_MAP.items() if v[2] is not None
+    }
+    audit = F.lower(F.coalesce(F.col(win_col)["EventType"], F.lit("")))
+    derived = (
+        F.when(audit.contains("success"), F.lit("success"))
+        .when(audit.contains("fail"), F.lit("failure"))
+        .when(audit.contains("error"), F.lit("error"))
+        .when(audit.contains("warning"), F.lit("warning"))
+        .when(audit.contains("information"), F.lit("information"))
+    )
+    outcome = F.coalesce(F.try_element_at(_litmap(out_map), ev), derived)
+    win_event = F.when(
+        F.col(win_col).isNotNull(),
+        F.struct(
+            cat.alias("Category"), sub.alias("Subtype"),
+            outcome.alias("Outcome"),
+        ),
+    )
+
+    lt_long = g("Logon Information.Logon Type").try_cast("long")
+    acct = lambda sec: F.struct(  # noqa: E731
+        g(f"{sec}.Security ID").alias("SecurityID"),
+        g(f"{sec}.Account Name").alias("AccountName"),
+        g(f"{sec}.Account Domain").alias("AccountDomain"),
+        g(f"{sec}.Logon ID").alias("LogonID"),
+    )
+    win_logon = F.when(
+        (ev >= 4624) & (ev <= 4627) & m.isNotNull(),
+        F.struct(
+            lt_long.alias("LogonType"),
+            F.try_element_at(_litmap(_SNARE_LOGON_TYPES), lt_long).alias(
+                "LogonTypeName"
+            ),
+            acct("Subject").alias("Subject"),
+            acct("New Logon").alias("NewLogon"),
+            g("New Logon.Linked Logon ID").alias("LinkedLogonID"),
+            g("New Logon.Logon GUID").alias("LogonGUID"),
+            g("Network Information.Workstation Name").alias(
+                "WorkstationName"
+            ),
+            g("Network Information.Source Network Address").alias(
+                "SourceNetworkAddress"
+            ),
+            g("Network Information.Source Port").try_cast("long").alias(
+                "SourcePort"
+            ),
+            g("Process Information.Process ID").alias("ProcessID"),
+            g("Process Information.Process Name").alias("ProcessName"),
+            g("Detailed Authentication Information.Logon Process").alias(
+                "LogonProcess"
+            ),
+            g(
+                "Detailed Authentication Information.Authentication Package"
+            ).alias("AuthenticationPackage"),
+            g("Detailed Authentication Information.Key Length")
+            .try_cast("long")
+            .alias("KeyLength"),
+            g("Logon Information.Restricted Admin Mode").alias(
+                "RestrictedAdminMode"
+            ),
+            g("Logon Information.Virtual Account").alias("VirtualAccount"),
+            g("Logon Information.Elevated Token").alias("ElevatedToken"),
+            g("Failure Information.Failure Reason").alias("FailureReason"),
+            g("Failure Information.Status").alias("Status"),
+            g("Failure Information.Sub Status").alias("SubStatus"),
+        ),
+    )
+    desc = (
+        F.col(desc_col) if desc_col else F.col(win_col)["Description"]
+    )
+    required_ok = (
+        desc.contains("Security ID")
+        & desc.contains("Account Name")
+        & desc.contains("Account Domain")
+    )
+    win_valid = F.when(
+        ev.isin(4624, 4625), F.coalesce(required_ok, F.lit(False))
+    ).otherwise(F.lit(True))
+    return (
+        df.withColumn("win_event", win_event)
+        .withColumn("win_logon", win_logon)
+        .withColumn("win_valid", win_valid)
+    )

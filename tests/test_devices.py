@@ -274,6 +274,135 @@ def test_mmsnareparse(spark):
     assert not rows[2].win_success and rows[2].win is None
 
 
+# golden fixtures modeled on tests/mmsnareparse-basic.sh /
+# mmsnareparse-realworld-4624-4634-5140.sh corpus shapes
+_SNARE_4624 = (
+    "MSWinEventLog\t1\tSecurity\t802301\tTue Feb 18 06:42:17 2025\t4624\t"
+    "Microsoft-Windows-Security-Auditing\tN/A\tN/A\tSuccess Audit\t"
+    "DC25-PREVIEW\tLogon\t\t"
+    "An account was successfully logged on.    Subject:   "
+    "Security ID:  S-1-5-18   Account Name:  SYSTEM   "
+    "Account Domain:  NT AUTHORITY   Logon ID:  0x3E7    "
+    "Logon Information:   Logon Type:  2   Restricted Admin Mode: -   "
+    "Virtual Account:  %%1843   Elevated Token:  %%1843    "
+    "New Logon:   Security ID:  S-1-5-21-88997766-500   "
+    "Account Name:  ADMIN-LAPS$   Account Domain:  FABRIKAM   "
+    "Logon ID:  0x52F1A   Linked Logon ID:  0x0   "
+    "Logon GUID:  {5a8f0679-9b23-4cb7-a8c7-3d650c9b52ec}    "
+    "Process Information:   Process ID:  0x66c   "
+    "Process Name:  C:\\Windows\\System32\\winlogon.exe    "
+    "Network Information:   Workstation Name:  CORE25-01   "
+    "Source Network Address: 192.168.50.12   Source Port:  59122    "
+    "Detailed Authentication Information:   Logon Process:  User32   "
+    "Authentication Package:  Negotiate   Key Length:  0"
+)
+_SNARE_4625 = (
+    "MSWinEventLog\t1\tSecurity\t802302\tTue Feb 18 06:43:02 2025\t4625\t"
+    "Microsoft-Windows-Security-Auditing\tN/A\tN/A\tFailure Audit\t"
+    "DC25-PREVIEW\tLogon\t\t"
+    "An account failed to log on.    Subject:   Security ID:  S-1-0-0   "
+    "Account Name: -   Account Domain: -    Logon Information:   "
+    "Logon Type:  3    Failure Information:   "
+    "Failure Reason:  Unknown user name or bad password.   "
+    "Status:  0xC000006D   Sub Status:  0xC0000064    "
+    "Network Information:   Workstation Name:  EDGE25-01   "
+    "Source Network Address: 10.15.5.20   Source Port:  57912"
+)
+_SNARE_5157 = (
+    "MSWinEventLog\t1\tSecurity\t301221\tTue Feb 18 07:01:55 2025\t5157\t"
+    "Microsoft-Windows-Security-Auditing\tN/A\tN/A\tFailure Audit\t"
+    "EDGE25-01\tFiltering Platform Packet Drop\t\t"
+    "The Windows Filtering Platform has blocked a connection.    "
+    "Network Information:   Direction:  Outbound   "
+    "Source Address:  10.15.5.20   Destination Port:  443"
+)
+_SNARE_4634 = (  # not in g_eventMappings -> Outcome derives from EventType
+    "MSWinEventLog\t1\tSecurity\t802309\tTue Feb 18 06:50:00 2025\t4634\t"
+    "Microsoft-Windows-Security-Auditing\tN/A\tN/A\tSuccess Audit\t"
+    "DC25-PREVIEW\tLogoff\t\tAn account was logged off."
+)
+
+
+def test_snare_event_metadata(spark):
+    """mmsnareparse.c apply_event_mapping (g_eventMappings:563-632),
+    g_logonTypeMap LogonTypeName (lookup_logon_description:3667-3671),
+    logon field promotion (g_coreFieldPatterns:198-270), and the
+    4624/4625 required-fields validation (:4851-4860) — golden units
+    per mapped event type over the module's test corpus shapes."""
+    from rsyslog_spark.parsing.devices import (
+        mmsnareparse, snare_event_metadata,
+    )
+
+    df = spark.createDataFrame(
+        [(_SNARE_4624,), (_SNARE_4625,), (_SNARE_5157,), (_SNARE_4634,)],
+        "msg string",
+    )
+    rows = snare_event_metadata(mmsnareparse(df)).collect()
+
+    r = rows[0]  # 4624 Logon/Success
+    assert (r.win_event.Category, r.win_event.Subtype,
+            r.win_event.Outcome) == ("Logon", "Success", "success")
+    lg = r.win_logon
+    assert lg.LogonType == 2 and lg.LogonTypeName == "Interactive"
+    assert lg.Subject.SecurityID == "S-1-5-18"
+    assert lg.Subject.AccountName == "SYSTEM"
+    assert lg.Subject.AccountDomain == "NT AUTHORITY"
+    assert lg.Subject.LogonID == "0x3E7"
+    assert lg.NewLogon.AccountName == "ADMIN-LAPS$"
+    assert lg.NewLogon.AccountDomain == "FABRIKAM"
+    assert lg.LinkedLogonID == "0x0"
+    assert lg.LogonGUID == "{5a8f0679-9b23-4cb7-a8c7-3d650c9b52ec}"
+    assert lg.WorkstationName == "CORE25-01"
+    assert lg.SourceNetworkAddress == "192.168.50.12"
+    assert lg.SourcePort == 59122
+    assert lg.ProcessName == "C:\\Windows\\System32\\winlogon.exe"
+    assert lg.LogonProcess == "User32"
+    assert lg.AuthenticationPackage == "Negotiate"
+    assert lg.KeyLength == 0
+    assert lg.RestrictedAdminMode is None          # '-' placeholder
+    assert lg.VirtualAccount == "%%1843"
+    assert r.win_valid
+
+    r = rows[1]  # 4625 Logon/Failure with failure block
+    assert (r.win_event.Category, r.win_event.Subtype,
+            r.win_event.Outcome) == ("Logon", "Failure", "failure")
+    lg = r.win_logon
+    assert lg.LogonType == 3 and lg.LogonTypeName == "Network"
+    assert lg.Subject.AccountName is None           # '-' placeholder
+    assert lg.FailureReason == "Unknown user name or bad password."
+    assert lg.Status == "0xC000006D" and lg.SubStatus == "0xC0000064"
+    assert lg.SourceNetworkAddress == "10.15.5.20"
+    assert r.win_valid                              # required fields present
+
+    r = rows[2]  # 5157 FilteringPlatform/PacketDrop (mapped, non-logon)
+    assert (r.win_event.Category, r.win_event.Subtype,
+            r.win_event.Outcome) == (
+        "FilteringPlatform", "PacketDrop", "failure")
+    assert r.win_logon is None and r.win_valid
+
+    r = rows[3]  # 4634: unmapped -> derive_outcome('Success Audit')
+    assert r.win_event.Category is None and r.win_event.Subtype is None
+    assert r.win_event.Outcome == "success"
+    assert r.win_logon is None and r.win_valid
+
+
+def test_snare_event_metadata_validation(spark):
+    """validate_required_fields: a 4624 whose description lacks the
+    Subject account block fails win_valid (strict-mode gate)."""
+    from rsyslog_spark.parsing.devices import (
+        mmsnareparse, snare_event_metadata,
+    )
+
+    bad = ("MSWinEventLog\t1\tSecurity\t99\tTue Feb 18 06:42:17 2025\t"
+           "4624\tMicrosoft-Windows-Security-Auditing\tN/A\tN/A\t"
+           "Success Audit\tHOST\tLogon\t\tAn account was logged on.")
+    r = snare_event_metadata(mmsnareparse(
+        spark.createDataFrame([(bad,)], "msg string")
+    )).first()
+    assert not r.win_valid
+    assert r.win_event.Outcome == "success"
+
+
 def test_pmcisconames(spark):
     """pmcisconames.c: strip the orphaned ':' between hostname and the
     %-tag; both short and year timestamps accepted."""
