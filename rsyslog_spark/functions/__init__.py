@@ -11,6 +11,8 @@ resolution (analog of rsyslog's scriptFunct lookup).
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -961,6 +963,62 @@ def set_psl(
 
 
 set_psl()
+
+
+def load_psl(
+    source: str | None = None, *, icann_only: bool = False
+) -> tuple[list[str], list[str]]:
+    """Parse a publicsuffix.org list snapshot (the public
+    ``public_suffix_list.dat`` format: ``//`` comments,
+    ``===BEGIN/END ICANN DOMAINS===`` sectioning, ``*.`` wildcard and
+    ``!`` exception rules, rule = text up to the first whitespace) into
+    the ``(rules, exceptions)`` arguments of :func:`set_psl`.
+
+    ``source`` may be a path to a ``.dat`` file or the raw text itself;
+    ``None`` loads the bundled full snapshot
+    (rsyslog_spark/data/public_suffix_list.dat — the Debian
+    ``publicsuffix`` package copy of https://publicsuffix.org/list/,
+    MPL 2.0, license header embedded in the file; refresh at deploy
+    time). ``icann_only=True`` keeps only the ICANN section (drops
+    private-registry suffixes like blogspot.com).
+
+    Single-label plain rules are dropped: the PSL's implicit ``*`` rule
+    already yields a one-label suffix when nothing longer matches, so
+    they only bloat the membership blob. Usage::
+
+        set_psl(*load_psl())            # full bundled snapshot
+        set_psl(*load_psl(icann_only=True))
+    """
+    if source is None:
+        source = os.path.join(
+            os.path.dirname(__file__), "..", "data",
+            "public_suffix_list.dat",
+        )
+    text = source
+    if "\n" not in source and os.path.exists(source):
+        with open(source, encoding="utf-8") as fh:
+            text = fh.read()
+    rules: list[str] = []
+    exceptions: list[str] = []
+    in_icann = False
+    for line in text.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        if line.startswith("//"):
+            if "===BEGIN ICANN DOMAINS===" in line:
+                in_icann = True
+            elif "===END ICANN DOMAINS===" in line:
+                in_icann = False
+            continue
+        if icann_only and not in_icann:
+            continue
+        token = line.split()[0]
+        if token.startswith("!"):
+            exceptions.append(token[1:])
+        elif "." in token or token.startswith("*."):
+            rules.append(token)
+    return rules, exceptions
 
 
 def _psl_suffix_labels(h: Column) -> Column:

