@@ -529,6 +529,8 @@ def omhttp_batch(
     batch_size: int = 100,
     ts_col: str | None = None,
     loki_labels: dict[str, str] | None = None,
+    order_by: str | list[str] | None = None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """contrib/omhttp/omhttp.c batch serialization: render each message
     with `template`, group into request bodies of ``batch_size`` and
@@ -540,11 +542,25 @@ def omhttp_batch(
     * ``lokirest``  — '{"streams":[{"stream":{labels},"values":
       [["<ns>",line],...]}]}' (needs ``ts_col``)
 
-    Batching is per input partition in row order (the reference batches
-    per worker): batch id = (partition, row-index ÷ size) from
-    monotonically_increasing_id, so assembling a batch shuffles at most
-    ``batch_size`` rows to one reducer — the real sink path would POST
-    from foreachPartition/foreachBatch without materializing frames."""
+    Batch identity — two modes:
+
+    * default (``order_by=None``): batch id = (partition, row-index ÷
+      size) from monotonically_increasing_id — zero extra shuffle, but
+      row→batch assignment is NOT stable across task retries (a retried
+      stage can re-scan input in a different split order and assemble
+      different request bodies than the first attempt). Fine for
+      frame-shape tests and exactly-once foreachBatch epochs; NOT for a
+      bare at-least-once POST path.
+    * ``order_by=<stable col(s)>``: rows are hash-bucketed on the first
+      order column into ``n_buckets`` groups (default: session shuffle
+      parallelism) and row-numbered within each bucket by ``order_by``
+      — fully DETERMINISTIC bodies for the same input regardless of
+      input partitioning or retries, at the cost of one extra shuffle
+      (the per-bucket sort window). Same-input runs produce
+      byte-identical request bodies (unit-asserted).
+
+    The real sink path would POST from foreachPartition/foreachBatch
+    without materializing frames."""
     from rsyslog_spark.templates import compile_template
 
     if batch_format not in ("newline", "jsonarray", "kafkarest",
@@ -556,14 +572,35 @@ def omhttp_batch(
     if batch_size < 1:
         raise ValueError(f"batch_size must be >= 1, got {batch_size}")
     line = compile_template(template)
-    mid = F.monotonically_increasing_id()
-    idx = mid.bitwiseAND(F.lit((1 << 33) - 1))
-    sel = [
-        line.alias("line"),
-        idx.alias("_idx"),
-        F.shiftright(mid, 33).alias("_part"),
-        F.floor(idx / F.lit(batch_size)).alias("_seq"),
-    ]
+    if order_by is not None:
+        from pyspark.sql import Window
+
+        cols = [order_by] if isinstance(order_by, str) else list(order_by)
+        if n_buckets is None:
+            try:
+                n_buckets = int(
+                    df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+                )
+            except (TypeError, ValueError):
+                n_buckets = 32
+        part = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_buckets))
+        w = Window.partitionBy(part).orderBy(*cols)
+        idx = (F.row_number().over(w) - 1).cast("long")
+        sel = [
+            line.alias("line"),
+            idx.alias("_idx"),
+            part.alias("_part"),
+            F.floor(idx / F.lit(batch_size)).alias("_seq"),
+        ]
+    else:
+        mid = F.monotonically_increasing_id()
+        idx = mid.bitwiseAND(F.lit((1 << 33) - 1))
+        sel = [
+            line.alias("line"),
+            idx.alias("_idx"),
+            F.shiftright(mid, 33).alias("_part"),
+            F.floor(idx / F.lit(batch_size)).alias("_seq"),
+        ]
     if batch_format == "lokirest":
         if ts_col is None:
             raise ValueError("lokirest needs ts_col for the values pairs")

