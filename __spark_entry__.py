@@ -913,6 +913,41 @@ def q_token_minhash(spark, sf):
     )
 
 
+def q_drain_templates(spark, sf):
+    """True-Drain second stage (textstats.drain_templates): three
+    planted template families derived arithmetically from events —
+    one that MERGES under the 0.8 similarity threshold (only the user
+    token varies → '<*>'), one that stays split (3 of 6 tokens vary,
+    sim 0.5), and one constant — the oracle recomputes all merged
+    templates and counts without mining anything."""
+    from rsyslog_spark.datapipe.textstats import drain_templates
+
+    ev = _events(spark, sf)
+    k = (F.col("event_id") % 10).cast("int")
+    letter = F.lit("abcdefghij").substr(k + 1, F.lit(1))
+    fam = F.col("event_id") % 3
+    msg = (
+        F.when(
+            fam == 0,
+            F.concat(
+                F.lit("conn established from 10.0."),
+                (F.col("event_id") % 256).cast("string"),
+                F.lit(".1 port 443 user u"), letter,
+            ),
+        )
+        .when(
+            fam == 1,
+            F.concat(
+                F.lit("worker u"), letter, F.lit(" status v"), letter,
+                F.lit(" phase w"), letter,
+            ),
+        )
+        .otherwise(F.lit("heartbeat ok"))
+    )
+    out = drain_templates(ev.select(msg.alias("msg")), threshold=0.8)
+    return out.select("template", F.col("n").cast("long").alias("n"))
+
+
 def q_log_templates(spark, sf):
     """Drain-style log template mining over the parsed stream: mask
     variable parts (IP/hex/digits), group by (program, template)."""
@@ -1087,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "corpus_filter": q_corpus_filter,
         "log_templates": q_log_templates,
+        "drain_templates": q_drain_templates,
         "token_minhash": q_token_minhash,
         "perctile_window": q_perctile_window,
     }
@@ -1687,6 +1723,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(-(i + 1) AS BIGINT) AS id_a,
                    CAST(i AS BIGINT) AS id_b
             FROM generate_series(0, 9) t(i)
+        """,
+        "drain_templates": """
+            WITH e AS (SELECT CAST(event_id AS BIGINT) AS id FROM events)
+            SELECT 'conn established from <IP> port <N> user <*>'
+                       AS template,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM e WHERE id % 3 = 0
+            UNION ALL
+            SELECT 'worker u' || l || ' status v' || l || ' phase w' || l,
+                   CAST(count(*) AS BIGINT)
+            FROM (SELECT substr('abcdefghij',
+                                CAST(id % 10 AS INTEGER) + 1, 1) AS l
+                  FROM e WHERE id % 3 = 1) GROUP BY l
+            UNION ALL
+            SELECT 'heartbeat ok', CAST(count(*) AS BIGINT)
+            FROM e WHERE id % 3 = 2
         """,
         "win_events": """
             SELECT CAST(100 + i AS BIGINT) AS rec,

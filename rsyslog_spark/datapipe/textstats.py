@@ -178,3 +178,74 @@ def log_templates(
     if id_col is not None:
         agg.append(F.min(id_col).alias("first_id"))
     return df.groupBy(m.alias("template")).agg(*agg)
+
+
+def drain_templates(
+    df: DataFrame,
+    msg_col: str = "msg",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """True-Drain template mining (He et al., ICWS'17): the masked
+    templates from :func:`log_templates` are grouped the way Drain's
+    parse tree groups logs — by token count and first token — and
+    within each group templates whose token-position similarity meets
+    ``threshold`` merge into one template with ``<*>`` at the differing
+    positions. Returns (template, n) with n summed over merged members.
+
+    Similarity = matching positions / length; an already-wildcarded
+    ``<*>`` position counts as a match (the cluster has declared that
+    position variable). Templates are folded in sorted order, so
+    cluster formation is deterministic.
+
+    Scale shape: the expensive pass is log_templates' single
+    count-by-key over the corpus; this second stage runs on the
+    AGGREGATED template table (bounded by message shapes — thousands of
+    rows, not corpus rows) via applyInPandas keyed on (n_tok,
+    first_token): groups process in parallel, each group is small, and
+    no corpus-sized data ever reaches Python."""
+    import pandas as pd
+
+    t = log_templates(df, msg_col)
+    keyed = t.select(
+        "template", "n",
+        F.split("template", " ").alias("_toks"),
+    ).select(
+        "template", "n",
+        F.size("_toks").alias("n_tok"),
+        F.try_element_at("_toks", F.lit(1)).alias("first_tok"),
+    )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("template")
+        clusters: list[list] = []  # [tokens, n]
+        for tmpl, n in zip(pdf["template"], pdf["n"]):
+            toks = tmpl.split(" ")
+            for c in clusters:
+                ct = c[0]
+                sim = sum(
+                    1 for a, b in zip(ct, toks) if a == b or a == "<*>"
+                ) / len(toks)
+                if sim >= threshold:
+                    c[0] = [
+                        a if (a == b or a == "<*>") else "<*>"
+                        for a, b in zip(ct, toks)
+                    ]
+                    c[1] += n
+                    break
+            else:
+                clusters.append([list(toks), int(n)])
+        return pd.DataFrame(
+            {
+                "template": [" ".join(c[0]) for c in clusters],
+                "n": [c[1] for c in clusters],
+            }
+        )
+
+    merged = keyed.groupBy("n_tok", "first_tok").applyInPandas(
+        merge, "template string, n long"
+    )
+    # two passes over one group can leave duplicate merged templates
+    # only across groups with different keys — impossible — but a late
+    # member can widen a cluster to a template an earlier cluster
+    # already emitted; fold those together
+    return merged.groupBy("template").agg(F.sum("n").alias("n"))

@@ -634,6 +634,36 @@ def test_log_templates(spark):
     }
 
 
+def test_drain_templates_merge(spark):
+    """True-Drain second stage (r4, VERDICT r3 next #7): templates in
+    the same (n_tok, first-token) group merge into '<*>' wildcards when
+    position similarity >= threshold; an already-wildcarded position
+    counts as a match, so the third+ member still joins; dissimilar
+    templates and different-length templates never merge."""
+    from rsyslog_spark.datapipe.textstats import drain_templates
+
+    fam = "send file {} to host {} over tcp port x"
+    df = spark.createDataFrame(
+        [
+            (fam.format("alpha", "hostA"),),
+            (fam.format("alpha", "hostA"),),
+            (fam.format("beta", "hostB"),),   # 8 of 10 match -> 0.8
+            (fam.format("gamma", "hostC"),),  # joins via <*> positions
+            ("send q w e r t y u i o",),      # same first tok + length,
+            #                                   sim 3/10 -> separate
+            ("restart",),                     # different length group
+        ],
+        "msg string",
+    )
+    got = {r.template: r.n for r in
+           drain_templates(df, threshold=0.8).collect()}
+    assert got == {
+        "send file <*> to host <*> over tcp port x": 4,
+        "send q w e r t y u i o": 1,
+        "restart": 1,
+    }
+
+
 def test_token_minhash_pairs(spark):
     """Token-native MinHash (no decode/string shingling): near-identical
     token streams pair up, disjoint ones don't; short arrays (< gram_k)
