@@ -163,13 +163,27 @@ _SESS_STATE = StructType(
 )
 
 
-def make_sessionize_fn(gap_seconds: int, idle_timeout_ms: int | None = None):
+def make_sessionize_fn(
+    gap_seconds: int,
+    idle_timeout_ms: int | None = None,
+    event_time: bool = False,
+):
     """Gap-session transition function for applyInPandasWithState.
 
     State per key = the OPEN session (start, last, count). Events
     extend it while within the gap; a larger gap closes it (emit) and
-    opens a new one. A processing-time timeout closes idle sessions so
-    state never grows past one row per active key."""
+    opens a new one. Idle-session closure:
+
+    * ``event_time=False`` — a processing-time timeout closes sessions
+      whose key goes quiet on the WALL clock (idle_timeout_ms).
+    * ``event_time=True`` — the timeout timestamp is set to
+      ``last + gap`` in EVENT time: the session closes exactly when the
+      stream's watermark passes it. Closure is then a function of the
+      DATA, not of wall-clock luck — a killed-and-resumed query emits
+      the identical session set (unit-asserted), which the
+      processing-time variant cannot promise.
+
+    Either way state never grows past one row per active key."""
 
     def fn(
         key: tuple,
@@ -216,10 +230,21 @@ def make_sessionize_fn(gap_seconds: int, idle_timeout_ms: int | None = None):
                     s0, last, n = min(s0, ep), max(last, ep), n + 1
             if s0 is not None:
                 state.update((s0, last, n))
-                state.setTimeoutDuration(
-                    gap_seconds * 1000 if idle_timeout_ms is None
-                    else idle_timeout_ms
-                )
+                if event_time:
+                    # close when the WATERMARK passes last+gap; the
+                    # timestamp must sit strictly beyond the current
+                    # watermark or Spark rejects it (a session already
+                    # older than the watermark closes on the very next
+                    # trigger)
+                    wm = state.getCurrentWatermarkMs()
+                    state.setTimeoutTimestamp(
+                        max((last + gap_seconds) * 1000, wm + 1)
+                    )
+                else:
+                    state.setTimeoutDuration(
+                        gap_seconds * 1000 if idle_timeout_ms is None
+                        else idle_timeout_ms
+                    )
         yield pd.DataFrame(
             closed,
             columns=["key", "start_ep", "end_ep", "n_events",
@@ -235,15 +260,43 @@ def sessionize_stream(
     ts_col: str,
     gap_seconds: int = 1800,
     idle_timeout_ms: int | None = None,
+    event_time: bool = False,
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Cross-batch gap sessionization: the streaming twin of
     aggregates.sessionize. applyInPandasWithState keeps the one open
     session per key across micro-batches and emits sessions as they
-    CLOSE (gap exceeded in-stream, or processing-time timeout for
-    keys that go quiet — ``idle_timeout_ms`` decouples the WALL-CLOCK
-    idle close from the event-time gap; default gap_seconds*1000).
-    Note: a trigger(availableNow) query stays alive until pending
-    timeouts fire — poll/stop explicitly in drain-style jobs."""
+    CLOSE. Two closure modes:
+
+    * default — in-stream gap closure plus a PROCESSING-time timeout
+      for keys that go quiet (``idle_timeout_ms`` decouples the
+      wall-clock idle close from the event-time gap; default
+      gap_seconds*1000). Note: a trigger(availableNow) query stays
+      alive until pending timeouts fire — poll/stop explicitly in
+      drain-style jobs.
+    * ``event_time=True`` (r4, VERDICT r3 #8) — watermark-driven
+      close: the stream is watermarked on ``ts_col`` by
+      ``watermark_delay`` and a session emits when the watermark
+      passes ``last + gap``. Closure depends only on the DATA, so a
+      kill-and-resume from checkpoint replays to the identical session
+      set, and availableNow queries terminate on their own (event
+      timeouts fire with data, not wall clock)."""
+    if event_time:
+        prepped = (
+            df.select(
+                F.col(key_col).cast("string").alias("key"),
+                F.col(ts_col).cast("timestamp").alias("event_ts"),
+            )
+            .withWatermark("event_ts", watermark_delay)
+            .withColumn("event_epoch", F.unix_timestamp("event_ts"))
+        )
+        return prepped.groupBy("key").applyInPandasWithState(
+            make_sessionize_fn(gap_seconds, event_time=True),
+            outputStructType=_SESS_OUT,
+            stateStructType=_SESS_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     prepped = df.select(
         F.col(key_col).cast("string").alias("key"),
         F.unix_timestamp(F.col(ts_col)).alias("event_epoch"),

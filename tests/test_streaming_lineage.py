@@ -277,6 +277,96 @@ def test_sessionize_stream_state_spans_batches(spark, tmp_path):
     assert last.n_events == 1 and last.duration_secs == 0
 
 
+def test_sessionize_stream_event_time_kill_and_resume(spark, tmp_path):
+    """r4 (VERDICT r3 next #8): watermark-driven session close —
+    closure depends only on the data, so a query killed after two
+    micro-batches and resumed from checkpoint emits the IDENTICAL
+    session set as an uninterrupted run. h1's last session is closed
+    by the watermark that h2's later events advance (no h1 data in
+    that batch), which the processing-time variant cannot replay
+    deterministically."""
+    import os
+
+    from rsyslog_spark.streaming import sessionize_stream
+
+    # base well past epoch 0: the initial watermark IS 1970-01-01, so
+    # a ts of 0 lands exactly on it and is dropped as late; h2's first
+    # event also sits ahead of the batch-2 watermark (base+10) so
+    # nothing here is late-dropped by the "0 seconds" delay
+    b = 100_000
+    files = [
+        [("h1", b + 0), ("h1", b + 10)],
+        [("h1", b + 30), ("h2", b + 40)],
+        [("h2", b + 600)],
+        [("h2", b + 1200)],
+    ]
+
+    def write(src, rows):
+        spark.createDataFrame(rows, "host string, ep long").withColumn(
+            "ts", F.col("ep").cast("timestamp")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    schema = "host string, ep long, ts timestamp"
+
+    def run(src, ck, out):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            sessionize_stream(stream, "host", "ts", gap_seconds=60,
+                              event_time=True)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(150)
+        q.stop()
+
+    def sessions(out):
+        try:
+            return sorted(
+                (r.key, r.start_ep, r.end_ep, r.n_events)
+                for r in spark.read.parquet(out).collect()
+            )
+        except Exception:
+            return []
+
+    # run A: uninterrupted over all four files
+    src_a = str(tmp_path / "a")
+    os.makedirs(src_a)
+    for rows in files:
+        write(src_a, rows)
+    out_a, ck_a = str(tmp_path / "outa"), str(tmp_path / "cka")
+    run(src_a, ck_a, out_a)
+
+    # run B: kill after two files, then resume from the checkpoint
+    src_b = str(tmp_path / "b")
+    os.makedirs(src_b)
+    out_b, ck_b = str(tmp_path / "outb"), str(tmp_path / "ckb")
+    for rows in files[:2]:
+        write(src_b, rows)
+    run(src_b, ck_b, out_b)
+    for rows in files[2:]:
+        write(src_b, rows)
+    run(src_b, ck_b, out_b)
+
+    got_a, got_b = sessions(out_a), sessions(out_b)
+    assert got_a == got_b, (got_a, got_b)
+    # h1 closed by the h2-advanced watermark (no h1 data in that
+    # batch); h2's first two sessions closed in-stream; h2@b+1200
+    # still open in both runs
+    assert got_a == [
+        ("h1", b + 0, b + 30, 3),
+        ("h2", b + 40, b + 40, 1),
+        ("h2", b + 600, b + 600, 1),
+    ], got_a
+
+
 class _FakeState:
     """Minimal GroupState stand-in for transition-function units."""
 
