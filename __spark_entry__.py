@@ -1037,17 +1037,22 @@ def q_win_events(spark, sf):
     out = snare_event_metadata(
         mmsnareparse(base.select("i", msg.alias("msg")))
     )
+    # null-free projection (the driver's order-insensitive compare
+    # sorts row tuples; None is unorderable against str): absent
+    # strings → '', absent numerics → -1, mirrored in the oracle
+    s = lambda c: F.coalesce(c, F.lit(""))  # noqa: E731
+    n = lambda c: F.coalesce(c, F.lit(-1).cast("long"))  # noqa: E731
     return out.select(
-        F.col("win")["RecordNumber"].alias("rec"),
-        F.col("win")["EventID"].alias("event_id"),
-        F.col("win_event")["Category"].alias("category"),
-        F.col("win_event")["Subtype"].alias("subtype"),
-        F.col("win_event")["Outcome"].alias("outcome"),
-        F.col("win_logon")["LogonType"].alias("logon_type"),
-        F.col("win_logon")["LogonTypeName"].alias("logon_type_name"),
-        F.col("win_logon")["Subject"]["AccountName"].alias("account"),
-        F.col("win_logon")["SourceNetworkAddress"].alias("src_addr"),
-        F.col("win_logon")["SourcePort"].alias("src_port"),
+        n(F.col("win")["RecordNumber"]).alias("rec"),
+        n(F.col("win")["EventID"]).alias("event_id"),
+        s(F.col("win_event")["Category"]).alias("category"),
+        s(F.col("win_event")["Subtype"]).alias("subtype"),
+        s(F.col("win_event")["Outcome"]).alias("outcome"),
+        n(F.col("win_logon")["LogonType"]).alias("logon_type"),
+        s(F.col("win_logon")["LogonTypeName"]).alias("logon_type_name"),
+        s(F.col("win_logon")["Subject"]["AccountName"]).alias("account"),
+        s(F.col("win_logon")["SourceNetworkAddress"]).alias("src_addr"),
+        n(F.col("win_logon")["SourcePort"]).alias("src_port"),
         F.col("win_valid").alias("valid"),
     )
 
@@ -1745,17 +1750,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE i % 5 WHEN 0 THEN 4624 WHEN 1 THEN 4625
                         WHEN 2 THEN 4672 WHEN 3 THEN 5157
                         ELSE 4634 END AS BIGINT) AS event_id,
-                   CASE i % 5 WHEN 0 THEN 'Logon' WHEN 1 THEN 'Logon'
+                   COALESCE(CASE i % 5
+                        WHEN 0 THEN 'Logon' WHEN 1 THEN 'Logon'
                         WHEN 2 THEN 'Privilege'
-                        WHEN 3 THEN 'FilteringPlatform' END AS category,
-                   CASE i % 5 WHEN 0 THEN 'Success' WHEN 1 THEN 'Failure'
+                        WHEN 3 THEN 'FilteringPlatform' END,
+                        '') AS category,
+                   COALESCE(CASE i % 5
+                        WHEN 0 THEN 'Success' WHEN 1 THEN 'Failure'
                         WHEN 2 THEN 'Assignment'
-                        WHEN 3 THEN 'PacketDrop' END AS subtype,
+                        WHEN 3 THEN 'PacketDrop' END, '') AS subtype,
                    CASE i % 5 WHEN 1 THEN 'failure' WHEN 3 THEN 'failure'
                         ELSE 'success' END AS outcome,
-                   CASE WHEN i % 5 < 2
-                        THEN CAST(i % 14 AS BIGINT) END AS logon_type,
-                   CASE WHEN i % 5 < 2 THEN
+                   CASE WHEN i % 5 < 2 THEN CAST(i % 14 AS BIGINT)
+                        ELSE CAST(-1 AS BIGINT) END AS logon_type,
+                   COALESCE(CASE WHEN i % 5 < 2 THEN
                      CASE i % 14
                           WHEN 0 THEN 'System' WHEN 1 THEN 'System'
                           WHEN 2 THEN 'Interactive' WHEN 3 THEN 'Network'
@@ -1767,15 +1775,16 @@ def oracle_sql() -> dict[str, str]:
                           WHEN 11 THEN 'CachedInteractive'
                           WHEN 12 THEN 'CachedRemoteInteractive'
                           WHEN 13 THEN 'CachedUnlock' END
-                   END AS logon_type_name,
-                   CASE WHEN i % 5 < 2
-                        THEN 'USER' || CAST(i AS VARCHAR) END AS account,
-                   CASE WHEN i % 5 < 2
+                   END, '') AS logon_type_name,
+                   COALESCE(CASE WHEN i % 5 < 2
+                        THEN 'USER' || CAST(i AS VARCHAR) END,
+                        '') AS account,
+                   COALESCE(CASE WHEN i % 5 < 2
                         THEN '10.0.' || CAST(i % 256 AS VARCHAR) || '.'
                              || CAST((2 * i) % 256 AS VARCHAR)
-                   END AS src_addr,
-                   CASE WHEN i % 5 < 2
-                        THEN CAST(40000 + i AS BIGINT) END AS src_port,
+                   END, '') AS src_addr,
+                   CASE WHEN i % 5 < 2 THEN CAST(40000 + i AS BIGINT)
+                        ELSE CAST(-1 AS BIGINT) END AS src_port,
                    TRUE AS valid
             FROM generate_series(0, 49) t(i)
         """,

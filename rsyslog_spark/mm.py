@@ -293,6 +293,49 @@ def _v2_atom_pattern(obj: dict) -> str:
     return _type_pattern(t)  # raises for unknown types
 
 
+def _v2_parser_list(obj: dict, what: str) -> list[dict]:
+    parsers = obj.get("parser")
+    if isinstance(parsers, dict):
+        parsers = [parsers]
+    if not isinstance(parsers, list) or not parsers:
+        raise ValueError(f"{what} needs a parser list: {obj!r}")
+    for p in parsers:
+        if not isinstance(p, dict):
+            raise ValueError(f"bad {what} inner parser: {p!r}")
+    return parsers
+
+
+def _v2_while_sep(obj: dict) -> str:
+    wh = obj.get("while")
+    if not isinstance(wh, dict) or wh.get("type") != "literal":
+        raise ValueError(
+            "repeat 'while' subset supports {'type':'literal'} only "
+            f"(got {wh!r})"
+        )
+    return re.escape(_unescape(wh["text"]))
+
+
+def _v2_groupless(obj: dict) -> str:
+    """Groupless regex for ANY v2 parser object, recursing through
+    repeat/alternative composites (r4: nesting support)."""
+    t = obj.get("type")
+    if t == "alternative":
+        return (
+            "(?:"
+            + "|".join(
+                _v2_groupless(b) for b in _v2_parser_list(obj, "alternative")
+            )
+            + ")"
+        )
+    if t == "repeat":
+        sep = _v2_while_sep(obj)
+        inner = "".join(
+            f"(?:{_v2_groupless(p)})" for p in _v2_parser_list(obj, "repeat")
+        )
+        return f"(?:(?:{inner})(?:{sep}(?:{inner}))*)"
+    return _v2_atom_pattern(obj)
+
+
 class _FieldSpec:
     """One output field of a compiled rule.
 
@@ -305,13 +348,21 @@ class _FieldSpec:
     kind 'alt':    `alt_groups` are the branch captures (one per named
                    alternative); the value is the first non-empty — the
                    branch that participated in the match.
+
+    `inner_named` entries are (name, kind, groups, sep): kind 'plain'
+    coalesces the first non-empty of `groups` (an alternative nested in
+    a repeat element contributes one group per named branch); kind
+    'repeat' splits the single span group on `sep` (a repeat nested in
+    a repeat element → nested JSON array). `optional` marks a spec
+    whose field is OMITTED when its span is empty (a repeat branch of
+    an alternative that did not participate).
     """
 
     __slots__ = ("name", "kind", "group", "alt_groups", "sep_rx",
-                 "inner_named", "inner_rx")
+                 "inner_named", "inner_rx", "optional")
 
     def __init__(self, name, kind, group=0, alt_groups=(), sep_rx=None,
-                 inner_named=(), inner_rx=None):
+                 inner_named=(), inner_rx=None, optional=False):
         self.name = name
         self.kind = kind
         self.group = group
@@ -319,6 +370,7 @@ class _FieldSpec:
         self.sep_rx = sep_rx
         self.inner_named = list(inner_named)
         self.inner_rx = inner_rx
+        self.optional = optional
 
 
 def _scan_pattern(pattern: str):
@@ -447,82 +499,149 @@ class NormalizeRule:
         # as the single-pass group-rewrite pattern (see mmnormalize)
         self.rewrite = self.regex
 
-    def _compile_repeat(self, obj: dict, grp: int) -> tuple[str, int]:
+    @staticmethod
+    def _repeat_core(obj: dict) -> tuple[str, str, list, str]:
+        """Shared compile of a repeat body: returns (groupless span
+        without the outer capture parens, sep_rx, inner field
+        descriptors, inner_rx for per-element extraction).
+
+        r4 nesting support inside the repeated element:
+        * an ``alternative`` of atoms — each named branch gets a local
+          group; same-name branches merge first-non-empty;
+        * a ``repeat`` of atoms (nested array) — its span is one local
+          group, split again on ITS separator at extraction time. The
+          inner separator must differ from the outer one (the outer
+          split could not see the boundary otherwise) — rejected with a
+          clear error, as is nesting any deeper.
+        """
+        parsers = _v2_parser_list(obj, "repeat")
+        sep_rx = _v2_while_sep(obj)
+        g_parts: list[str] = []
+        inner_fields: list[list] = []  # [name, kind, [groups], sep]
+        local_g = 0
+
+        def named_plain(pname: str, group: int) -> None:
+            for f in inner_fields:
+                if f[0] == pname and f[1] == "plain":
+                    f[2].append(group)
+                    return
+            inner_fields.append([pname, "plain", [group], None])
+
+        for p in parsers:
+            t = p.get("type")
+            pname = p.get("name")
+            if t == "alternative":
+                branch_frags = []
+                for b in _v2_parser_list(p, "alternative"):
+                    bt = b.get("type")
+                    if bt in ("repeat", "alternative"):
+                        raise ValueError(
+                            "composites nested deeper than one level "
+                            "inside repeat are not supported"
+                        )
+                    pat = _v2_atom_pattern(b)
+                    bname = b.get("name")
+                    if bt != "literal" and bname and bname not in ("-", "."):
+                        local_g += 1
+                        named_plain(bname, local_g)
+                        branch_frags.append(f"({pat})")
+                    else:
+                        branch_frags.append(f"(?:{pat})")
+                g_parts.append("(?:" + "|".join(branch_frags) + ")")
+            elif t == "repeat":
+                isep = _v2_while_sep(p)
+                if isep == sep_rx:
+                    raise ValueError(
+                        "nested repeat must use a different 'while' "
+                        "separator than its parent (the outer split "
+                        "cannot see the boundary otherwise)"
+                    )
+                iparts = []
+                for ip in _v2_parser_list(p, "repeat"):
+                    if ip.get("type") in ("repeat", "alternative"):
+                        raise ValueError(
+                            "composites nested deeper than one level "
+                            "inside repeat are not supported"
+                        )
+                    iparts.append(f"(?:{_v2_atom_pattern(ip)})")
+                ispan = f"(?:{''.join(iparts)})(?:{isep}(?:{''.join(iparts)}))*"
+                if pname and pname not in ("-", "."):
+                    local_g += 1
+                    inner_fields.append([pname, "repeat", [local_g], isep])
+                    g_parts.append(f"({ispan})")
+                else:
+                    g_parts.append(f"(?:{ispan})")
+            else:
+                pat = _v2_atom_pattern(p)
+                if t != "literal" and pname and pname not in ("-", "."):
+                    local_g += 1
+                    named_plain(pname, local_g)
+                    g_parts.append(f"({pat})")
+                else:
+                    g_parts.append(f"(?:{pat})")
+        inner_nc = "".join(f"(?:{_v2_groupless(p)})" for p in parsers)
+        span = f"(?:{inner_nc})(?:{sep_rx}(?:{inner_nc}))*"
+        inner_rx = "^" + "".join(g_parts) + "$"
+        inner = [
+            (nm, kind, tuple(groups), isep)
+            for nm, kind, groups, isep in inner_fields
+        ]
+        return span, sep_rx, inner, inner_rx
+
+    def _compile_repeat(
+        self, obj: dict, grp: int, optional: bool = False
+    ) -> tuple[str, int]:
         """v2 repeat: `parser` (object or array) matched repeatedly,
         iterations separated by the `while` parser (literal subset).
         The big regex captures the whole span in ONE group; per-element
         extraction re-parses each split item with inner_rx locally, so
         inner groups never shift the global numbering."""
         name = obj.get("name")
-        parsers = obj.get("parser")
-        if isinstance(parsers, dict):
-            parsers = [parsers]
-        if not isinstance(parsers, list) or not parsers:
-            raise ValueError(f"repeat needs a parser list: {obj!r}")
-        wh = obj.get("while")
-        if not isinstance(wh, dict) or wh.get("type") != "literal":
-            raise ValueError(
-                "repeat 'while' subset supports {'type':'literal'} only "
-                f"(got {wh!r})"
-            )
-        sep_rx = re.escape(_unescape(wh["text"]))
-        nc_parts, g_parts, inner_named = [], [], []
-        local_g = 0
-        for p in parsers:
-            if not isinstance(p, dict):
-                raise ValueError(f"bad repeat inner parser: {p!r}")
-            if p.get("type") in ("repeat", "alternative"):
-                raise ValueError(
-                    "nested repeat/alternative is not supported"
-                )
-            pat = _v2_atom_pattern(p)
-            pname = p.get("name")
-            nc_parts.append(f"(?:{pat})")
-            if p.get("type") != "literal" and pname and pname not in ("-", "."):
-                local_g += 1
-                inner_named.append((pname, local_g))
-                g_parts.append(f"({pat})")
-            else:
-                g_parts.append(f"(?:{pat})")
-        inner_nc = "".join(nc_parts)
-        frag = f"((?:{inner_nc})(?:{sep_rx}(?:{inner_nc}))*)"
+        span, sep_rx, inner, inner_rx = self._repeat_core(obj)
         if not name or name == "-":
-            return f"(?:{frag[1:-1]})", grp  # discard: no capture
+            return f"(?:{span})", grp  # discard: no capture
         grp += 1
         self.fields.append(name)
         self.specs.append(
             _FieldSpec(
                 name, "repeat", group=grp, sep_rx=sep_rx,
-                inner_named=inner_named,
-                inner_rx="^" + "".join(g_parts) + "$",
+                inner_named=inner, inner_rx=inner_rx, optional=optional,
             )
         )
-        return frag, grp
+        return f"({span})", grp
 
     def _compile_alternative(self, obj: dict, grp: int) -> tuple[str, int]:
         """v2 alternative: each branch is one parser object; named
         branches capture, the first non-empty capture is the value.
-        Branches sharing a name merge into one output field."""
-        parsers = obj.get("parser")
-        if not isinstance(parsers, list) or not parsers:
-            raise ValueError(f"alternative needs a parser list: {obj!r}")
+        Branches sharing a name merge into one output field. r4
+        nesting: an ``alternative`` branch flattens into its parent; a
+        ``repeat`` branch compiles as an optional repeat field (emitted
+        only when that branch participated)."""
+        parsers = _v2_parser_list(obj, "alternative")
         frags = []
         named: dict[str, list[int]] = {}
-        for p in parsers:
-            if not isinstance(p, dict):
-                raise ValueError(f"bad alternative branch: {p!r}")
-            if p.get("type") in ("repeat", "alternative"):
-                raise ValueError(
-                    "nested repeat/alternative is not supported"
-                )
-            pat = _v2_atom_pattern(p)
-            pname = p.get("name")
-            if p.get("type") != "literal" and pname and pname not in ("-", "."):
-                grp += 1
-                named.setdefault(pname, []).append(grp)
-                frags.append(f"({pat})")
-            else:
-                frags.append(f"(?:{pat})")
+
+        def walk(branches) -> None:
+            nonlocal grp
+            for p in branches:
+                t = p.get("type")
+                if t == "alternative":
+                    walk(_v2_parser_list(p, "alternative"))
+                    continue
+                if t == "repeat":
+                    frag, grp = self._compile_repeat(p, grp, optional=True)
+                    frags.append(frag)
+                    continue
+                pat = _v2_atom_pattern(p)
+                pname = p.get("name")
+                if t != "literal" and pname and pname not in ("-", "."):
+                    grp += 1
+                    named.setdefault(pname, []).append(grp)
+                    frags.append(f"({pat})")
+                else:
+                    frags.append(f"(?:{pat})")
+
+        walk(parsers)
         for pname, groups in named.items():
             self.fields.append(pname)
             self.specs.append(
@@ -653,10 +772,34 @@ def mmnormalize(
                     if s.inner_named:
 
                         def mk(rx=s.inner_rx, named=tuple(s.inner_named)):
+                            def field(x, kind, groups, isep):
+                                if kind == "repeat":
+                                    # nested repeat: the span group
+                                    # splits again on ITS separator —
+                                    # to_json renders the nested array
+                                    return F.split(
+                                        F.regexp_extract(x, rx, groups[0]),
+                                        isep, -1,
+                                    )
+                                if len(groups) == 1:
+                                    return F.regexp_extract(x, rx, groups[0])
+                                # alternative inside the element: the
+                                # branch that participated (non-empty)
+                                return F.coalesce(
+                                    *[
+                                        F.nullif(
+                                            F.regexp_extract(x, rx, lg),
+                                            F.lit(""),
+                                        )
+                                        for lg in groups
+                                    ],
+                                    F.lit(""),
+                                )
+
                             def per_item(x: Column) -> Column:
                                 return F.struct(*[
-                                    F.regexp_extract(x, rx, lg).alias(nm)
-                                    for nm, lg in named
+                                    field(x, kind, groups, isep).alias(nm)
+                                    for nm, kind, groups, isep in named
                                 ])
 
                             return per_item
@@ -664,6 +807,13 @@ def mmnormalize(
                         val = F.to_json(F.transform(items, mk()))
                     else:
                         val = F.to_json(items)
+                    if s.optional:
+                        # a repeat BRANCH of an alternative: field
+                        # omitted when the branch did not participate
+                        alt_names.append(s.name)
+                        val = F.when(g(s.group) != "", val).otherwise(
+                            F.lit("")
+                        )
                 else:  # alt: the branch that participated (non-empty)
                     alt_names.append(s.name)
                     val = F.coalesce(

@@ -138,11 +138,20 @@ def test_load_rulebase_rejects_unsupported_v2_shapes():
     # repeat without a parser list
     with pytest.raises(ValueError, match="parser"):
         mm.load_rulebase('rule=:msg: %{"name":"n", "type":"repeat"}% b')
-    # nested composites are out of the supported subset
-    with pytest.raises(ValueError, match="nested"):
+    # one level of nesting is supported (r4); DEEPER nesting and a
+    # nested repeat sharing its parent's separator are rejected
+    with pytest.raises(ValueError, match="deeper than one level"):
         mm.load_rulebase(
             'rule=:%{"name":"n","type":"repeat","parser":'
-            '{"type":"alternative","parser":[{"type":"word"}]},'
+            '{"type":"alternative","parser":[{"type":"alternative",'
+            '"parser":[{"type":"word"}]}]},'
+            '"while":{"type":"literal","text":","}}%'
+        )
+    with pytest.raises(ValueError, match="different"):
+        mm.load_rulebase(
+            'rule=:%{"name":"n","type":"repeat","parser":'
+            '{"name":"i","type":"repeat","parser":{"type":"number"},'
+            '"while":{"type":"literal","text":","}},'
             '"while":{"type":"literal","text":","}}%'
         )
     # non-literal while
@@ -195,6 +204,43 @@ rule=:%host:word% kv %{"name":"kv","type":"repeat","parser":[{"type":"word","nam
         "host": "web01", "kv": '[{"k":"a","v":"1"},{"k":"b","v":"22"}]'
     }
     assert rows[7].norm_rule == -1 and rows[7].norm is None
+
+
+def test_v2_nested_repeat_alternative(spark):
+    """r4 (VERDICT r3 missing #3): one level of composite nesting —
+    an alternative INSIDE a repeat element (per-element branch pick),
+    a repeat INSIDE a repeat (nested JSON array; separators must
+    differ), and a repeat as an alternative BRANCH (array emitted only
+    when that branch participated)."""
+    rb = """version=2
+rule=:alt %{"name":"xs","type":"repeat","parser":[{"type":"literal","text":"<"},{"type":"alternative","parser":[{"type":"number","name":"v"},{"type":"alpha","name":"v"}]},{"type":"literal","text":">"}],"while":{"type":"literal","text":","}}%
+rule=:mat %{"name":"rows","type":"repeat","parser":{"name":"cells","type":"repeat","parser":{"type":"number"},"while":{"type":"literal","text":","}},"while":{"type":"literal","text":";"}}%
+rule=:pick %{"type":"alternative","parser":[{"name":"nums","type":"repeat","parser":{"type":"number"},"while":{"type":"literal","text":","}},{"type":"alpha","name":"word"}]}% end
+"""
+    rules = mm.load_rulebase(rb)
+    df = spark.createDataFrame(
+        [
+            ("alt <1>,<a>,<22>",),
+            ("mat 1,2;3,4;5,6",),
+            ("pick 7,8,9 end",),
+            ("pick hello end",),
+        ],
+        "msg string",
+    )
+    rows = mm.mmnormalize(df, rules).collect()
+    # alternative inside repeat: each element emits the branch that hit
+    assert rows[0].norm == {
+        "xs": '[{"v":"1"},{"v":"a"},{"v":"22"}]'
+    }
+    # repeat inside repeat: nested arrays
+    assert rows[1].norm == {
+        "rows": '[{"cells":["1","2"]},{"cells":["3","4"]},'
+                '{"cells":["5","6"]}]'
+    }
+    # repeat as an alternative branch: array when it matched, absent
+    # when the other branch did
+    assert rows[2].norm == {"nums": '["7","8","9"]'}
+    assert rows[3].norm == {"word": "hello"}
 
 
 def test_lognorm_extended_types(spark):
