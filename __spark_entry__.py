@@ -535,6 +535,29 @@ def q_ivf_topk(spark, sf):
     )
 
 
+def q_ivf_rank1(spark, sf):
+    """IVF-Flat with a provable slice: each planted query IS a corpus
+    vector (q_id = -(vec_id+1)), so its exact-cosine rank-1 hit is
+    itself — and IVF must find it, because the query's nearest
+    centroid is by definition the centroid its twin was assigned to
+    (same distance computation both sides), and the first probed list
+    is that centroid's. The oracle enumerates the identity pairs; the
+    full top-k tail stays in the rows-only `ivf_topk` query (ranks 2+
+    depend on the sampled codebook)."""
+    from rsyslog_spark.datapipe.simsearch import ivf_topk
+
+    emb = _emb(spark, sf)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        (-(F.col("vec_id") + 1)).cast("long").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+    )
+    out = ivf_topk(emb, queries, k=3, n_centroids=8, n_probe=3)
+    return out.filter(F.col("rank") == 1).select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+    )
+
+
 def q_media_frames(spark, sf):
     """Video frame-sampling plumbing (rows-only: payload is opaque;
     the decode boundary is a documented stub)."""
@@ -1111,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ivf_topk": q_ivf_topk,
+        "ivf_rank1": q_ivf_rank1,
         "media_frames": q_media_frames,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "media_decode": q_media_decode,
@@ -1727,6 +1751,11 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dup_pairs": """
             SELECT CAST(-(i + 1) AS BIGINT) AS id_a,
                    CAST(i AS BIGINT) AS id_b
+            FROM generate_series(0, 9) t(i)
+        """,
+        "ivf_rank1": """
+            SELECT CAST(-(i + 1) AS BIGINT) AS q_id,
+                   CAST(i AS BIGINT) AS vec_id
             FROM generate_series(0, 9) t(i)
         """,
         "drain_templates": """
