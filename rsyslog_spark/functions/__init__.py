@@ -395,7 +395,17 @@ def unflatten_json(s, sep: str = ".") -> Column:
 
     col = _c(s)
     guard = F.from_json(col, "map<string,string>")
-    val_tok = r'"(?:[^"\\]|\\.)*"|\[[^\]]*\]|\{[^}]*\}|[^,}\s][^,}]*'
+    # value tokens: string | array (bracket depth ≤2, strings opaque) |
+    # object (brace depth ≤2, strings opaque) | bare scalar. Deeper
+    # literals can't be captured by a regex — the validity guard below
+    # turns them into null rather than silently truncated JSON
+    # (code-review r4 #5).
+    _str = r'"(?:[^"\\]|\\.)*"'
+    _obj1 = r"\{(?:[^{}\"]|" + _str + r")*\}"
+    _obj2 = r"\{(?:[^{}\"]|" + _str + r"|" + _obj1 + r")*\}"
+    _arr1 = r"\[(?:[^\[\]\"]|" + _str + r")*\]"
+    _arr2 = r"\[(?:[^\[\]\"]|" + _str + r"|" + _arr1 + r")*\]"
+    val_tok = _str + r"|" + _arr2 + r"|" + _obj2 + r"|[^,}\s][^,}]*"
     pat = r'"((?:[^"\\]|\\.)*)"\s*:\s*(' + val_tok + r")"
     keys = F.regexp_extract_all(col, F.lit(pat), F.lit(1))
     vals = F.regexp_extract_all(col, F.lit(pat), F.lit(2))
@@ -407,6 +417,29 @@ def unflatten_json(s, sep: str = ".") -> Column:
                 k.alias("key"), F.rtrim(v).alias("value")
             ),
         )
+    )
+    # exact-duplicate keys (legal in raw JSON text): keep the LAST of
+    # each sorted same-key run — deterministic single-key output where
+    # the reference's insertion-order overwrite also kept exactly one
+    # (code-review r4 #7)
+    entries = F.filter(
+        entries,
+        lambda e, i: F.try_element_at(entries, i + 2).isNull()
+        | (F.try_element_at(entries, i + 2)["key"] != e["key"]),
+    )
+    # validity guard: an object/array value token that doesn't parse is
+    # a truncated capture (literal nested deeper than the regex bound)
+    # — null the whole result instead of emitting corrupt JSON
+    bad_tok = F.exists(
+        entries,
+        lambda e: (
+            e["value"].startswith("{")
+            & F.from_json(e["value"], "map<string,string>").isNull()
+        )
+        | (
+            e["value"].startswith("[")
+            & F.from_json(e["value"], "array<string>").isNull()
+        ),
     )
     # deeper-path-wins conflict rule: a leaf whose key is a strict
     # segment-prefix of another key ("a" vs "a.b") would serialize as a
@@ -471,7 +504,7 @@ def unflatten_json(s, sep: str = ".") -> Column:
         .cast("int"),
     )
     return (
-        F.when(guard.isNull(), F.lit(None).cast("string"))
+        F.when(guard.isNull() | bad_tok, F.lit(None).cast("string"))
         .when(n == 0, F.lit("{}"))
         .otherwise(F.concat(F.lit("{"), body, tail, F.lit("}")))
     )
@@ -994,8 +1027,14 @@ def load_psl(
             os.path.dirname(__file__), "..", "data",
             "public_suffix_list.dat",
         )
-    text = source
-    if "\n" not in source and os.path.exists(source):
+    if "\n" in source:
+        text = source
+    else:
+        # a newline-free string can only be a path — a typo'd path
+        # must NOT silently parse as empty rule text and clear the PSL
+        # (code-review r4 #6)
+        if not os.path.exists(source):
+            raise FileNotFoundError(f"PSL file not found: {source}")
         with open(source, encoding="utf-8") as fh:
             text = fh.read()
     rules: list[str] = []
@@ -1016,7 +1055,7 @@ def load_psl(
         token = line.split()[0]
         if token.startswith("!"):
             exceptions.append(token[1:])
-        elif "." in token or token.startswith("*."):
+        elif "." in token:  # single-label rules ride the implicit rule
             rules.append(token)
     return rules, exceptions
 

@@ -305,14 +305,18 @@ def _v2_parser_list(obj: dict, what: str) -> list[dict]:
     return parsers
 
 
-def _v2_while_sep(obj: dict) -> str:
+def _v2_while_sep_raw(obj: dict) -> str:
     wh = obj.get("while")
     if not isinstance(wh, dict) or wh.get("type") != "literal":
         raise ValueError(
             "repeat 'while' subset supports {'type':'literal'} only "
             f"(got {wh!r})"
         )
-    return re.escape(_unescape(wh["text"]))
+    return _unescape(wh["text"])
+
+
+def _v2_while_sep(obj: dict) -> str:
+    return re.escape(_v2_while_sep_raw(obj))
 
 
 def _v2_groupless(obj: dict) -> str:
@@ -520,12 +524,15 @@ class NormalizeRule:
         inner_fields: list[list] = []  # [name, kind, [groups], sep]
         local_g = 0
 
-        def named_plain(pname: str, group: int) -> None:
+        def named_inner(pname: str, group: int, kind: str) -> None:
+            # 'alt' fields (alternative branches) may not participate
+            # in a given element → null/omitted; 'plain' fields always
+            # participate when the element matched
             for f in inner_fields:
-                if f[0] == pname and f[1] == "plain":
+                if f[0] == pname and f[1] == kind:
                     f[2].append(group)
                     return
-            inner_fields.append([pname, "plain", [group], None])
+            inner_fields.append([pname, kind, [group], None])
 
         for p in parsers:
             t = p.get("type")
@@ -543,17 +550,23 @@ class NormalizeRule:
                     bname = b.get("name")
                     if bt != "literal" and bname and bname not in ("-", "."):
                         local_g += 1
-                        named_plain(bname, local_g)
+                        named_inner(bname, local_g, "alt")
                         branch_frags.append(f"({pat})")
                     else:
                         branch_frags.append(f"(?:{pat})")
                 g_parts.append("(?:" + "|".join(branch_frags) + ")")
             elif t == "repeat":
                 isep = _v2_while_sep(p)
-                if isep == sep_rx:
+                raw_outer = _v2_while_sep_raw(obj)
+                raw_inner = _v2_while_sep_raw(p)
+                # substring either way corrupts the outer split: an
+                # outer ';' cuts inside an inner '; ' just as surely as
+                # an identical separator would (code-review r4 #2)
+                if raw_outer in raw_inner or raw_inner in raw_outer:
                     raise ValueError(
                         "nested repeat must use a different 'while' "
-                        "separator than its parent (the outer split "
+                        "separator than its parent (neither may be a "
+                        "substring of the other — the outer split "
                         "cannot see the boundary otherwise)"
                     )
                 iparts = []
@@ -575,7 +588,7 @@ class NormalizeRule:
                 pat = _v2_atom_pattern(p)
                 if t != "literal" and pname and pname not in ("-", "."):
                     local_g += 1
-                    named_plain(pname, local_g)
+                    named_inner(pname, local_g, "plain")
                     g_parts.append(f"({pat})")
                 else:
                     g_parts.append(f"(?:{pat})")
@@ -620,6 +633,7 @@ class NormalizeRule:
         parsers = _v2_parser_list(obj, "alternative")
         frags = []
         named: dict[str, list[int]] = {}
+        repeat_names: list[str] = []
 
         def walk(branches) -> None:
             nonlocal grp
@@ -629,6 +643,9 @@ class NormalizeRule:
                     walk(_v2_parser_list(p, "alternative"))
                     continue
                 if t == "repeat":
+                    rname = p.get("name")
+                    if rname and rname not in ("-", "."):
+                        repeat_names.append(rname)
                     frag, grp = self._compile_repeat(p, grp, optional=True)
                     frags.append(frag)
                     continue
@@ -642,6 +659,17 @@ class NormalizeRule:
                     frags.append(f"(?:{pat})")
 
         walk(parsers)
+        # a repeat branch and a scalar branch sharing one name would
+        # emit two map entries for one key — LAST_WIN dedup then keeps
+        # the non-participating "" and the filter drops the field
+        # entirely (code-review r4 #3). Reject loudly instead.
+        dup = {n for n in repeat_names if repeat_names.count(n) > 1}
+        clash = (set(repeat_names) & set(named)) | dup
+        if clash:
+            raise ValueError(
+                "an alternative's repeat branch may not share its name "
+                f"with another branch (conflict: {sorted(clash)})"
+            )
         for pname, groups in named.items():
             self.fields.append(pname)
             self.specs.append(
@@ -781,20 +809,25 @@ def mmnormalize(
                                         F.regexp_extract(x, rx, groups[0]),
                                         isep, -1,
                                     )
-                                if len(groups) == 1:
-                                    return F.regexp_extract(x, rx, groups[0])
-                                # alternative inside the element: the
-                                # branch that participated (non-empty)
-                                return F.coalesce(
-                                    *[
-                                        F.nullif(
-                                            F.regexp_extract(x, rx, lg),
-                                            F.lit(""),
-                                        )
-                                        for lg in groups
-                                    ],
-                                    F.lit(""),
-                                )
+                                if kind == "alt":
+                                    # alternative inside the element:
+                                    # the branch that participated
+                                    # (non-empty); null when none did
+                                    # so to_json OMITS the field, like
+                                    # liblognorm and like top-level
+                                    # alternatives (map_filter)
+                                    return F.coalesce(
+                                        *[
+                                            F.nullif(
+                                                F.regexp_extract(
+                                                    x, rx, lg
+                                                ),
+                                                F.lit(""),
+                                            )
+                                            for lg in groups
+                                        ]
+                                    )
+                                return F.regexp_extract(x, rx, groups[0])
 
                             def per_item(x: Column) -> Column:
                                 return F.struct(*[
@@ -1092,8 +1125,6 @@ def mmrfc5424addhmac(
     # the outside-quotes segments (quote-parity split: even segments of
     # a split on '"' are outside quotes) before anchoring on '[sdid '
     # or '[sdid]'.
-    import re as _re
-
     outside_quotes = F.array_join(
         F.filter(
             F.split(
@@ -1103,7 +1134,7 @@ def mmrfc5424addhmac(
         ),
         "",
     )
-    already = outside_quotes.rlike(r"\[" + _re.escape(sdid) + r"[ \]]")
+    already = outside_quotes.rlike(r"\[" + re.escape(sdid) + r"[ \]]")
     elem = F.concat(
         F.lit(f"[{sdid} hash=\""),
         hmac_sha256(F.col(raw_col), key),

@@ -551,13 +551,16 @@ def omhttp_batch(
       different request bodies than the first attempt). Fine for
       frame-shape tests and exactly-once foreachBatch epochs; NOT for a
       bare at-least-once POST path.
-    * ``order_by=<stable col(s)>``: rows are hash-bucketed on the first
-      order column into ``n_buckets`` groups (default: session shuffle
-      parallelism) and row-numbered within each bucket by ``order_by``
-      — fully DETERMINISTIC bodies for the same input regardless of
-      input partitioning or retries, at the cost of one extra shuffle
-      (the per-bucket sort window). Same-input runs produce
-      byte-identical request bodies (unit-asserted).
+    * ``order_by=<stable col(s)>``: rows are hash-bucketed on the
+      order column(s) into ``n_buckets`` groups (default: session
+      shuffle parallelism) and row-numbered within each bucket by
+      ``order_by`` plus the rendered line as a final tiebreaker (rows
+      that tie on both key AND rendered text are interchangeable, so
+      the ordering is total for all practical purposes) — fully
+      DETERMINISTIC bodies for the same input regardless of input
+      partitioning or retries, at the cost of one extra shuffle (the
+      per-bucket sort window). Same-input runs produce byte-identical
+      request bodies (unit-asserted).
 
     The real sink path would POST from foreachPartition/foreachBatch
     without materializing frames."""
@@ -584,7 +587,10 @@ def omhttp_batch(
             except (TypeError, ValueError):
                 n_buckets = 32
         part = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_buckets))
-        w = Window.partitionBy(part).orderBy(*cols)
+        # the rendered line breaks order_by ties deterministically — a
+        # non-unique key alone would leave tie order to scan order,
+        # which is exactly what a task retry changes
+        w = Window.partitionBy(part).orderBy(*cols, line)
         idx = (F.row_number().over(w) - 1).cast("long")
         sel = [
             line.alias("line"),

@@ -368,8 +368,13 @@ def test_load_psl_full_snapshot(one):
     '*.' wildcards, '!' exceptions — and the faup splits honor a FULL
     bundled snapshot (private-registry suffixes like blogspot.com
     included; icann_only drops them)."""
+    import pytest
+
     rules, exceptions = fn.load_psl()
     assert len(rules) > 4000 and len(exceptions) >= 8
+    # a typo'd path must raise, not silently clear the PSL
+    with pytest.raises(FileNotFoundError):
+        fn.load_psl("/no/such/public_suffix_list.dat")
     assert "blogspot.com" in rules and "city.kawasaki.jp" in exceptions
     icann_rules, _ = fn.load_psl(icann_only=True)
     assert "co.uk" in icann_rules and "blogspot.com" not in icann_rules
@@ -469,6 +474,18 @@ def test_unflatten_json_nested(one):
     clash = ev(one, fn.unflatten_json(F.lit('{"m.a":"x","m":"clash"}')))
     assert json.loads(clash) == {"m": {"a": "x"}}
     assert ev(one, fn.unflatten_json(F.lit("{}"))) == "{}"
+    # code-review r4: depth-2 object/array literals survive; deeper
+    # literals null the result rather than emitting truncated JSON
+    d2 = ev(one, fn.unflatten_json(
+        F.lit('{"a.b":{"x":{"y":1}},"c":[1,[2,3]]}')))
+    assert json.loads(d2) == {"a": {"b": {"x": {"y": 1}}},
+                              "c": [1, [2, 3]]}
+    assert ev(one, fn.unflatten_json(
+        F.lit('{"a":{"x":{"y":{"z":1}}}}'))) is None
+    # exact duplicate keys: exactly one survives (last of sorted run)
+    dup = ev(one, fn.unflatten_json(F.lit('{"a.b":"1","a.b":"2"}')))
+    assert json.loads(dup) == {"a": {"b": "2"}}
+    assert dup.count('"b"') == 1
 
 
 def test_flatten_json_empty_object_kept(one):

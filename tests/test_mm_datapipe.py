@@ -154,6 +154,24 @@ def test_load_rulebase_rejects_unsupported_v2_shapes():
             '"while":{"type":"literal","text":","}},'
             '"while":{"type":"literal","text":","}}%'
         )
+    # substring separators corrupt the outer split just like equal
+    # ones (code-review r4): ';' vs '; '
+    with pytest.raises(ValueError, match="substring"):
+        mm.load_rulebase(
+            'rule=:%{"name":"n","type":"repeat","parser":'
+            '{"name":"i","type":"repeat","parser":{"type":"number"},'
+            '"while":{"type":"literal","text":"; "}},'
+            '"while":{"type":"literal","text":";"}}%'
+        )
+    # a repeat branch sharing its name with another alternative branch
+    # would LAST_WIN-collide in the output map — rejected loudly
+    with pytest.raises(ValueError, match="share its name"):
+        mm.load_rulebase(
+            'rule=:%{"type":"alternative","parser":['
+            '{"name":"x","type":"repeat","parser":{"type":"number"},'
+            '"while":{"type":"literal","text":","}},'
+            '{"name":"x","type":"alpha"}]}%'
+        )
     # non-literal while
     with pytest.raises(ValueError, match="while"):
         mm.load_rulebase(
@@ -216,6 +234,7 @@ def test_v2_nested_repeat_alternative(spark):
 rule=:alt %{"name":"xs","type":"repeat","parser":[{"type":"literal","text":"<"},{"type":"alternative","parser":[{"type":"number","name":"v"},{"type":"alpha","name":"v"}]},{"type":"literal","text":">"}],"while":{"type":"literal","text":","}}%
 rule=:mat %{"name":"rows","type":"repeat","parser":{"name":"cells","type":"repeat","parser":{"type":"number"},"while":{"type":"literal","text":","}},"while":{"type":"literal","text":";"}}%
 rule=:pick %{"type":"alternative","parser":[{"name":"nums","type":"repeat","parser":{"type":"number"},"while":{"type":"literal","text":","}},{"type":"alpha","name":"word"}]}% end
+rule=:mix %{"name":"ys","type":"repeat","parser":[{"type":"alternative","parser":[{"type":"number","name":"num"},{"type":"alpha","name":"word"}]}],"while":{"type":"literal","text":","}}%
 """
     rules = mm.load_rulebase(rb)
     df = spark.createDataFrame(
@@ -224,6 +243,7 @@ rule=:pick %{"type":"alternative","parser":[{"name":"nums","type":"repeat","pars
             ("mat 1,2;3,4;5,6",),
             ("pick 7,8,9 end",),
             ("pick hello end",),
+            ("mix 1,a,22",),
         ],
         "msg string",
     )
@@ -241,6 +261,11 @@ rule=:pick %{"type":"alternative","parser":[{"name":"nums","type":"repeat","pars
     # when the other branch did
     assert rows[2].norm == {"nums": '["7","8","9"]'}
     assert rows[3].norm == {"word": "hello"}
+    # differently-named branches inside a repeat element: only the
+    # participating branch's field appears (code-review r4 #4)
+    assert rows[4].norm == {
+        "ys": '[{"num":"1"},{"word":"a"},{"num":"22"}]'
+    }
 
 
 def test_lognorm_extended_types(spark):

@@ -229,3 +229,18 @@ def test_omhttp_batch_stable_identity(spark, sf_dir):
     assert b1 == b2 and len(b1) >= 4
     # and the default mode is NOT required to be stable — only the
     # order_by mode carries the guarantee (documented)
+
+    # NON-unique order key (code-review r4 #1): ties break on the
+    # rendered line, so bodies stay byte-identical anyway
+    def bodies_by_source(src):
+        return sorted(
+            (r.partition, r.batch_seq, r.body)
+            for r in omhttp_batch(
+                src, batch_format="newline", batch_size=7,
+                order_by="source", n_buckets=3,
+            ).collect()
+        )
+
+    assert bodies_by_source(p.repartition(6)) == bodies_by_source(
+        p.repartition(2, "doc_id")
+    )
