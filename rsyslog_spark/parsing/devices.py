@@ -692,7 +692,9 @@ def mmaitag(
     return df.withColumn(out_col, label)
 
 
-def snare_description_fields(col: Column, sep: str = ".") -> Column:
+def snare_description_fields(
+    col: Column, sep: str = ".", list_keys: tuple[str, ...] = ("Privileges",)
+) -> Column:
     """Parse the free-text Snare event DESCRIPTION into section-scoped
     fields (mmsnareparse.c's per-section key/value walk — Subject /
     Logon Information / Network Information blocks etc., flattened to
@@ -702,8 +704,12 @@ def snare_description_fields(col: Column, sep: str = ".") -> Column:
     Format (NXLog/Snare): fields separated by runs of 3+ spaces; a
     segment ending in ':' opens a section; 'Key:  Value' (1+ spaces —
     long keys like 'Source Network Address' use one) is a pair under
-    the current section; prose segments are skipped. One split + one
-    aggregate fold, ONE regex execution per segment (the key/value are
+    the current section; prose segments are skipped — EXCEPT after a
+    ``list_keys`` key ('Privileges', sectionBehaviorList +
+    fieldValuePrivilegeList, mmsnareparse.c:245,545,4274-4280): bare
+    segments that follow accumulate comma-joined onto that key, the
+    reference's privilege-name collection. One split + one aggregate
+    fold, ONE regex execution per segment (the key/value are
     group-rewritten into a \\x01-joined string bound once per element
     — lambda-variable references are O(1), inline copies inside the
     fold would re-run the regex per field)."""
@@ -711,6 +717,7 @@ def snare_description_fields(col: Column, sep: str = ".") -> Column:
     # headers ('X:') and pairs ('K:  V') in one pattern: group 2 is
     # non-participating for headers and substitutes as ""
     seg_rx = r"^([^:\x01]{1,60}):(?:\s+(.*?))?\s*$"
+    lk_names = F.array(*[F.lit(x) for x in list_keys]) if list_keys else None
 
     def step(acc: Column, s: Column) -> Column:
         rew = F.regexp_replace(s, seg_rx, "\x01$1\x01$2")
@@ -722,18 +729,58 @@ def snare_description_fields(col: Column, sep: str = ".") -> Column:
             full = F.when(acc["section"] == "", k).otherwise(
                 F.concat(acc["section"], F.lit(sep), k)
             )
+
+            def st(section: Column, m: Column, lk: Column) -> Column:
+                return F.struct(
+                    section.alias("section"), m.alias("m"), lk.alias("lk")
+                )
+
+            bare = F.trim(s)
+            # bare segment while a list key is active → append to it
+            # (LAST_WIN map dedup makes map_concat an upsert)
+            prose = F.when(
+                (acc["lk"] != "") & (bare != ""),
+                st(
+                    acc["section"],
+                    F.map_concat(
+                        acc["m"],
+                        F.create_map(
+                            acc["lk"],
+                            F.concat_ws(
+                                ",",
+                                F.try_element_at(acc["m"], acc["lk"]),
+                                bare,
+                            ),
+                        ),
+                    ),
+                    acc["lk"],
+                ),
+            ).otherwise(acc)
+            new_lk = (
+                F.when(F.array_contains(lk_names, k), full).otherwise(
+                    F.lit("")
+                )
+                if lk_names is not None
+                else F.lit("")
+            )
+            # a list-key HEADER ('Privileges:' with no inline value)
+            # opens a list section: following bare segments accumulate
+            # under the bare key name
+            hdr_lk = (
+                F.when(F.array_contains(lk_names, k), k).otherwise(F.lit(""))
+                if lk_names is not None
+                else F.lit("")
+            )
             return (
-                F.when(~r.startswith("\x01"), acc)  # prose: no match
+                F.when(~r.startswith("\x01"), prose)
                 .when(  # header: empty value opens a section
-                    v == "",
-                    F.struct(k.alias("section"), acc["m"].alias("m")),
+                    v == "", st(k, acc["m"], hdr_lk)
                 )
                 .otherwise(
-                    F.struct(
-                        acc["section"].alias("section"),
-                        F.map_concat(
-                            acc["m"], F.create_map(full, v)
-                        ).alias("m"),
+                    st(
+                        acc["section"],
+                        F.map_concat(acc["m"], F.create_map(full, v)),
+                        new_lk,
                     )
                 )
             )
@@ -746,6 +793,7 @@ def snare_description_fields(col: Column, sep: str = ".") -> Column:
     init = F.struct(
         F.lit("").alias("section"),
         F.create_map().cast("map<string,string>").alias("m"),
+        F.lit("").alias("lk"),
     )
     return F.aggregate(segs, init, step, lambda a: a["m"])
 
@@ -853,6 +901,10 @@ def snare_event_metadata(
                    Subject/NewLogon account structs, network and
                    detailed-authentication info, 4625 failure block),
                    each read from the section-scoped win_fields map.
+      win_process    — 4688 Process Creation promoted fields.
+      win_privileges — 4672 comma-joined privilege-name list.
+      win_kerberos   — 4768/4769/4771 account/service/network/ticket
+                       fields (tests/mmsnareparse-kerberos.sh shape).
       win_valid  — validate_required_fields subset: for 4624/4625 the
                    description must mention Security ID / Account Name /
                    Account Domain (strict-mode gate in the reference).
@@ -932,6 +984,69 @@ def snare_event_metadata(
             g("Failure Information.Sub Status").alias("SubStatus"),
         ),
     )
+    # 4688 Process Creation (g_coreFieldPatterns Process* rows,
+    # mmsnareparse.c:207-213; MS 4688 description layout)
+    win_process = F.when(
+        (ev == 4688) & m.isNotNull(),
+        F.struct(
+            acct("Subject").alias("Subject"),
+            g("Process Information.New Process ID").alias("NewProcessID"),
+            g("Process Information.New Process Name").alias(
+                "NewProcessName"
+            ),
+            g("Process Information.Token Elevation Type").alias(
+                "TokenElevationType"
+            ),
+            g("Process Information.Mandatory Label").alias(
+                "MandatoryLabel"
+            ),
+            g("Process Information.Creator Process ID").alias(
+                "CreatorProcessID"
+            ),
+            g("Process Information.Creator Process Name").alias(
+                "CreatorProcessName"
+            ),
+            g("Process Information.Process Command Line").alias(
+                "ProcessCommandLine"
+            ),
+        ),
+    )
+    # 4672 Privilege Assignment: the privilege-name list
+    # (fieldValuePrivilegeList + sectionBehaviorList collection,
+    # mmsnareparse.c:245,4274-4280) — comma-joined names
+    win_privileges = F.when(
+        ev == 4672,
+        F.coalesce(g("Subject.Privileges"), g("Privileges")),
+    )
+    # 4768/4769/4771 Kerberos (tests/mmsnareparse-kerberos.sh extracts
+    # exactly these under $!win!Network / $!win!Kerberos)
+    win_kerberos = F.when(
+        ev.isin(4768, 4769, 4771) & m.isNotNull(),
+        F.struct(
+            g("Account Information.Account Name").alias("AccountName"),
+            g("Account Information.Account Domain").alias("AccountDomain"),
+            g("Account Information.Logon GUID").alias("LogonGUID"),
+            g("Service Information.Service Name").alias("ServiceName"),
+            g("Service Information.Service ID").alias("ServiceID"),
+            g("Network Information.Client Address").alias("ClientAddress"),
+            g("Network Information.Client Port").try_cast("long").alias(
+                "ClientPort"
+            ),
+            g("Additional Information.Ticket Options").alias(
+                "TicketOptions"
+            ),
+            g("Additional Information.Result Code").alias("ResultCode"),
+            g("Additional Information.Ticket Encryption Type").alias(
+                "TicketEncryptionType"
+            ),
+            g("Additional Information.Pre-Authentication Type").alias(
+                "PreAuthenticationType"
+            ),
+            g("Additional Information.Certificate Information").alias(
+                "CertificateInfo"
+            ),
+        ),
+    )
     desc = (
         F.col(desc_col) if desc_col else F.col(win_col)["Description"]
     )
@@ -946,5 +1061,8 @@ def snare_event_metadata(
     return (
         df.withColumn("win_event", win_event)
         .withColumn("win_logon", win_logon)
+        .withColumn("win_process", win_process)
+        .withColumn("win_privileges", win_privileges)
+        .withColumn("win_kerberos", win_kerberos)
         .withColumn("win_valid", win_valid)
     )

@@ -386,6 +386,93 @@ def test_snare_event_metadata(spark):
     assert r.win_logon is None and r.win_valid
 
 
+_SNARE_4769 = (  # tests/testsuites/mmsnareparse/sample-events.data shape
+    "MSWinEventLog\t1\tSecurity\t556603\tSun Apr 07 11:23:41 2024\t4769\t"
+    "Microsoft-Windows-Security-Auditing\tN/A\tN/A\tSuccess Audit\t"
+    "DC19-CORE\tKerberos Service Ticket\t\t"
+    "A Kerberos service ticket was requested.    "
+    "Account Information:   Account Name:  a.rodriguez   "
+    "Account Domain:  FABRIKAM   "
+    "Logon GUID:  {00000000-0000-0000-0000-000000000000}    "
+    "Service Information:   Service Name:  HTTP/SPApp19.fabricam.com   "
+    "Service ID:  -    Network Information:   "
+    "Client Address:  172.16.14.21   Client Port:  55231    "
+    "Additional Information:   Ticket Options:  0x60810010   "
+    "Result Code:  0x0   Ticket Encryption Type:  0x12   "
+    "Pre-Authentication Type:  15   Certificate Information:  -"
+)
+_SNARE_4688 = (
+    "MSWinEventLog\t1\tSecurity\t700100\tTue Feb 18 08:00:00 2025\t4688\t"
+    "Microsoft-Windows-Security-Auditing\tN/A\tN/A\tSuccess Audit\t"
+    "WS-07\tProcess Creation\t\t"
+    "A new process has been created.    Subject:   "
+    "Security ID:  S-1-5-21-1111-500   Account Name:  jdoe   "
+    "Account Domain:  CONTOSO   Logon ID:  0x8F21A    "
+    "Process Information:   New Process ID:  0x1a0c   "
+    "New Process Name:  C:\\Windows\\System32\\cmd.exe   "
+    "Token Elevation Type:  %%1938   Mandatory Label:  S-1-16-8192   "
+    "Creator Process ID:  0xbfc   "
+    "Creator Process Name:  C:\\Windows\\explorer.exe   "
+    "Process Command Line:  cmd /c whoami"
+)
+_SNARE_4672 = (
+    "MSWinEventLog\t1\tSecurity\t700200\tTue Feb 18 08:01:00 2025\t4672\t"
+    "Microsoft-Windows-Security-Auditing\tN/A\tN/A\tSuccess Audit\t"
+    "DC25-PREVIEW\tSpecial Logon\t\t"
+    "Special privileges assigned to new logon.    Subject:   "
+    "Security ID:  S-1-5-18   Account Name:  SYSTEM   "
+    "Account Domain:  NT AUTHORITY   Logon ID:  0x3E7   "
+    "Privileges:  SeSecurityPrivilege   SeBackupPrivilege   "
+    "SeRestorePrivilege   SeTakeOwnershipPrivilege"
+)
+
+
+def test_snare_event_metadata_process_priv_kerberos(spark):
+    """r4 event-type extensions: 4688 process-creation fields, the
+    4672 privilege-name LIST collection (sectionBehaviorList,
+    mmsnareparse.c:4274-4280), and the Kerberos 4769 fields the
+    reference's own kerberos test extracts (mmsnareparse-kerberos.sh
+    content_checks over sample-events.data)."""
+    from rsyslog_spark.parsing.devices import (
+        mmsnareparse, snare_event_metadata,
+    )
+
+    df = spark.createDataFrame(
+        [(_SNARE_4769,), (_SNARE_4688,), (_SNARE_4672,)], "msg string"
+    )
+    rows = snare_event_metadata(mmsnareparse(df)).collect()
+
+    k = rows[0].win_kerberos  # 4769 — the reference test's checks
+    assert rows[0].win_event.Category == "Kerberos"
+    assert rows[0].win_event.Subtype == "ServiceTicket"
+    assert k.AccountName == "a.rodriguez" and k.AccountDomain == "FABRIKAM"
+    assert k.ServiceName == "HTTP/SPApp19.fabricam.com"
+    assert k.ServiceID is None                      # '-' placeholder
+    assert k.ClientAddress == "172.16.14.21" and k.ClientPort == 55231
+    assert k.TicketOptions == "0x60810010" and k.ResultCode == "0x0"
+    assert k.TicketEncryptionType == "0x12"
+    assert k.PreAuthenticationType == "15"
+    assert k.CertificateInfo is None                # '-' placeholder
+    assert rows[0].win_logon is None and rows[0].win_process is None
+
+    p = rows[1].win_process  # 4688
+    assert rows[1].win_event.Subtype == "Creation"
+    assert p.Subject.AccountName == "jdoe"
+    assert p.NewProcessID == "0x1a0c"
+    assert p.NewProcessName == "C:\\Windows\\System32\\cmd.exe"
+    assert p.TokenElevationType == "%%1938"
+    assert p.MandatoryLabel == "S-1-16-8192"
+    assert p.CreatorProcessName == "C:\\Windows\\explorer.exe"
+    assert p.ProcessCommandLine == "cmd /c whoami"
+
+    r = rows[2]  # 4672: bare segments after 'Privileges:' accumulate
+    assert r.win_event.Category == "Privilege"
+    assert r.win_privileges == (
+        "SeSecurityPrivilege,SeBackupPrivilege,"
+        "SeRestorePrivilege,SeTakeOwnershipPrivilege"
+    )
+
+
 def test_snare_event_metadata_validation(spark):
     """validate_required_fields: a 4624 whose description lacks the
     Subject account block fails win_valid (strict-mode gate)."""
