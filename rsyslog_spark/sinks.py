@@ -180,8 +180,10 @@ def omelasticsearch_frame(
     followed by the rendered JSON document. ``dyn_index`` treats
     `index` as a template (dynSearchIndex); ``write_operation`` is
     index|create (ES_WRITE_CREATE). The resulting `value` column is the
-    two-line bulk entry — `foreachBatch` + an HTTP POST of the
-    concatenated batch is the wire part this sandbox cannot exercise."""
+    two-line bulk entry — concatenate a batch (NDJSON + trailing
+    newline) and deliver it with :func:`http_post_bodies` to
+    ``<es>/_bulk`` (exercised against a real local HTTP server in
+    tests), or wrap in `foreachBatch` for epoch transactions."""
     if write_operation not in ("index", "create"):
         raise ValueError("write_operation must be index|create")
     env = Env()
@@ -682,3 +684,123 @@ def omhttp_batch(
         F.col("n").alias("n_messages"),
         body.alias("body"),
     )
+
+
+_OMHTTP_CONTENT_TYPE = {
+    "newline": "text/plain; charset=utf-8",
+    "jsonarray": "application/json",
+    "kafkarest": "application/vnd.kafka.json.v2+json",
+    "lokirest": "application/json",
+}
+
+
+def omhttp_post(
+    df: DataFrame,
+    url: str,
+    template: str = "RSYSLOG_StdJSONFmt",
+    batch_format: str = "newline",
+    batch_size: int = 100,
+    ts_col: str | None = None,
+    loki_labels: dict[str, str] | None = None,
+    order_by: str | list[str] | None = None,
+    headers: dict[str, str] | None = None,
+    retries: int = 2,
+    retry_codes: tuple[int, ...] = (429, 500, 502, 503, 504),
+    timeout_secs: float = 10.0,
+) -> DataFrame:
+    """contrib/omhttp/omhttp.c delivery path: render → batch
+    (:func:`omhttp_batch`) → POST each request body, with per-request
+    retry on the transient-status set (httpretrycodes/retry,
+    omhttp.c:193-194,303-306; default mirrors the usual 429/5xx set).
+    Returns a delivery report (partition, batch_seq, n_messages,
+    status, attempts, ok) — rows with ``ok = false`` are the
+    retry-ruleset feed (route them to a failover chain or requeue,
+    the reference's retry.ruleset seam).
+
+    Executor-side POSTs via mapInPandas (one Arrow batch of bodies per
+    partition, connections amortized per batch); at-least-once
+    semantics — pair with ``order_by`` for deterministic bodies so a
+    retried task re-sends byte-identical requests (idempotent
+    receivers can dedup), and with foreachBatch for epoch-transaction
+    wrapping. omelasticsearch's _bulk POST rides the same path with a
+    bulk-framed body column."""
+    import pandas as pd
+
+    bodies = omhttp_batch(
+        df, template=template, batch_format=batch_format,
+        batch_size=batch_size, ts_col=ts_col, loki_labels=loki_labels,
+        order_by=order_by,
+    )
+    ctype = _OMHTTP_CONTENT_TYPE[batch_format]
+    return http_post_bodies(
+        bodies, url, headers={"Content-Type": ctype, **(headers or {})},
+        retries=retries, retry_codes=retry_codes,
+        timeout_secs=timeout_secs,
+    )
+
+
+def http_post_bodies(
+    bodies: DataFrame,
+    url: str,
+    headers: dict[str, str] | None = None,
+    body_col: str = "body",
+    retries: int = 2,
+    retry_codes: tuple[int, ...] = (429, 500, 502, 503, 504),
+    timeout_secs: float = 10.0,
+) -> DataFrame:
+    """POST each row's ``body_col`` to ``url`` with transient-status
+    retry — the shared delivery engine of :func:`omhttp_post` and the
+    omelasticsearch `_bulk` path (POST an
+    :func:`omelasticsearch_frame`-built NDJSON body to ``<es>/_bulk``).
+    Executor-side via mapInPandas; returns the input's non-body
+    columns plus (status, attempts, ok)."""
+    import pandas as pd
+
+    hdrs = dict(headers or {})
+    meta = [c for c in bodies.columns if c != body_col]
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in bodies.select(*meta).schema.fields
+    )
+
+    def post(it):
+        import time as _time
+        import urllib.error
+        import urllib.request
+
+        for pdf in it:
+            statuses, attempts_l, oks = [], [], []
+            for body in pdf[body_col]:
+                status, attempts = 0, 0
+                for attempt in range(retries + 1):
+                    attempts = attempt + 1
+                    try:
+                        req = urllib.request.Request(
+                            url, data=body.encode("utf-8"),
+                            headers=hdrs, method="POST",
+                        )
+                        with urllib.request.urlopen(
+                            req, timeout=timeout_secs
+                        ) as resp:
+                            status = resp.status
+                    except urllib.error.HTTPError as e:
+                        status = e.code
+                    except (urllib.error.URLError, OSError):
+                        status = -1  # connection-level failure
+                    if 200 <= status < 300 or (
+                        status not in retry_codes and status > 0
+                    ):
+                        break
+                    if attempt < retries:
+                        _time.sleep(0.05 * (2 ** attempt))
+                statuses.append(status)
+                attempts_l.append(attempts)
+                oks.append(200 <= status < 300)
+            out = pdf[meta].copy()
+            out["status"] = statuses
+            out["attempts"] = attempts_l
+            out["ok"] = oks
+            yield out
+
+    report = "status int, attempts int, ok boolean"
+    return bodies.mapInPandas(post, f"{ddl}, {report}" if ddl else report)
