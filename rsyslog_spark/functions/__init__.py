@@ -807,6 +807,47 @@ def _xxh32_column(h: Column, seed: int) -> Column:
     return _bind(st, after_stripes)
 
 
+def http_request(u, timeout_secs: float = 10.0) -> Column:
+    """plugins/fmhttp/fmhttp.c:156 ``http_request(url)`` — GET the URL
+    and return the response body as a string (doFunc_http_request:
+    curl_easy_perform + body capture). Errors → null (divergence: the
+    reference returns a number-0 dummy value, fmhttp.c:125-128 —
+    RainerScript has no null; callers here coalesce instead).
+
+    Arrow-batched pandas UDF with a per-batch URL memo (repeated
+    lookup URLs — the common log-enrichment shape — hit the network
+    once per batch). Deliberately the external-I/O path, like
+    mmexternal: one GET per DISTINCT url per batch still stalls the
+    executor on the remote's latency, so use it for low-volume
+    enrichment columns only; bulk delivery belongs to
+    sinks.http_post_bodies, and cacheable enrichment to lookup
+    tables."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _get(col: pd.Series) -> pd.Series:
+        import urllib.request
+
+        cache: dict = {}
+
+        def go(url):
+            if url is None:
+                return None
+            if url not in cache:
+                try:
+                    with urllib.request.urlopen(
+                        url, timeout=timeout_secs
+                    ) as r:
+                        cache[url] = r.read().decode("utf-8", "replace")
+                except Exception:
+                    cache[url] = None
+            return cache[url]
+
+        return col.map(go)
+
+    return _get(_c(u))
+
+
 def hash32_jvm(s, seed: int = 0) -> Column:
     """contrib/fmhash/fmhash.c:137 — XXH32(input, seed), byte-faithful,
     computed ENTIRELY in JVM Column arithmetic (no Python eval node in
@@ -1214,6 +1255,8 @@ REGISTRY = {
     "re_match": re_match, "re_match_i": re_match_i,
     # plugins/fmpcre/fmpcre.c:93 — PCRE collapses under Java regex
     "pcre_match": re_match,
+    # plugins/fmhttp/fmhttp.c:156 — real GET, Arrow-batched (r4)
+    "http_request": http_request,
     "re_extract": re_extract, "split": split, "b64_decode": b64_decode,
     "int2hex": int2hex, "cstr": cstr, "cnum": cnum, "cbool": cbool,
     "ipv42num": ipv42num, "ip42num": ipv42num, "num2ipv4": num2ipv4,

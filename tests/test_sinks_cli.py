@@ -309,6 +309,57 @@ def test_omhttp_post_real_server(spark, sf_dir):
         srv.shutdown()
 
 
+def test_http_request_function(spark):
+    """fmhttp http_request(url) against a real localhost server: body
+    returned per url, per-batch memo dedups repeated urls, errors →
+    null (reference's dummy-0 divergence documented)."""
+    import http.server
+    import threading
+
+    from rsyslog_spark import functions as fn
+
+    hits: list[str] = []
+    lock = threading.Lock()
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            with lock:
+                hits.append(self.path)
+            body = f"body-of{self.path}".encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        df = spark.createDataFrame(
+            [(f"http://127.0.0.1:{port}/a",),
+             (f"http://127.0.0.1:{port}/a",),   # duplicate → memo hit
+             (f"http://127.0.0.1:{port}/b",),
+             (f"http://127.0.0.1:{port + 1}/dead",),  # refused → null
+             (None,)],
+            "url string",
+        ).coalesce(1)
+        rows = df.select(
+            "url", fn.http_request(F.col("url"), timeout_secs=3).alias("r")
+        ).collect()
+        got = {r.url: r.r for r in rows}
+        assert got[f"http://127.0.0.1:{port}/a"] == "body-of/a"
+        assert got[f"http://127.0.0.1:{port}/b"] == "body-of/b"
+        assert got[f"http://127.0.0.1:{port + 1}/dead"] is None
+        assert got[None] is None
+        with lock:
+            assert hits.count("/a") == 1  # memo: one GET for two rows
+    finally:
+        srv.shutdown()
+
+
 def test_omhttp_batch_stable_identity(spark, sf_dir):
     """r4 (VERDICT r3 next #6): with order_by, row→batch assignment is
     a pure function of the stable key — the same input produces
