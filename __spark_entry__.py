@@ -1015,6 +1015,31 @@ def q_leef_fields(spark, sf):
     )
 
 
+def q_impstats(spark, sf):
+    """impstats/statsobj analog (lineage.LineageTracker): observe()
+    counters ride the SAME job as the routed data — rows_in,
+    parse_failures, and per-sink routed counts — then surface as
+    metric rows exactly like impstats injects counter messages.
+    Driver-side materialization is METRICS ONLY (a handful of longs,
+    impstats-sized), never data. The oracle recomputes every counter
+    from the raw events table."""
+    from rsyslog_spark.lineage import LineageTracker
+
+    p = flagship.build_parsed(spark, sf)
+    r = flagship.make_router()
+    routed = r.apply(p, keep_locals=True)
+    sinks = list(dict.fromkeys(a.sink for a in r.actions))
+    tr = LineageTracker(sinks)
+    inst = tr.instrument(routed)
+    inst.agg(F.count(F.lit(1))).collect()  # one action; metrics ride it
+    snap = tr.snapshot()
+    rows = [
+        ("rows_in", int(snap["rows_in"])),
+        ("parse_failures", int(snap["parse_failures"])),
+    ] + [(f"routed_{s}", int(snap[f"routed_{s}"])) for s in sorted(sinks)]
+    return spark.createDataFrame(rows, "metric string, value long")
+
+
 def q_win_events(spark, sf):
     """mmsnareparse + snare_event_metadata end-to-end: 50 Snare
     Windows-event lines synthesized arithmetically (event ids cycle
@@ -1148,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rulebase_v2": q_rulebase_v2,
         "leef_fields": q_leef_fields,
         "win_events": q_win_events,
+        "impstats": q_impstats,
         "session_stats": q_session_stats,
         "corpus_filter": q_corpus_filter,
         "log_templates": q_log_templates,
@@ -1232,6 +1258,28 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             UNION ALL
             SELECT 'urgent', CAST(count(*) FILTER (WHERE {sev} <= 3) AS BIGINT)
+            FROM events
+        """,
+        "impstats": f"""
+            SELECT 'rows_in' AS metric,
+                   CAST(count(*) AS BIGINT) AS value FROM events
+            UNION ALL
+            SELECT 'parse_failures', CAST(0 AS BIGINT)
+            UNION ALL
+            SELECT 'routed_commerce',
+                   CAST(count(*) FILTER (WHERE {_COMMERCE}) AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'routed_k7', CAST(count(*) FILTER (
+                       WHERE NOT {_COMMERCE} AND {_K} LIKE '7%') AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'routed_rest',
+                   CAST(count(*) FILTER (WHERE NOT {_COMMERCE}) AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'routed_urgent',
+                   CAST(count(*) FILTER (WHERE {sev} <= 3) AS BIGINT)
             FROM events
         """,
         "agg_fac_sev_source": f"""
