@@ -558,6 +558,22 @@ def q_ivf_rank1(spark, sf):
     )
 
 
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination: docs sharing any 13-word-gram with
+    the 'benchmark' (docs 0-4 play the eval set) are flagged. Exact
+    string-gram mode so the DuckDB oracle recomputes the flag set with
+    its own shingling — natural 13-gram sharing in the corpus counts
+    too, not just the planted benchmark members themselves."""
+    from rsyslog_spark.datapipe.dedup import contamination_flags
+
+    docs = _docs(spark, sf)
+    bench = docs.filter(F.col("doc_id") < 5)
+    out = contamination_flags(docs, bench, hashed=False)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "contaminated"
+    )
+
+
 def q_media_frames(spark, sf):
     """Video frame-sampling plumbing (rows-only: payload is opaque;
     the decode boundary is a documented stub)."""
@@ -1160,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ivf_topk": q_ivf_topk,
         "ivf_rank1": q_ivf_rank1,
+        "decontaminate": q_decontaminate,
         "media_frames": q_media_frames,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "media_decode": q_media_decode,
@@ -1800,6 +1817,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(-(i + 1) AS BIGINT) AS id_a,
                    CAST(i AS BIGINT) AS id_b
             FROM generate_series(0, 9) t(i)
+        """,
+        "decontaminate": r"""
+            WITH norm AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text),
+                                    '\s+', ' ', 'g')), ' ') AS w
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       array_to_string(w[i:i+12], ' ') AS sh
+                FROM norm,
+                     LATERAL unnest(generate_series(
+                         1, greatest(len(w) - 12, 1))) AS t(i)
+            ),
+            bench AS (SELECT DISTINCT sh FROM g WHERE doc_id < 5),
+            cont AS (
+                SELECT DISTINCT g.doc_id FROM g JOIN bench USING (sh)
+            )
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   d.doc_id IN (SELECT doc_id FROM cont) AS contaminated
+            FROM documents d
         """,
         "ivf_rank1": """
             SELECT CAST(-(i + 1) AS BIGINT) AS q_id,

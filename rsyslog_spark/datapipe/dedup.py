@@ -300,6 +300,54 @@ def _pairs_from_shingle_hashes(
     )
 
 
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 13,
+    hashed: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination — the standard training-data step:
+    flag every corpus document sharing ANY word ``shingle_k``-gram
+    (13 by convention) with a benchmark/eval document, so eval
+    contamination can be dropped before training.
+
+    Scale shape: the benchmark side is SMALL (eval suites are
+    thousands of docs) — its distinct shingle set broadcasts, and the
+    corpus side streams through one explode + broadcast semi-join +
+    distinct, no corpus shuffle against the benchmark. ``hashed=True``
+    (default) joins on xxhash64 of the shingle so the broadcast and
+    probe rows carry 8 bytes instead of ~80-char strings — the 100 TB
+    setting; ``hashed=False`` joins raw shingle strings (exact, SQL-
+    mirrorable — the oracle mode). Returns (id_col, contaminated)."""
+    sh = _shingles(F.col(text_col), shingle_k)
+
+    def grams(df: DataFrame) -> DataFrame:
+        g = F.explode(sh).alias("sh")
+        out = df.select(F.col(id_col).alias("id"), g)
+        if hashed:
+            out = out.select("id", F.xxhash64("sh").alias("sh"))
+        return out
+
+    bench = grams(benchmark).select("sh").distinct()
+    hits = (
+        grams(docs)
+        .join(F.broadcast(bench), "sh")
+        .select("id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+        )
+    )
+
+
 def word_hashes(col: Column) -> Column:
     """xxhash64 of each word of normalized text."""
     return F.transform(

@@ -705,6 +705,35 @@ def test_log_templates(spark):
     }
 
 
+def test_contamination_flags(spark):
+    """Benchmark decontamination: any shared 13-word-gram flags the
+    doc — including a doc that merely EMBEDS a benchmark span — while
+    near-misses (12 shared words) stay clean; hashed and exact modes
+    agree."""
+    from rsyslog_spark.datapipe.dedup import contamination_flags
+
+    bench_text = " ".join(f"b{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix words " + " ".join(f"b{i}" for i in range(13))
+             + " suffix"),                      # embeds a full 13-gram
+            (2, " ".join(f"b{i}" for i in range(12)) + " different"),
+            (3, "totally unrelated text " * 5),
+            (4, bench_text),                    # exact benchmark copy
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(99, bench_text)],
+                                  "doc_id long, text string")
+    for hashed in (True, False):
+        got = {
+            r.doc_id: r.contaminated
+            for r in contamination_flags(docs, bench, hashed=hashed)
+            .collect()
+        }
+        assert got == {1: True, 2: False, 3: False, 4: True}, (hashed, got)
+
+
 def test_drain_templates_merge(spark):
     """True-Drain second stage (r4, VERDICT r3 next #7): templates in
     the same (n_tok, first-token) group merge into '<*>' wildcards when
