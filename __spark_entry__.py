@@ -558,6 +558,35 @@ def q_ivf_rank1(spark, sf):
     )
 
 
+def q_pii_scrub(spark, sf):
+    """PII redaction over documents with planted PII spans (email, ip,
+    ssn, card, phone derived arithmetically per doc) — the oracle runs
+    the SAME regex stack through DuckDB's RE2, so the check proves
+    regex-dialect parity, masking order, and the pii_found flag."""
+    from rsyslog_spark.datapipe.textstats import pii_scrub
+
+    d = _docs(spark, sf).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    k = F.col("doc_id")
+    planted = F.concat(
+        F.lit(" contact u"), k.cast("string"),
+        F.lit("@example.com from 10.0."), (k % 256).cast("string"),
+        F.lit(".7 ssn 123-45-6789 card 4111111111111111 "
+              "phone +1 (555) 123-4567"),
+    )
+    src = d.withColumn(
+        "text",
+        F.when(k % 3 == 0, F.concat(F.col("text"), planted)).otherwise(
+            F.col("text")
+        ),
+    )
+    out = pii_scrub(src)
+    return out.select(
+        "doc_id", F.col("scrubbed").alias("scrubbed"), "pii_found"
+    )
+
+
 def q_decontaminate(spark, sf):
     """Benchmark decontamination: docs sharing any 13-word-gram with
     the 'benchmark' (docs 0-4 play the eval set) are flagged. Exact
@@ -1177,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "ivf_rank1": q_ivf_rank1,
         "decontaminate": q_decontaminate,
+        "pii_scrub": q_pii_scrub,
         "media_frames": q_media_frames,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "media_decode": q_media_decode,
@@ -1817,6 +1847,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(-(i + 1) AS BIGINT) AS id_a,
                    CAST(i AS BIGINT) AS id_b
             FROM generate_series(0, 9) t(i)
+        """,
+        "pii_scrub": r"""
+            WITH src AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       CASE WHEN doc_id % 3 = 0 THEN
+                           text || ' contact u' || CAST(doc_id AS VARCHAR)
+                           || '@example.com from 10.0.'
+                           || CAST(doc_id % 256 AS VARCHAR)
+                           || '.7 ssn 123-45-6789 card 4111111111111111 '
+                           || 'phone +1 (555) 123-4567'
+                       ELSE text END AS text
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, text,
+                       regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\b\d{1,3}(?:\.\d{1,3}){3}\b', '<IP>', 'g'),
+                       '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+                       '\b\d{13,19}\b', '<CARD>', 'g'),
+                       '\+?\d[\d ()-]{7,}\d', '<PHONE>', 'g') AS scrubbed
+                FROM src
+            )
+            SELECT doc_id, scrubbed, scrubbed <> text AS pii_found
+            FROM s
         """,
         "decontaminate": r"""
             WITH norm AS (

@@ -180,6 +180,37 @@ def log_templates(
     return df.groupBy(m.alias("template")).agg(*agg)
 
 
+# PII patterns in APPLICATION ORDER — email first (would survive later
+# digit masking anyway), then dotted IPs (dots break the phone class),
+# then SSN/card (the phone pattern would otherwise swallow their digit
+# runs), phone last. Patterns stay in the RE2 ∩ Java-regex dialect so
+# the DuckDB oracle can run them verbatim.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}(?:\.\d{1,3}){3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("card", r"\b\d{13,19}\b", "<CARD>"),
+    ("phone", r"\+?\d[\d ()-]{7,}\d", "<PHONE>"),
+)
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", out_col: str = "scrubbed"
+) -> DataFrame:
+    """Training-corpus PII scrubbing: mask emails, IPv4s, SSNs,
+    card-length digit runs, and phone-shaped sequences with typed
+    placeholder tokens — the redaction pass a pretraining pipeline
+    runs before tokenization. Five codegen'd regexp_replace passes,
+    pure Column (same execution shape as log_templates' masking);
+    adds ``out_col`` plus ``pii_found`` (did anything change)."""
+    c = F.col(text_col)
+    for _, rx, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, rx, repl)
+    return df.withColumn(out_col, c).withColumn(
+        "pii_found", F.col(out_col) != F.col(text_col)
+    )
+
+
 def drain_templates(
     df: DataFrame,
     msg_col: str = "msg",
