@@ -705,6 +705,31 @@ def test_log_templates(spark):
     }
 
 
+def test_pii_scrub(spark):
+    """PII masking order: SSN/card masked before the greedy phone
+    pattern can swallow their digit runs; dots keep IPs out of the
+    phone class; clean text passes through untouched."""
+    from rsyslog_spark.datapipe.textstats import pii_scrub
+
+    rows = pii_scrub(spark.createDataFrame(
+        [
+            ("mail bob.smith+x@corp.example.org now",),
+            ("from 192.168.1.200 port 443",),
+            ("ssn 123-45-6789 card 4111111111111111",),
+            ("call +1 (555) 123-4567 today",),
+            ("no pii here",),
+        ],
+        "text string",
+    )).collect()
+    got = [r.scrubbed for r in rows]
+    assert got[0] == "mail <EMAIL> now"
+    assert got[1] == "from <IP> port 443"
+    assert got[2] == "ssn <SSN> card <CARD>"
+    assert got[3] == "call <PHONE> today"
+    assert got[4] == "no pii here" and not rows[4].pii_found
+    assert all(r.pii_found for r in rows[:4])
+
+
 def test_contamination_flags(spark):
     """Benchmark decontamination: any shared 13-word-gram flags the
     doc — including a doc that merely EMBEDS a benchmark span — while
