@@ -587,6 +587,34 @@ def q_pii_scrub(spark, sf):
     )
 
 
+def q_repetition(spark, sf):
+    """Gopher repetition signals over documents rebuilt as multi-line
+    pages with an arithmetically-controlled duplicate-line rate (line
+    j of doc i repeats with period (i%4)+2) — the oracle recomputes
+    line/word duplicate fractions from the same construction."""
+    from rsyslog_spark.datapipe.textstats import repetition_stats
+
+    d = _docs(spark, sf).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    i = F.col("doc_id")
+    period = (i % 4) + 2
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(11)),
+            lambda j: F.concat(
+                F.lit("line "), i.cast("string"), F.lit(" v"),
+                (j % period).cast("string"),
+            ),
+        ),
+        "\n",
+    )
+    out = repetition_stats(d.withColumn("text", text))
+    return out.select(
+        "doc_id", "n_lines", "dup_line_permille", "dup_word_permille"
+    )
+
+
 def q_decontaminate(spark, sf):
     """Benchmark decontamination: docs sharing any 13-word-gram with
     the 'benchmark' (docs 0-4 play the eval set) are flagged. Exact
@@ -1207,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_rank1": q_ivf_rank1,
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
+        "repetition": q_repetition,
         "media_frames": q_media_frames,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "media_decode": q_media_decode,
@@ -1847,6 +1876,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(-(i + 1) AS BIGINT) AS id_a,
                    CAST(i AS BIGINT) AS id_b
             FROM generate_series(0, 9) t(i)
+        """,
+        "repetition": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(12 AS BIGINT) AS n_lines,
+                   CAST(round((12 - p) * 1000.0 / 12) AS BIGINT)
+                       AS dup_line_permille,
+                   CAST(round((36 - (2 + p)) * 1000.0 / 36) AS BIGINT)
+                       AS dup_word_permille
+            FROM (SELECT doc_id, (doc_id % 4) + 2 AS p FROM documents)
         """,
         "pii_scrub": r"""
             WITH src AS (

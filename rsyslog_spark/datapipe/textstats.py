@@ -211,6 +211,33 @@ def pii_scrub(
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style intra-document repetition signals: the fraction of
+    duplicate lines and duplicate words (the rules that catch boiler-
+    plate/spam pages a length-and-punctuation gate misses). Emitted as
+    permille LONGS (repetition thresholds are coarse — integer output
+    keeps the metrics exactly comparable across engines). Pure Column:
+    two splits + array_distinct, one codegen'd projection; compose with
+    corpus_filter's rule stack as an extra keep-predicate."""
+    lines = F.split(F.col(text_col), r"\n")
+    words = F.split(
+        F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "
+    )
+
+    def permille(arr: Column) -> Column:
+        n = F.size(arr)
+        d = F.size(F.array_distinct(arr))
+        return F.when(
+            n > 0, F.round((n - d) * 1000 / n).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+
+    return (
+        df.withColumn("n_lines", F.size(lines).cast("long"))
+        .withColumn("dup_line_permille", permille(lines))
+        .withColumn("dup_word_permille", permille(words))
+    )
+
+
 def drain_templates(
     df: DataFrame,
     msg_col: str = "msg",

@@ -705,6 +705,26 @@ def test_log_templates(spark):
     }
 
 
+def test_repetition_stats(spark):
+    """Gopher repetition rules: duplicate-line and duplicate-word
+    fractions in permille; empty text degrades to zero."""
+    from rsyslog_spark.datapipe.textstats import repetition_stats
+
+    rows = repetition_stats(spark.createDataFrame(
+        [
+            ("a\nb\na\nb",),        # 4 lines, 2 distinct -> 500
+            ("spam spam spam ok",),  # 4 words, 2 distinct -> 500
+            ("all unique lines\nhere",),
+            ("",),
+        ],
+        "text string",
+    )).collect()
+    assert rows[0].n_lines == 4 and rows[0].dup_line_permille == 500
+    assert rows[1].dup_word_permille == 500
+    assert rows[2].dup_line_permille == 0
+    assert rows[3].dup_word_permille == 0
+
+
 def test_pii_scrub(spark):
     """PII masking order: SSN/card masked before the greedy phone
     pattern can swallow their digit runs; dots keep IPs out of the
