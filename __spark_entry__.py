@@ -587,6 +587,27 @@ def q_pii_scrub(spark, sf):
     )
 
 
+def q_dedup_clusters(spark, sf):
+    """Transitive near-dup clustering: chain edges (k, k+1) within each
+    decade of 100 nodes — label propagation must carry the decade
+    minimum across 9 hops; the oracle computes cluster_id = 10*(k/10)
+    arithmetically."""
+    from rsyslog_spark.datapipe.dedup import dedup_clusters
+
+    edges = (
+        spark.range(99)
+        .filter(F.col("id") % 10 != 9)
+        .select(
+            F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+        )
+    )
+    out = dedup_clusters(edges)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
 def q_repetition(spark, sf):
     """Gopher repetition signals over documents rebuilt as multi-line
     pages with an arithmetically-controlled duplicate-line rate (line
@@ -1236,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
         "repetition": q_repetition,
+        "dedup_clusters": q_dedup_clusters,
         "media_frames": q_media_frames,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "media_decode": q_media_decode,
@@ -1876,6 +1898,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(-(i + 1) AS BIGINT) AS id_a,
                    CAST(i AS BIGINT) AS id_b
             FROM generate_series(0, 9) t(i)
+        """,
+        "dedup_clusters": """
+            SELECT CAST(i AS BIGINT) AS id,
+                   CAST((i // 10) * 10 AS BIGINT) AS cluster_id
+            FROM generate_series(0, 99) t(i)
         """,
         "repetition": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,

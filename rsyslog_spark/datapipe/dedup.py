@@ -300,6 +300,84 @@ def _pairs_from_shingle_hashes(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Close the near-dup loop: the PAIR sets the sketches emit
+    (minhash_lsh_pairs / simhash_pairs / ngram_jaccard_pairs) are
+    edges, but dedup needs transitive CLUSTERS — a~b and b~c must
+    surrender to one survivor even when a~c was never scored. Returns
+    (id, cluster_id) with cluster_id = the component's minimum id (the
+    deterministic survivor, exact_dedup's keep_id convention).
+
+    Method: iterative min-label propagation — each round every node
+    takes the min of its own label and its neighbors' labels; a
+    fixpoint check (any label changed?) stops early. Labels move one
+    hop per round, so rounds ≈ component diameter; near-dup components
+    are shallow (dup clusters are dense), and ``max_iters`` bounds the
+    pathological chain. Every round is ONE edge-sized shuffle keyed on
+    node id — never corpus-sized — and the label frame is
+    ``localCheckpoint``-ed each round: iterative self-joins grow the
+    LOGICAL plan exponentially even under persist() (Catalyst
+    re-analyzes the whole tree per round — measured driver OOM at a
+    100-node chain without truncation), so lineage must be cut, not
+    just cached. (For adversarial million-node chains, the alternating
+    large-star/small-star variant halves diameters per round; not
+    needed at near-dup shapes.)
+
+    Nodes that appear in no pair are absent (they keep themselves —
+    join the output back with a left join + coalesce)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nb_min = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("b"), F.col("comp").alias("cb")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("cb").alias("nb"))
+            .withColumnRenamed("a", "id")
+        )
+        new_labels = (
+            labels.join(nb_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce("nb", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)  # truncate iterative lineage
+        )
+        changed = (
+            new_labels.join(
+                labels.select("id", F.col("comp").alias("old")), "id"
+            )
+            .filter(F.col("comp") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("comp").alias("cluster_id"))
+
+
 def contamination_flags(
     docs: DataFrame,
     benchmark: DataFrame,

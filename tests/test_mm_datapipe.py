@@ -750,6 +750,28 @@ def test_pii_scrub(spark):
     assert all(r.pii_found for r in rows[:4])
 
 
+def test_dedup_clusters(spark):
+    """Transitive pair clustering: a chain and a star collapse to
+    min-id components; disjoint pairs stay separate; fixpoint reached
+    well under the iteration cap."""
+    from rsyslog_spark.datapipe.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [
+            (5, 9), (9, 2), (2, 7),   # chain -> comp 2
+            (10, 11), (10, 12), (10, 13),  # star -> comp 10
+            (20, 21),                  # pair  -> comp 20
+        ],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == {
+        5: 2, 9: 2, 2: 2, 7: 2,
+        10: 10, 11: 10, 12: 10, 13: 10,
+        20: 20, 21: 20,
+    }
+
+
 def test_contamination_flags(spark):
     """Benchmark decontamination: any shared 13-word-gram flags the
     doc — including a doc that merely EMBEDS a benchmark span — while
