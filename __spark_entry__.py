@@ -1934,7 +1934,8 @@ def oracle_sql() -> dict[str, str]:
                        '\b\d{1,3}(?:\.\d{1,3}){3}\b', '<IP>', 'g'),
                        '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
                        '\b\d{13,19}\b', '<CARD>', 'g'),
-                       '\+?\d[\d ()-]{7,}\d', '<PHONE>', 'g') AS scrubbed
+                       '\+?\d[\d ()]*[()-][\d ()-]{6,}\d',
+                       '<PHONE>', 'g') AS scrubbed
                 FROM src
             )
             SELECT doc_id, scrubbed, scrubbed <> text AS pii_found

@@ -375,6 +375,15 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # loop exhausted with labels still moving: a component wider
+        # than max_iters hops would be silently SPLIT (two survivors
+        # for one dup cluster) — refuse rather than under-dedup
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} rounds; "
+            "a component's diameter exceeds the budget — raise "
+            "max_iters (labels move one hop per round)"
+        )
     return labels.select("id", F.col("comp").alias("cluster_id"))
 
 

@@ -180,6 +180,10 @@ def log_templates(
     return df.groupBy(m.alias("template")).agg(*agg)
 
 
+# Phone requires at least one grouping char ((, ), -) so bare
+# space-separated digit runs ('2019 2020 2021') survive; card-length
+# digit runs (13-19) are masked unconditionally — a conservative
+# scrubber masks some long ids/epochs rather than leak a card number.
 # PII patterns in APPLICATION ORDER — email first (would survive later
 # digit masking anyway), then dotted IPs (dots break the phone class),
 # then SSN/card (the phone pattern would otherwise swallow their digit
@@ -190,7 +194,7 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("ipv4", r"\b\d{1,3}(?:\.\d{1,3}){3}\b", "<IP>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
     ("card", r"\b\d{13,19}\b", "<CARD>"),
-    ("phone", r"\+?\d[\d ()-]{7,}\d", "<PHONE>"),
+    ("phone", r"\+?\d[\d ()]*[()-][\d ()-]{6,}\d", "<PHONE>"),
 )
 
 
@@ -207,7 +211,10 @@ def pii_scrub(
     for _, rx, repl in PII_PATTERNS:
         c = F.regexp_replace(c, rx, repl)
     return df.withColumn(out_col, c).withColumn(
-        "pii_found", F.col(out_col) != F.col(text_col)
+        # null text -> scrubbed null, but the FLAG must stay boolean
+        # (a null pii_found poisons ~keep predicates under ANSI nulls)
+        "pii_found",
+        F.coalesce(F.col(out_col) != F.col(text_col), F.lit(False)),
     )
 
 

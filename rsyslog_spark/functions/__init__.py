@@ -833,6 +833,12 @@ def http_request(u, timeout_secs: float = 10.0) -> Column:
         def go(url):
             if url is None:
                 return None
+            # scheme allowlist: data-derived URLs must not reach
+            # file:// / ftp:// handlers (the reference is curl HTTP
+            # GET only; a log-controlled file:// would read executor-
+            # local files into the output)
+            if not url.startswith(("http://", "https://")):
+                return None
             if url not in cache:
                 try:
                     with urllib.request.urlopen(

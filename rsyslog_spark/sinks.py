@@ -724,8 +724,6 @@ def omhttp_post(
     receivers can dedup), and with foreachBatch for epoch-transaction
     wrapping. omelasticsearch's _bulk POST rides the same path with a
     bulk-framed body column."""
-    import pandas as pd
-
     bodies = omhttp_batch(
         df, template=template, batch_format=batch_format,
         batch_size=batch_size, ts_col=ts_col, loki_labels=loki_labels,
@@ -754,8 +752,6 @@ def http_post_bodies(
     :func:`omelasticsearch_frame`-built NDJSON body to ``<es>/_bulk``).
     Executor-side via mapInPandas; returns the input's non-body
     columns plus (status, attempts, ok)."""
-    import pandas as pd
-
     hdrs = dict(headers or {})
     meta = [c for c in bodies.columns if c != body_col]
     ddl = ", ".join(
@@ -771,6 +767,13 @@ def http_post_bodies(
         for pdf in it:
             statuses, attempts_l, oks = [], [], []
             for body in pdf[body_col]:
+                if body is None:
+                    # a null body is a caller-data failure, not a task
+                    # failure — report it, don't crash the partition
+                    statuses.append(-1)
+                    attempts_l.append(0)
+                    oks.append(False)
+                    continue
                 status, attempts = 0, 0
                 for attempt in range(retries + 1):
                     attempts = attempt + 1

@@ -770,6 +770,15 @@ def test_dedup_clusters(spark):
         10: 10, 11: 10, 12: 10, 13: 10,
         20: 20, 21: 20,
     }
+    # non-convergence must RAISE, not silently split a component
+    # (code-review r4b): a 12-node chain cannot converge in 3 rounds
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(chain, max_iters=3)
 
 
 def test_contamination_flags(spark):

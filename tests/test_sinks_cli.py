@@ -337,12 +337,21 @@ def test_http_request_function(spark):
     srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
     port = srv.server_address[1]
     threading.Thread(target=srv.serve_forever, daemon=True).start()
+    # reserve a genuinely-dead port (bind-and-close) rather than
+    # assuming port+1 is unbound
+    import socket
+
+    _s = socket.socket()
+    _s.bind(("127.0.0.1", 0))
+    dead_port = _s.getsockname()[1]
+    _s.close()
     try:
         df = spark.createDataFrame(
             [(f"http://127.0.0.1:{port}/a",),
              (f"http://127.0.0.1:{port}/a",),   # duplicate → memo hit
              (f"http://127.0.0.1:{port}/b",),
-             (f"http://127.0.0.1:{port + 1}/dead",),  # refused → null
+             (f"http://127.0.0.1:{dead_port}/dead",),  # refused → null
+             ("file:///etc/hostname",),          # scheme blocked → null
              (None,)],
             "url string",
         ).coalesce(1)
@@ -352,7 +361,8 @@ def test_http_request_function(spark):
         got = {r.url: r.r for r in rows}
         assert got[f"http://127.0.0.1:{port}/a"] == "body-of/a"
         assert got[f"http://127.0.0.1:{port}/b"] == "body-of/b"
-        assert got[f"http://127.0.0.1:{port + 1}/dead"] is None
+        assert got[f"http://127.0.0.1:{dead_port}/dead"] is None
+        assert got["file:///etc/hostname"] is None  # allowlist
         assert got[None] is None
         with lock:
             assert hits.count("/a") == 1  # memo: one GET for two rows
