@@ -160,15 +160,32 @@ def embedding_dedup_pairs(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_cap: int | None = 512,
 ) -> DataFrame:
     """Near-duplicate vectors: bucket-join on LSH signature, verify
-    exact cosine ≥ threshold. Returns (id_a, id_b, cos)."""
+    exact cosine ≥ threshold. Returns (id_a, id_b, cos).
+
+    ``bucket_cap`` drops over-full LSH buckets before the self-join
+    (same guard as minhash_lsh_pairs/simhash_pairs): a mass-duplicate
+    embedding cluster — or degenerate all-equal vectors — would put m
+    rows in one bucket and make m²/2 candidates at 100 TB. Capped, each
+    kept bucket yields at most cap² rows; a dropped bucket is an
+    exact-dup cluster that exact_dedup handles for free. ``None``
+    disables the cap (exhaustive small-corpus verification)."""
     planes = _hyperplanes(dim, n_planes)
     c = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
+    if bucket_cap is not None:
+        ok = (
+            c.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= bucket_cap)
+            .select("bucket")
+        )
+        c = c.join(ok, "bucket")
     a, b = c.alias("a"), c.alias("b")
     cand = a.join(
         b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))

@@ -10,6 +10,7 @@ from rsyslog_spark.datapipe import (
     cosine_lsh_topk,
     decode_media_batch,
     doc_fingerprint,
+    embedding_dedup_pairs,
     exact_dedup,
     language_id,
     minhash_lsh_pairs,
@@ -469,6 +470,48 @@ def test_cosine_lsh_topk_approximates(spark):
         for r in cosine_lsh_topk(corpus, queries, k=5, n_planes=6, dim=8).collect()
     }
     assert len(exact & approx) >= 3  # decent recall on this easy set
+
+
+def test_embedding_dedup_pairs_finds_near_dups(spark):
+    import math
+
+    # two tight clusters (near-dups within, far across) + loners
+    rows = []
+    for i in range(4):
+        eps = i * 1e-3
+        rows.append((i, [1.0, eps] + [0.0] * 6))
+        rows.append((10 + i, [eps, 1.0] + [0.0] * 6))
+    rows.append((99, [math.sqrt(0.5), math.sqrt(0.5)] + [0.0] * 6))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_dedup_pairs(
+            corpus, threshold=0.999, n_planes=6, dim=8
+        ).collect()
+    }
+    assert got  # within-cluster pairs found
+    # no cross-cluster or loner pairs (cos ≤ ~0.71 < 0.999)
+    assert all((a < 10) == (b < 10) and a != 99 and b != 99 for a, b in got)
+
+
+def test_embedding_dedup_bucket_cap_bounds_candidates(spark):
+    # adversarial: one mass-duplicate vector cluster (all land in ONE
+    # LSH bucket → uncapped would be n²/2 candidates) + a distinct tail
+    rows = [(i, [1.0, 0.5, 0.25] + [0.0] * 5) for i in range(400)]
+    for i in range(6):
+        eps = i * 1e-3
+        rows.append((1000 + i, [eps, -1.0] + [0.0] * 6))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = embedding_dedup_pairs(
+        corpus, threshold=0.99, n_planes=6, dim=8, bucket_cap=50
+    )
+    out = {(r.id_a, r.id_b) for r in capped.collect()}
+    # the 400-dup cluster is dropped (exact_dedup territory); candidates
+    # stay bounded by cap² per bucket
+    assert len(out) <= 50 * 50
+    assert all(a >= 1000 for a, _ in out)
+    # the small tail cluster is still fully recovered
+    assert (1000, 1001) in out
 
 
 # ---------------- datapipe: text stats ----------------
