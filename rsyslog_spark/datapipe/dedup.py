@@ -300,6 +300,20 @@ def _pairs_from_shingle_hashes(
     )
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Explicitly drop a localCheckpoint's pinned blocks (ADVICE r4:
+    dedup_clusters otherwise pins O(iterations) label-frame copies in
+    executor storage). ``DataFrame.unpersist()`` is a no-op for
+    checkpoint storage — the checkpointed frame's plan is a LogicalRDD,
+    not a CacheManager entry — so reach the checkpointed RDD through
+    the analyzed plan. Best-effort: on any internals change the
+    ContextCleaner still frees the blocks once the frame is GC'd."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # pragma: no cover - internals moved; GC handles it
+        pass
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -372,6 +386,10 @@ def dedup_clusters(
             .limit(1)
             .count()
         )
+        # the superseded round's blocks are dead the moment new_labels
+        # is materialized (eager) and the convergence check above has
+        # run — free them instead of pinning O(iterations) copies
+        _free_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
@@ -384,6 +402,7 @@ def dedup_clusters(
             "a component's diameter exceeds the budget — raise "
             "max_iters (labels move one hop per round)"
         )
+    _free_local_checkpoint(edges)  # result depends on labels only
     return labels.select("id", F.col("comp").alias("cluster_id"))
 
 
