@@ -517,8 +517,14 @@ def q_simhash_pairs(spark, sf):
 
 
 def q_ivf_topk(spark, sf):
-    """IVF-Flat ANN over the embeddings table (rows-only: the sampled
-    k-means codebook has no SQL twin). First 3 vectors as queries."""
+    """IVF-Flat ANN over the embeddings table, run with
+    n_probe = n_centroids (VERDICT r4 #4): probing EVERY inverted list
+    makes the result exact by construction — independent of the
+    sampled k-means codebook — so DuckDB can mirror it with a plain
+    cosine top-k (the full IVF machinery still executes: train,
+    assign, probe-join, two-phase rank). The pruned n_probe <
+    n_centroids path keeps its recall unit
+    (tests/test_mm_datapipe.py)."""
     from rsyslog_spark.datapipe.simsearch import ivf_topk
 
     emb = _emb(spark, sf)
@@ -527,7 +533,7 @@ def q_ivf_topk(spark, sf):
         .select(F.col("vec_id").alias("q_id"),
                 F.col("embedding").alias("q_vec"))
     )
-    out = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=3)
+    out = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=8)
     return out.select(
         F.col("q_id").cast("long").alias("q_id"),
         F.col("vec_id").cast("long").alias("vec_id"),
@@ -1873,9 +1879,34 @@ def oracle_sql() -> dict[str, str]:
         # output to a planted namespace whose pair set is enumerable
         # arithmetically — exact-duplicate probes make recall and the
         # estimate provable (est=1.0 / hamming=0), so the hash-based
-        # sketches ARE oracle-checkable after all. ivf_topk and the
-        # media_* plumbing stay rows-only (sampled codebook / opaque
-        # payload have no SQL twin).
+        # sketches ARE oracle-checkable after all. Only the media_*
+        # plumbing stays rows-only (opaque payload has no SQL twin);
+        # ivf_topk gained a real oracle in r5 by probing every list
+        # (n_probe = n_centroids → exact regardless of codebook).
+        "ivf_topk": """
+            WITH q AS (
+                SELECT vec_id AS q_id, embedding AS q_vec
+                FROM embeddings ORDER BY vec_id LIMIT 3
+            ),
+            scored AS (
+                SELECT q.q_id, e.vec_id,
+                       list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]),
+                           CAST(q.q_vec AS DOUBLE[])) AS score
+                FROM embeddings e CROSS JOIN q
+            ),
+            ranked AS (
+                SELECT q_id, vec_id,
+                       row_number() OVER (
+                           PARTITION BY q_id
+                           ORDER BY score DESC, vec_id) AS rk
+                FROM scored
+            )
+            SELECT CAST(q_id AS BIGINT) AS q_id,
+                   CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(rk AS BIGINT) AS rank
+            FROM ranked WHERE rk <= 5
+        """,
         "minhash_pairs": """
             SELECT CAST(-(2*i + 2) AS BIGINT) AS id_a,
                    CAST(-(2*i + 1) AS BIGINT) AS id_b,
