@@ -366,7 +366,50 @@ def flatten_json(s, sep: str = ".", depth: int = 6) -> Column:
     return F.map_from_entries(entries)
 
 
-def unflatten_json(s, sep: str = ".") -> Column:
+def _unflatten_json_udf(s, sep: str = ".", need=None) -> Column:
+    """Recursive Arrow-UDF unflatten (the pre-r4 implementation) —
+    the deep-literal fallback branch of :func:`unflatten_json`. The
+    ``need`` boolean column is pushed INTO the UDF so rows the pure-
+    Column path already handled skip the json parse (ArrowEvalPython
+    evaluates a UDF for every row regardless of the CASE branch that
+    consumes it — the flag keeps that unconditional pass cheap)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _unflat(col: pd.Series, needed: pd.Series) -> pd.Series:
+        import json
+
+        def go(v, n):
+            if not n or v is None:
+                return None
+            try:
+                flat = json.loads(v)
+            except (TypeError, ValueError):
+                return None
+            if not isinstance(flat, dict):
+                return json.dumps(flat)
+            root: dict = {}
+            for k, val in flat.items():
+                node = root
+                parts = str(k).split(sep)
+                for p in parts[:-1]:
+                    nxt = node.get(p)
+                    if not isinstance(nxt, dict):
+                        nxt = {}
+                        node[p] = nxt
+                    node = nxt
+                node[parts[-1]] = val
+            return json.dumps(root, separators=(",", ":"))
+
+        return pd.Series(
+            [go(v, n) for v, n in zip(col, needed)], dtype="object"
+        )
+
+    need_col = F.lit(True) if need is None else need
+    return _unflat(_c(s), need_col)
+
+
+def unflatten_json(s, sep: str = ".", deep_fallback: bool = False) -> Column:
     """contrib/fmunflatten/fmunflatten.c:206 — nested-tree output as a
     JSON string: {"a.b":1,"a.c":2} → {"a":{"b":1,"c":2}}, entirely in
     Column expressions (no Python evaluator; was the last Arrow UDF on
@@ -382,30 +425,38 @@ def unflatten_json(s, sep: str = ".") -> Column:
     ``"leaf":value``.
 
     Documented bounds (each the mirror of flatten_json's depth bound):
-    object/array literal VALUES are captured to one brace level
-    (flatten never emits them — deeper remnants ride as JSON strings,
-    which are captured exactly); conflicting paths ("a" and "a.b")
-    resolve deeper-path-wins — the "a" leaf is dropped (the reference
-    resolves by insertion order, fmunflatten.c:206: whichever comes
-    last overwrites; a sorted serialization can't see source order, so
-    the deterministic rule is documented instead); key order in the
-    output is sorted, not source order (JSON object semantics).
-    Non-object / malformed input → null."""
+    object/array literal VALUES are captured to brace/bracket depth 8
+    (flatten never emits them at all — deeper remnants ride as JSON
+    strings, which are captured exactly); a deeper pathological
+    literal trips the validity guard → null by default, or degrades
+    to the recursive Arrow-UDF slow path when ``deep_fallback=True``
+    (ADVICE r4; the RainerScript REGISTRY registers the fallback
+    variant for fmunflatten parity — the hot mm* path keeps the pure
+    plan). Valid NON-OBJECT JSON (scalar/array input) passes through
+    trimmed, matching the reference's value-unchanged behavior.
+    Conflicting paths ("a" and "a.b") resolve deeper-path-wins — the
+    "a" leaf is dropped (the reference resolves by insertion order,
+    fmunflatten.c:206: whichever comes last overwrites; a sorted
+    serialization can't see source order, so the deterministic rule is
+    documented instead); key order in the output is sorted, not source
+    order (JSON object semantics). Malformed input → null."""
     import re as _re
 
     col = _c(s)
     guard = F.from_json(col, "map<string,string>")
-    # value tokens: string | array (bracket depth ≤2, strings opaque) |
-    # object (brace depth ≤2, strings opaque) | bare scalar. Deeper
-    # literals can't be captured by a regex — the validity guard below
-    # turns them into null rather than silently truncated JSON
-    # (code-review r4 #5).
+    # value tokens: string | array (bracket depth ≤8, strings opaque) |
+    # object (brace depth ≤8, strings opaque) | bare scalar. The
+    # pattern grows LINEARLY with the bound (each level embeds one
+    # copy of the previous); deeper literals can't be captured by a
+    # regex — the validity guard below turns them into null / the UDF
+    # fallback rather than silently truncated JSON (code-review r4 #5).
     _str = r'"(?:[^"\\]|\\.)*"'
-    _obj1 = r"\{(?:[^{}\"]|" + _str + r")*\}"
-    _obj2 = r"\{(?:[^{}\"]|" + _str + r"|" + _obj1 + r")*\}"
-    _arr1 = r"\[(?:[^\[\]\"]|" + _str + r")*\]"
-    _arr2 = r"\[(?:[^\[\]\"]|" + _str + r"|" + _arr1 + r")*\]"
-    val_tok = _str + r"|" + _arr2 + r"|" + _obj2 + r"|[^,}\s][^,}]*"
+    _obj = r"\{(?:[^{}\"]|" + _str + r")*\}"
+    _arr = r"\[(?:[^\[\]\"]|" + _str + r")*\]"
+    for _ in range(7):
+        _obj = r"\{(?:[^{}\"]|" + _str + r"|" + _obj + r")*\}"
+        _arr = r"\[(?:[^\[\]\"]|" + _str + r"|" + _arr + r")*\]"
+    val_tok = _str + r"|" + _arr + r"|" + _obj + r"|[^,}\s][^,}]*"
     pat = r'"((?:[^"\\]|\\.)*)"\s*:\s*(' + val_tok + r")"
     keys = F.regexp_extract_all(col, F.lit(pat), F.lit(1))
     vals = F.regexp_extract_all(col, F.lit(pat), F.lit(2))
@@ -503,8 +554,23 @@ def unflatten_json(s, sep: str = ".") -> Column:
         (F.size(F.split(F.try_element_at(entries, n)["key"], seprx, -1)) - 1)
         .cast("int"),
     )
+    # valid non-object JSON (scalar / array input): pass through
+    # trimmed — the reference leaves non-container values unchanged
+    t = F.trim(col)
+    scalar_ok = t.rlike(
+        r'^(-?\d+(\.\d+)?([eE][+-]?\d+)?|true|false|null|"(\\.|[^"\\])*")$'
+    )
+    array_ok = t.startswith("[") & F.from_json(
+        t, "array<string>"
+    ).isNotNull()
+    if deep_fallback:
+        deep = _unflatten_json_udf(col, sep, need=guard.isNotNull() & bad_tok)
+    else:
+        deep = F.lit(None).cast("string")
     return (
-        F.when(guard.isNull() | bad_tok, F.lit(None).cast("string"))
+        F.when(guard.isNull() & (scalar_ok | array_ok), t)
+        .when(guard.isNull(), F.lit(None).cast("string"))
+        .when(bad_tok, deep)
         .when(n == 0, F.lit("{}"))
         .otherwise(F.concat(F.lit("{"), body, tail, F.lit("}")))
     )
@@ -807,7 +873,12 @@ def _xxh32_column(h: Column, seed: int) -> Column:
     return _bind(st, after_stripes)
 
 
-def http_request(u, timeout_secs: float = 10.0) -> Column:
+def http_request(
+    u,
+    timeout_secs: float = 10.0,
+    allow_hosts: list[str] | None = None,
+    deny_hosts: list[str] | None = None,
+) -> Column:
     """plugins/fmhttp/fmhttp.c:156 ``http_request(url)`` — GET the URL
     and return the response body as a string (doFunc_http_request:
     curl_easy_perform + body capture). Errors → null (divergence: the
@@ -820,15 +891,52 @@ def http_request(u, timeout_secs: float = 10.0) -> Column:
     mmexternal: one GET per DISTINCT url per batch still stalls the
     executor on the remote's latency, so use it for low-volume
     enrichment columns only; bulk delivery belongs to
-    sinks.http_post_bodies, and cacheable enrichment to lookup
-    tables."""
+    sinks.http_post_bodies, and cacheable enrichment to lookup tables.
+
+    Host policy (ADVICE r4: log-data-derived URLs are an SSRF surface;
+    the reference fetches anything, so the gate is opt-in parity):
+    ``deny_hosts`` always blocks; when ``allow_hosts`` is set, ONLY
+    matching hosts are fetched. A pattern is an exact hostname or a
+    ``.suffix`` (matches the domain and its subdomains), compared
+    case-insensitively on the URL's hostname. Defaults come from the
+    ``RSYSLOG_SPARK_HTTP_ALLOW`` / ``RSYSLOG_SPARK_HTTP_DENY`` env
+    vars (comma-separated, read once at plan-build time on the
+    driver), so deployments with untrusted log content can fence the
+    script-registry variant without code changes. Blocked → null."""
     from pyspark.sql.functions import pandas_udf
+
+    if allow_hosts is None:
+        env = os.environ.get("RSYSLOG_SPARK_HTTP_ALLOW", "")
+        allow_hosts = [h.strip() for h in env.split(",") if h.strip()] or None
+    if deny_hosts is None:
+        env = os.environ.get("RSYSLOG_SPARK_HTTP_DENY", "")
+        deny_hosts = [h.strip() for h in env.split(",") if h.strip()]
+    allow = (
+        tuple(h.lower() for h in allow_hosts)
+        if allow_hosts is not None else None
+    )
+    deny = tuple(h.lower() for h in (deny_hosts or ()))
 
     @pandas_udf("string")
     def _get(col: pd.Series) -> pd.Series:
+        import urllib.parse
         import urllib.request
 
         cache: dict = {}
+
+        def matches(host: str, pat: str) -> bool:
+            if pat.startswith("."):
+                return host == pat[1:] or host.endswith(pat)
+            return host == pat
+
+        def host_ok(url: str) -> bool:
+            try:
+                host = (urllib.parse.urlsplit(url).hostname or "").lower()
+            except ValueError:
+                return False
+            if not host or any(matches(host, p) for p in deny):
+                return False
+            return allow is None or any(matches(host, p) for p in allow)
 
         def go(url):
             if url is None:
@@ -838,6 +946,8 @@ def http_request(u, timeout_secs: float = 10.0) -> Column:
             # GET only; a log-controlled file:// would read executor-
             # local files into the output)
             if not url.startswith(("http://", "https://")):
+                return None
+            if not host_ok(url):
                 return None
             if url not in cache:
                 try:
@@ -1277,7 +1387,11 @@ REGISTRY = {
     "faup_resource_path": faup_resource_path,
     "faup_query_string": faup_query_string, "faup_fragment": faup_fragment,
     "parse_json": parse_json, "unflatten": unflatten,
-    "unflatten_json": unflatten_json,
+    # script surface gets the deep-literal UDF fallback (fmunflatten
+    # accepts arbitrary depth); mm* hot paths call the pure default
+    "unflatten_json": (
+        lambda s, sep=".": unflatten_json(s, sep, deep_fallback=True)
+    ),
     "hash64": hash64, "hash32": hash32, "hash64mod": hash64mod,
     "hash32mod": hash32mod, "random": random, "exists": exists,
     "tocef": tocef, "append_json": append_json, "get_property": get_property,

@@ -474,14 +474,25 @@ def test_unflatten_json_nested(one):
     clash = ev(one, fn.unflatten_json(F.lit('{"m.a":"x","m":"clash"}')))
     assert json.loads(clash) == {"m": {"a": "x"}}
     assert ev(one, fn.unflatten_json(F.lit("{}"))) == "{}"
-    # code-review r4: depth-2 object/array literals survive; deeper
-    # literals null the result rather than emitting truncated JSON
+    # code-review r4 / ADVICE r4: literal values up to brace depth 8
+    # survive the pure path; deeper nulls by default rather than
+    # emitting truncated JSON
     d2 = ev(one, fn.unflatten_json(
         F.lit('{"a.b":{"x":{"y":1}},"c":[1,[2,3]]}')))
     assert json.loads(d2) == {"a": {"b": {"x": {"y": 1}}},
                               "c": [1, [2, 3]]}
-    assert ev(one, fn.unflatten_json(
-        F.lit('{"a":{"x":{"y":{"z":1}}}}'))) is None
+    d3 = ev(one, fn.unflatten_json(F.lit('{"a":{"x":{"y":{"z":1}}}}')))
+    assert json.loads(d3) == {"a": {"x": {"y": {"z": 1}}}}
+    deep9 = '{"k":' + '{"x":' * 9 + "1" + "}" * 9 + "}"
+    assert ev(one, fn.unflatten_json(F.lit(deep9))) is None
+    # ...and degrades to the recursive Arrow UDF instead of null when
+    # deep_fallback=True (the RainerScript REGISTRY variant)
+    fb = ev(one, fn.unflatten_json(F.lit(deep9), deep_fallback=True))
+    assert json.loads(fb) == json.loads(deep9)
+    # valid NON-OBJECT JSON passes through unchanged (fmunflatten
+    # leaves non-container values alone; pre-r4 UDF re-serialized)
+    assert ev(one, fn.unflatten_json(F.lit("5"))) == "5"
+    assert json.loads(ev(one, fn.unflatten_json(F.lit("[1, 2]")))) == [1, 2]
     # exact duplicate keys: exactly one survives (last of sorted run)
     dup = ev(one, fn.unflatten_json(F.lit('{"a.b":"1","a.b":"2"}')))
     assert json.loads(dup) == {"a": {"b": "2"}}
