@@ -542,7 +542,11 @@ def omhttp_batch(
     * ``jsonarray`` — '[m1,m2,...]' (messages are JSON documents)
     * ``kafkarest`` — '{"records":[{"value":m1},...]}'
     * ``lokirest``  — '{"streams":[{"stream":{labels},"values":
-      [["<ns>",line],...]}]}' (needs ``ts_col``)
+      [["<ns>",line],...]}]}' (needs ``ts_col``; values within each
+      body are sorted by the nanosecond timestamp — Loki rejects
+      out-of-order entries — with row index breaking same-ns ties; for
+      strictly ordered bodies ACROSS requests too, pass
+      ``order_by=ts_col``)
 
     Batch identity — two modes:
 
@@ -612,9 +616,11 @@ def omhttp_batch(
     if batch_format == "lokirest":
         if ts_col is None:
             raise ValueError("lokirest needs ts_col for the values pairs")
+        # kept as LONG so the within-body sort below is numeric, not
+        # lexicographic ("999" > "1000" as strings)
         sel.append(
             (F.unix_timestamp(F.col(ts_col)) * F.lit(1_000_000_000))
-            .cast("string").alias("_ns")
+            .alias("_nsl")
         )
     rows = df.select(*sel)
 
@@ -628,12 +634,20 @@ def omhttp_batch(
         )
 
     if batch_format == "lokirest":
+        # ADVICE r4: Loki rejects out-of-timestamp-order entries within
+        # a values array, and order_by need not be the timestamp — so
+        # the within-body sort key is the _ns LONG first (idx breaks
+        # same-nanosecond ties deterministically). Cross-BODY ordering
+        # is still the caller's: pass order_by=ts_col so batch
+        # assembly itself follows time when Loki runs without an
+        # out-of-order ingestion window.
         agg = rows.groupBy("_part", "_seq").agg(
             F.collect_list(
                 F.struct(
+                    F.col("_nsl").alias("ns"),
                     F.col("_idx").alias("idx"),
                     F.to_json(
-                        F.array(F.col("_ns"), F.col("line"))
+                        F.array(F.col("_nsl").cast("string"), F.col("line"))
                     ).alias("line"),
                 )
             ).alias("raw"),

@@ -197,6 +197,27 @@ def test_omhttp_batch_formats(spark, sf_dir):
     ns, line = stream["values"][0]
     assert ns.endswith("000000000") and line.startswith("{")
 
+    # ADVICE r4: values within each body are ns-sorted even when
+    # order_by is NOT the timestamp column (Loki rejects out-of-order)
+    p3 = p.withColumn(
+        "ts",
+        F2.to_timestamp(
+            F2.concat(
+                F2.lit("2024-01-01 00:00:"),
+                F2.lpad(
+                    F2.pmod(F2.xxhash64("rawmsg"), F2.lit(60)).cast("string"),
+                    2, "0",
+                ),
+            )
+        ),
+    )
+    for r in omhttp_batch(
+        p3, batch_format="lokirest", batch_size=10, ts_col="ts",
+        order_by="doc_id",
+    ).collect():
+        vals = [int(v[0]) for v in json.loads(r.body)["streams"][0]["values"]]
+        assert vals == sorted(vals) and len(vals) == r.n_messages
+
     import pytest
 
     with pytest.raises(ValueError, match="invalid"):
@@ -366,6 +387,28 @@ def test_http_request_function(spark):
         assert got[None] is None
         with lock:
             assert hits.count("/a") == 1  # memo: one GET for two rows
+
+        # ADVICE r4 host policy: deny blocks even a live server; an
+        # allow list that doesn't cover the host blocks it; an allow
+        # list that does keeps it fetchable (no network for blocked
+        # rows — hit count unchanged)
+        live = spark.createDataFrame(
+            [(f"http://127.0.0.1:{port}/c",)], "url string"
+        ).coalesce(1)
+        assert live.select(
+            fn.http_request(F.col("url"), timeout_secs=3,
+                            deny_hosts=["127.0.0.1"]).alias("r")
+        ).first().r is None
+        assert live.select(
+            fn.http_request(F.col("url"), timeout_secs=3,
+                            allow_hosts=["example.com"]).alias("r")
+        ).first().r is None
+        with lock:
+            assert hits.count("/c") == 0
+        assert live.select(
+            fn.http_request(F.col("url"), timeout_secs=3,
+                            allow_hosts=["127.0.0.1"]).alias("r")
+        ).first().r == "body-of/c"
     finally:
         srv.shutdown()
 
