@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 from rsyslog_spark.functions import REGISTRY
 from rsyslog_spark.rules.selectors import prifilt
 
-# type tags: 'N' number, 'S' string, 'B' bool, 'A' array, '?' unknown
+# type tags: 'N' number, 'S' string, 'B' bool, 'A' array, 'M' map
+# (object — foreach iterates it as {key,value} entries), '?' unknown
 NUMERIC_SPARK = {"int", "bigint", "long", "smallint", "tinyint", "double", "float"}
 
 # default property → (column name, type tag); matches the parse() output
@@ -130,7 +131,7 @@ class Env:
             path = [p for p in name[2:].split("!") if p]
             col = F.col("cee")
             if not path:  # whole tree: keep the map column as-is
-                return col, "A"
+                return col, "M"
             for p in path:
                 col = F.try_element_at(col, F.lit(p))
             # missing CEE path → "" (var2String), not NULL
@@ -385,7 +386,12 @@ def _compile_call(name: str, args: list, env: Env) -> tuple[Column, str]:
         else:
             compiled.append(_compile(_scalarize(a), env)[0])
     out = fn(*compiled)
-    tag = "N" if name in ("strlen", "cnum", "ipv42num", "ip42num",
-                          "hash64", "hash32", "hash64mod", "hash32mod",
-                          "parse_time", "random") else "S"
+    if name in ("strlen", "cnum", "ipv42num", "ip42num", "hash64",
+                "hash32", "hash64mod", "hash32mod", "parse_time",
+                "random"):
+        tag = "N"
+    elif name in ("parse_json", "append_json"):
+        tag = "M"  # map-typed: foreach iterates these as objects
+    else:
+        tag = "S"
     return out, tag

@@ -57,6 +57,10 @@ class _State:
         self.actions: list[Action] = []
         self.rulesets: dict[str, list] = {}
         self.n_anon = 0
+        # ruleset names currently being inlined — call_indirect's
+        # registry fan-out skips these (a cycle cannot be inlined;
+        # the reference bounds runtime recursion at depth 1024)
+        self.walking: set[str] = set()
 
 
 def _sanitize_sink(name: str) -> str:
@@ -129,6 +133,46 @@ def _walk(stmts: list, pc: Column, state: _State, depth: int = 0) -> None:
             if callee is None:
                 raise ValueError(f"unknown ruleset {st[1]!r}")
             _walk(callee, pc, state, depth + 1)
+        elif kind == "call_ind":
+            # S_CALL_INDIRECT (grammar/rainerscript.h:123; runtime
+            # execCallIndirect, ruleset.c:235-275): the callee name is
+            # an EXPRESSION evaluated per message; a name that matches
+            # no ruleset is a NOP. A literal name resolves at compile
+            # time (raising on a missing ruleset — a static typo
+            # should not silently NOP; documented divergence from the
+            # reference's logged-error-NOP). A dynamic expression fans
+            # out over the finite ruleset registry — each callee
+            # inlined under pc & (expr == name), the compile-time
+            # image of rulesetGetRuleset: rows whose name matches no
+            # registered ruleset fall through every gate (NOP).
+            from rsyslog_spark.rules.compiler import _to_str
+
+            if st[1][0] == "str":
+                callee = state.rulesets.get(st[1][1])
+                if callee is None:
+                    raise ValueError(
+                        f"unknown ruleset {st[1][1]!r} in call_indirect"
+                    )
+                if st[1][1] not in state.walking:
+                    state.walking.add(st[1][1])
+                    try:
+                        _walk(callee, pc, state, depth + 1)
+                    finally:
+                        state.walking.discard(st[1][1])
+            else:
+                ncol, ntag = _compile(_scalarize(st[1]), state.env)
+                ncol = _to_str(ncol, ntag)
+                for rs_name, body in list(state.rulesets.items()):
+                    if rs_name in state.walking:
+                        continue  # self/mutual cycle: not inlinable
+                    state.walking.add(rs_name)
+                    try:
+                        _walk(
+                            body, pc & (ncol == F.lit(rs_name)),
+                            state, depth + 1,
+                        )
+                    finally:
+                        state.walking.discard(rs_name)
         elif kind == "ruleset":
             state.rulesets[st[1]] = st[2]
         elif kind == "template":
@@ -170,16 +214,43 @@ def _compile_foreach(st, pc: Column, state: _State) -> None:
     size(filter(arr, ...)) (counting) or on the exploded element
     (writing). Body subset: if / action / nop — `set` of outer locals
     inside foreach is not supported (would need per-element state
-    folding; the reference mutates a shared var which is rarely sane)."""
+    folding; the reference mutates a shared var which is rarely sane).
+
+    OBJECT iteration (callForeachObject, ruleset.c:334-372): when the
+    collection compiles map-typed (tag 'M' — the whole ``$!`` tree,
+    parse_json(...), …), the reference binds the loop variable to a
+    fresh ``{key, value}`` object per entry. Compiled Spark-side as
+    ``map_entries(map)`` → array of (key,value) structs, with
+    ``$.var!key`` / ``$.var!value`` bound to the struct fields and the
+    bare ``$.var`` to its JSON rendering (what a template sees). The
+    reference picks array-vs-object per MESSAGE at runtime; a Column
+    expression is statically typed, so here the collection's compiled
+    type decides — same dispatch, resolved at compile time."""
     _, var, arr_ast, body = st
-    arr_col, _ = _compile(_scalarize(arr_ast), state.env)
+    arr_col, coll_tag = _compile(_scalarize(arr_ast), state.env)
+    vname = var[2:]
+    if coll_tag == "M":
+        arr_col = F.map_entries(arr_col)
+
+        def bind(elem) -> dict:
+            return {
+                vname: (F.to_json(elem), "S"),
+                vname + "!key": (elem["key"], "S"),
+                vname + "!value": (elem["value"], "S"),
+            }
+    else:
+
+        def bind(elem) -> dict:
+            return {vname: (elem, "S")}
 
     def walk_body(stmts, elem, epc):
-        """Walk body with $.var bound to `elem`; returns list of
+        """Walk body with $.var (and, for objects, $.var!key /
+        $.var!value) bound to `elem`; returns list of
         (sink, elem_predicate, params)."""
         found = []
-        saved = state.env.locals.get(var[2:])
-        state.env.locals[var[2:]] = (elem, "S")
+        binds = bind(elem)
+        saved = {k: state.env.locals.get(k) for k in binds}
+        state.env.locals.update(binds)
         try:
             for s in stmts:
                 if s[0] == "nop":
@@ -197,10 +268,11 @@ def _compile_foreach(st, pc: Column, state: _State) -> None:
                         f"unsupported statement {s[0]!r} inside foreach"
                     )
         finally:
-            if saved is None:
-                state.env.locals.pop(var[2:], None)
-            else:
-                state.env.locals[var[2:]] = saved
+            for k, old in saved.items():
+                if old is None:
+                    state.env.locals.pop(k, None)
+                else:
+                    state.env.locals[k] = old
         return found
 
     # discover actions once to fix sink names, then rebind per call
@@ -244,10 +316,36 @@ def compile_routes(
             state.rulesets[s[1]] = s[2]
     if entry is not None:
         program = state.rulesets[entry]
+        state.walking.add(entry)
     else:
         program = state.rulesets.get("main", top)
+        if "main" in state.rulesets:
+            state.walking.add("main")
     _walk(program, F.lit(True), state)
-    return state.actions, env
+    # a sink reached from several inlined call sites (call_indirect
+    # fan-out, repeated call) would otherwise emit duplicate
+    # route_<sink> columns — OR-merge them, the same "two rulesets
+    # appending to one file" convention BoundRouter uses
+    merged: dict[str, Action] = {}
+    for a in state.actions:
+        prev = merged.get(a.sink)
+        if prev is None:
+            merged[a.sink] = a
+        elif prev.foreach_arr is None and a.foreach_arr is None:
+            merged[a.sink] = Action(
+                a.sink, prev.predicate | a.predicate, prev.params
+            )
+        else:
+            # foreach actions iterate distinct arrays — not mergeable;
+            # keep both under a disambiguated sink name
+            i = 2
+            while f"{a.sink}_{i}" in merged:
+                i += 1
+            merged[f"{a.sink}_{i}"] = Action(
+                f"{a.sink}_{i}", a.predicate, a.params,
+                a.foreach_arr, a.elem_pred,
+            )
+    return list(merged.values()), env
 
 
 

@@ -22,7 +22,7 @@ AST: plain tuples — ("num", v) ("str", v) ("array", [..]) ("var", name)
 ("call", fn, [args]) ("binop", op, l, r) ("unop", op, x);
 statements: ("if", cond, then[], else[]) ("set", var, expr)
 ("unset", var) ("stop",) ("action", {params}) ("call_rs", name)
-("ruleset", name, stmts[]).
+("call_ind", expr) ("ruleset", name, stmts[]).
 """
 
 from __future__ import annotations
@@ -43,8 +43,9 @@ _TOKEN_RE = re.compile(
 
 _KEYWORDS = {
     "and", "or", "not", "if", "then", "else", "set", "unset", "stop",
-    "action", "call", "ruleset", "contains", "contains_i", "startswith",
-    "startswith_i", "endswith", "continue", "foreach", "do", "template",
+    "action", "call", "call_indirect", "ruleset", "contains",
+    "contains_i", "startswith", "startswith_i", "endswith", "continue",
+    "foreach", "do", "template",
 }
 
 
@@ -253,6 +254,13 @@ class Parser:
             name = self.expect("name").val
             self.accept(";")
             return ("call_rs", name)
+        if t.kind == "call_indirect":
+            # call_indirect EXPR ;  (grammar.y:198 — the callee name is
+            # an expression evaluated per message)
+            self.next()
+            expr = self.expr()
+            self.accept(";")
+            return ("call_ind", expr)
         if t.kind == "foreach":
             # foreach ($.x in expr) do { ... }   (ruleset.c:310-401)
             self.next()

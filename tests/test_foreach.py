@@ -54,3 +54,54 @@ foreach ($.w in split($msg, " ")) do {
     )
     counts = dict(Router(script).route_counts(df).collect())
     assert counts["hits"] == 2  # two in row 1; row 2 stopped
+
+
+def test_foreach_object_iterates_map_entries(spark):
+    """callForeachObject (ruleset.c:334-372): a map-typed collection
+    iterates {key,value} entries with $.var!key / $.var!value bound."""
+    script = """
+foreach ($.e in $!) do {
+    if $.e!key == "user" then { action(name="users") }
+    if $.e!value == "42" then { action(name="forty2") }
+}
+action(name="all")
+"""
+    df = spark.createDataFrame(
+        [({"user": "alice", "n": "42"},), ({"n": "7"},), (None,)],
+        "cee map<string,string>",
+    )
+    counts = dict(Router(script).route_counts(df).collect())
+    assert counts["users"] == 1
+    assert counts["forty2"] == 1
+    assert counts["all"] == 3
+
+
+def test_foreach_object_bare_var_renders_json(spark):
+    """The bare loop var is the {key,value} object a template sees —
+    its JSON rendering (contains works on the serialized form)."""
+    script = """
+foreach ($.e in $!) do {
+    if $.e contains "alice" then { action(name="hit") }
+}
+"""
+    df = spark.createDataFrame(
+        [({"user": "alice"},), ({"user": "bob"},)],
+        "cee map<string,string>",
+    )
+    counts = dict(Router(script).route_counts(df).collect())
+    assert counts["hit"] == 1
+
+
+def test_foreach_object_from_parse_json(spark):
+    """parse_json() compiles map-typed, so foreach iterates it as an
+    object too (the reference dispatches array-vs-object per value)."""
+    script = """
+foreach ($.kv in parse_json($msg)) do {
+    if $.kv!value == "up" then { action(name="up") }
+}
+"""
+    df = spark.createDataFrame(
+        [('{"db":"up","web":"down"}',), ('{"db":"down"}',)], "msg string"
+    )
+    counts = dict(Router(script).route_counts(df).collect())
+    assert counts["up"] == 1

@@ -276,3 +276,71 @@ action(name="all")
     rows = {x.msg: x for x in r.apply(df, keep_locals=True).collect()}
     assert rows["has a"]["local_cat"] == "pre1"
     assert rows["nothing"]["local_cat"] == "pre"
+
+
+def test_call_indirect_literal_and_unknown(spark):
+    """call_indirect with a literal name inlines like call; a literal
+    that matches no ruleset raises at compile time (documented
+    divergence from the reference's logged-error NOP,
+    ruleset.c:235-275)."""
+    import pytest
+
+    script = """
+ruleset(name="sub") { action(name="s") }
+call_indirect "sub";
+"""
+    df = spark.createDataFrame([("a",), ("b",)], "msg string")
+    assert dict(Router(script).route_counts(df).collect()) == {"s": 2}
+    with pytest.raises(ValueError, match="call_indirect"):
+        Router('call_indirect "ghost";')
+
+
+def test_call_indirect_dynamic_dispatch(spark):
+    """A dynamic callee expression dispatches per message against the
+    ruleset registry; names matching no ruleset are a NOP
+    (execCallIndirect → rulesetGetRuleset miss)."""
+    script = """
+ruleset(name="mail") { action(name="mailsink") }
+ruleset(name="web")  { action(name="websink") }
+call_indirect $programname;
+action(name="all")
+"""
+    df = spark.createDataFrame(
+        [("mail",), ("web",), ("ftp",)], "programname string"
+    )
+    counts = dict(Router(script).route_counts(df).collect())
+    assert counts == {"mailsink": 1, "websink": 1, "all": 3}
+
+
+def test_call_indirect_cycle_bounded(spark):
+    """A ruleset whose body indirectly names itself cannot be inlined
+    into itself — the compile-time fan-out skips in-progress rulesets
+    instead of recursing forever (the reference bounds runtime depth
+    at 1024)."""
+    script = """
+ruleset(name="loop") { call_indirect $programname; action(name="inloop") }
+call_indirect $programname;
+"""
+    df = spark.createDataFrame([("loop",), ("other",)], "programname string")
+    counts = dict(Router(script).route_counts(df).collect())
+    assert counts == {"inloop": 1}
+
+
+def test_repeated_call_merges_sink_predicates(spark):
+    """One sink reached from two inlined call sites yields ONE
+    route_<sink> column with OR-merged predicates (two rulesets
+    appending to one destination)."""
+    script = """
+ruleset(name="sub") { if $severity >= 4 then { action(name="out") } }
+if $programname == "a" then { call sub }
+if $programname == "b" then { call sub }
+"""
+    df = spark.createDataFrame(
+        [("a", 5), ("b", 5), ("b", 1), ("c", 5)],
+        "programname string, severity int",
+    )
+    r = Router(script)
+    counts = dict(r.route_counts(df).collect())
+    assert counts == {"out": 2}
+    routed = r.apply(df)
+    assert routed.columns.count("route_out") == 1
