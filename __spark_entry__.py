@@ -1172,9 +1172,23 @@ def q_win_events(spark, sf):
         F.lit("    Network Information:   Source Network Address: 10.0."),
         s(i % 256), F.lit("."), s((2 * i) % 256),
         F.lit("   Source Port:  "), s(40000 + i),
+        # r5: inline Remote Credential Guard + semicolon LAPS Context
+        # sections (mmsnareparse.c:539-542) with arithmetic values
+        F.lit("    Remote Credential Guard:  "),
+        F.when(i % 2 == 0, F.lit("Enabled")).otherwise(F.lit("Disabled")),
+        F.lit("    LAPS Context:  PolicyVersion="), s(i % 9),
+        F.lit("; CredentialRotation="),
+        F.when(i % 3 == 0, F.lit("True")).otherwise(F.lit("False")),
     )
-    desc = F.when(is_logon, logon_desc).otherwise(
-        F.lit("A system event occurred.")
+    # r5: the 5157 rows carry a TLS Inspection section (c:543-544)
+    tls_desc = F.concat(
+        F.lit("A blocked connection.    TLS Inspection:   Reason:  "),
+        F.lit("Reason-"), s(i), F.lit("   Policy:  Pol"), s(i % 3),
+    )
+    desc = (
+        F.when(is_logon, logon_desc)
+        .when(ev_id == 5157, tls_desc)
+        .otherwise(F.lit("A system event occurred."))
     )
     msg = F.concat(
         F.lit("MSWinEventLog\t1\tSecurity\t"), s(100 + i),
@@ -1201,6 +1215,14 @@ def q_win_events(spark, sf):
         s(F.col("win_logon")["Subject"]["AccountName"]).alias("account"),
         s(F.col("win_logon")["SourceNetworkAddress"]).alias("src_addr"),
         n(F.col("win_logon")["SourcePort"]).alias("src_port"),
+        # r5 TLS/LAPS/RCG sections (booleans coalesce to false: the
+        # null-free rule for the driver's sorted-tuple compare)
+        F.coalesce(F.col("win_rcg")["Enabled"], F.lit(False)).alias("rcg"),
+        n(F.col("win_laps")["PolicyVersion"]).alias("laps_ver"),
+        F.coalesce(F.col("win_laps")["CredentialRotation"],
+                   F.lit(False)).alias("laps_rot"),
+        s(F.col("win_tls")["Reason"]).alias("tls_reason"),
+        s(F.col("win_tls")["Policy"]).alias("tls_policy"),
         F.col("win_valid").alias("valid"),
     )
 
@@ -2055,6 +2077,16 @@ def oracle_sql() -> dict[str, str]:
                    END, '') AS src_addr,
                    CASE WHEN i % 5 < 2 THEN CAST(40000 + i AS BIGINT)
                         ELSE CAST(-1 AS BIGINT) END AS src_port,
+                   (i % 5 < 2 AND i % 2 = 0) AS rcg,
+                   CASE WHEN i % 5 < 2 THEN CAST(i % 9 AS BIGINT)
+                        ELSE CAST(-1 AS BIGINT) END AS laps_ver,
+                   (i % 5 < 2 AND i % 3 = 0) AS laps_rot,
+                   COALESCE(CASE WHEN i % 5 = 3
+                        THEN 'Reason-' || CAST(i AS VARCHAR) END,
+                        '') AS tls_reason,
+                   COALESCE(CASE WHEN i % 5 = 3
+                        THEN 'Pol' || CAST(i % 3 AS VARCHAR) END,
+                        '') AS tls_policy,
                    TRUE AS valid
             FROM generate_series(0, 49) t(i)
         """,

@@ -692,8 +692,21 @@ def mmaitag(
     return df.withColumn(out_col, label)
 
 
+#: inline/semicolon section descriptors (g_builtinSectionDescriptors,
+#: mmsnareparse.c:508-548): these labels are SECTIONS even when they
+#: carry an inline value — the whole value belongs to the section and
+#: the active section closes afterwards (sectionBehaviorInlineValue /
+#: sectionBehaviorSemicolon set activeSection=NULL, c:4369-4380).
+#: pattern → storage key in the flattened fields map.
+_SNARE_INLINE_SECTIONS: dict[str, str] = {
+    "Remote Credential Guard": "RemoteCredentialGuard.Status",
+    "LAPS Context": "LAPS._semi",
+}
+
+
 def snare_description_fields(
-    col: Column, sep: str = ".", list_keys: tuple[str, ...] = ("Privileges",)
+    col: Column, sep: str = ".", list_keys: tuple[str, ...] = ("Privileges",),
+    inline_sections: dict[str, str] | None = None,
 ) -> Column:
     """Parse the free-text Snare event DESCRIPTION into section-scoped
     fields (mmsnareparse.c's per-section key/value walk — Subject /
@@ -712,12 +725,23 @@ def snare_description_fields(
     fold, ONE regex execution per segment (the key/value are
     group-rewritten into a \\x01-joined string bound once per element
     — lambda-variable references are O(1), inline copies inside the
-    fold would re-run the regex per field)."""
+    fold would re-run the regex per field).
+
+    ``inline_sections`` (default :data:`_SNARE_INLINE_SECTIONS`) maps
+    labels that are sections-with-inline-values — 'Remote Credential
+    Guard:  Enabled' (sectionBehaviorInlineValue) and 'LAPS Context:
+    PolicyVersion=2; CredentialRotation=True' (sectionBehaviorSemicolon)
+    — to the flattened key their value is stored under; matching a
+    descriptor also CLOSES the active section, exactly the reference's
+    activeSection=NULL after both behaviors."""
+    if inline_sections is None:
+        inline_sections = _SNARE_INLINE_SECTIONS
     segs = F.split(col, r"\s{3,}")
     # headers ('X:') and pairs ('K:  V') in one pattern: group 2 is
     # non-participating for headers and substitutes as ""
     seg_rx = r"^([^:\x01]{1,60}):(?:\s+(.*?))?\s*$"
     lk_names = F.array(*[F.lit(x) for x in list_keys]) if list_keys else None
+    inline_map = _litmap(inline_sections) if inline_sections else None
 
     def step(acc: Column, s: Column) -> Column:
         rew = F.regexp_replace(s, seg_rx, "\x01$1\x01$2")
@@ -771,9 +795,21 @@ def snare_description_fields(
                 if lk_names is not None
                 else F.lit("")
             )
+            out = F.when(~r.startswith("\x01"), prose)
+            if inline_map is not None:
+                ik = F.try_element_at(inline_map, k)
+                # inline-value / semicolon section: store the whole
+                # value under the descriptor's key, close the section
+                out = out.when(
+                    ik.isNotNull(),
+                    st(
+                        F.lit(""),
+                        F.map_concat(acc["m"], F.create_map(ik, v)),
+                        F.lit(""),
+                    ),
+                )
             return (
-                F.when(~r.startswith("\x01"), prose)
-                .when(  # header: empty value opens a section
+                out.when(  # header: empty value opens a section
                     v == "", st(k, acc["m"], hdr_lk)
                 )
                 .otherwise(
@@ -879,11 +915,25 @@ def _litmap(d: dict) -> Column:
     return F.create_map(*pairs)
 
 
+def _snare_bool(v: Column) -> Column:
+    """try_parse_bool (mmsnareparse.c:3392-3413): true/yes/enabled/on
+    and false/no/disabled/off case-insensitively, plus literal 1/0;
+    anything else is NOT a bool (null here)."""
+    lv = F.lower(v)
+    return (
+        F.when(lv.isin("true", "yes", "enabled", "on") | (v == "1"),
+               F.lit(True))
+        .when(lv.isin("false", "no", "disabled", "off") | (v == "0"),
+              F.lit(False))
+    )
+
+
 def snare_event_metadata(
     df: DataFrame,
     win_col: str = "win",
     fields_col: str = "win_fields",
     desc_col: str | None = None,
+    sections: tuple[str, ...] = ("laps", "tls", "wdac", "wufb"),
 ) -> DataFrame:
     """Per-event-type metadata on top of :func:`mmsnareparse` —
     apply_event_mapping (mmsnareparse.c:3848-3861) plus the logon-event
@@ -905,9 +955,34 @@ def snare_event_metadata(
       win_privileges — 4672 comma-joined privilege-name list.
       win_kerberos   — 4768/4769/4771 account/service/network/ticket
                        fields (tests/mmsnareparse-kerberos.sh shape).
+      win_rcg    — Remote Credential Guard inline section
+                   (sectionBehaviorInlineValue + handle_inline_remote_
+                   credential_guard, mmsnareparse.c:4124-4134):
+                   struct(Enabled bool via try_parse_bool, Status raw);
+                   the bool also rides win_logon.RemoteCredentialGuard.
+      win_laps   — 'LAPS Context' semicolon section (sectionBehavior
+                   Semicolon, c:4136-4172 + LAPS field table c:367-369):
+                   struct(LAPSContext, PolicyVersion int64,
+                   CredentialRotation bool) from the k=v; sequence.
+      win_tls    — 'TLS Inspection' section fields (c:371-374 + section
+                   descriptor c:543): struct(TLSInspection, Reason,
+                   Policy) whenever the section is present.
+      win_wdac   — 6281 Code Integrity / WDAC enforcement
+                   (g_event6281FieldPatterns, c:384-392): struct(
+                   PolicyName, PolicyVersion, EnforcementMode, User,
+                   PID int64 — fieldValueInt64WithRaw keeps the raw
+                   string when non-numeric).
+      win_wufb   — 1243 Windows Update for Business deployment
+                   (g_event1243FieldPatterns, c:394-400): struct(
+                   PolicyID, Ring, FromService, EnforcementResult).
       win_valid  — validate_required_fields subset: for 4624/4625 the
                    description must mention Security ID / Account Name /
                    Account Domain (strict-mode gate in the reference).
+
+    ``sections`` mirrors the reference's enableLaps/enableTls/
+    enableWdac instance flags (all default-on, mmsnareparse.c:5532-
+    5535): dropping a name from the tuple nulls that output column
+    (the descriptor-gating image of should_capture_section, c:2931).
 
     Everything is literal-map lookups over the already-built fields map
     — pure Column, no extra scan, no shuffle."""
@@ -982,6 +1057,11 @@ def snare_event_metadata(
             g("Failure Information.Failure Reason").alias("FailureReason"),
             g("Failure Information.Status").alias("Status"),
             g("Failure Information.Sub Status").alias("SubStatus"),
+            # handle_inline_remote_credential_guard also writes the
+            # bool onto the Logon root (mmsnareparse.c:4131)
+            _snare_bool(g("RemoteCredentialGuard.Status")).alias(
+                "RemoteCredentialGuard"
+            ),
         ),
     )
     # 4688 Process Creation (g_coreFieldPatterns Process* rows,
@@ -1047,6 +1127,77 @@ def snare_event_metadata(
             ),
         ),
     )
+    # Remote Credential Guard inline section: present whenever the
+    # description carried the section, independent of event id
+    rcg_status = g("RemoteCredentialGuard.Status")
+    win_rcg = F.when(
+        rcg_status.isNotNull(),
+        F.struct(
+            _snare_bool(rcg_status).alias("Enabled"),
+            rcg_status.alias("Status"),
+        ),
+    )
+    # 'LAPS Context' semicolon sequence — the raw 'k=v; k=v' string was
+    # stored whole by snare_description_fields; each field table entry
+    # is one anchored extract (normalize_label strips spaces, so match
+    # them optionally)
+    laps_raw = g("LAPS._semi")
+    lx = lambda pat: _na(  # noqa: E731
+        F.regexp_extract(laps_raw, pat + r"\s*=\s*([^;]*?)\s*(?:;|$)", 1)
+    )
+    win_laps = F.when(
+        laps_raw.isNotNull() & F.lit("laps" in sections),
+        F.struct(
+            lx(r"LAPS\s*Context").alias("LAPSContext"),
+            lx(r"Policy\s*Version").try_cast("long").alias("PolicyVersion"),
+            _snare_bool(lx(r"Credential\s*Rotation")).alias(
+                "CredentialRotation"
+            ),
+        ),
+    )
+    # 'TLS Inspection' standard section (present on TLS-inspected
+    # FilteringPlatform drops and similar)
+    tls_f = lambda k: g(f"TLS Inspection.{k}")  # noqa: E731
+    win_tls = F.when(
+        (
+            tls_f("TLS Inspection").isNotNull()
+            | tls_f("Reason").isNotNull()
+            | tls_f("Policy").isNotNull()
+        )
+        & F.lit("tls" in sections),
+        F.struct(
+            tls_f("TLS Inspection").alias("TLSInspection"),
+            tls_f("Reason").alias("Reason"),
+            tls_f("Policy").alias("Policy"),
+        ),
+    )
+    # 6281 WDAC enforcement: top-level pairs in the Code Integrity
+    # description (no section headers precede them)
+    win_wdac = F.when(
+        (ev == 6281) & m.isNotNull() & F.lit("wdac" in sections),
+        F.struct(
+            g("Policy Name").alias("PolicyName"),
+            g("Policy Version").alias("PolicyVersion"),
+            g("Enforcement Mode").alias("EnforcementMode"),
+            g("User").alias("User"),
+            g("PID").try_cast("long").alias("PID"),
+            # fieldValueInt64WithRaw: keep the raw token when it does
+            # not parse as an integer
+            F.when(g("PID").try_cast("long").isNull(), g("PID")).alias(
+                "PIDRaw"
+            ),
+        ),
+    )
+    # 1243 Windows Update for Business deployment
+    win_wufb = F.when(
+        (ev == 1243) & m.isNotNull() & F.lit("wufb" in sections),
+        F.struct(
+            g("Policy ID").alias("PolicyID"),
+            g("Ring").alias("Ring"),
+            g("From Service").alias("FromService"),
+            g("Enforcement Result").alias("EnforcementResult"),
+        ),
+    )
     desc = (
         F.col(desc_col) if desc_col else F.col(win_col)["Description"]
     )
@@ -1064,5 +1215,10 @@ def snare_event_metadata(
         .withColumn("win_process", win_process)
         .withColumn("win_privileges", win_privileges)
         .withColumn("win_kerberos", win_kerberos)
+        .withColumn("win_rcg", win_rcg)
+        .withColumn("win_laps", win_laps)
+        .withColumn("win_tls", win_tls)
+        .withColumn("win_wdac", win_wdac)
+        .withColumn("win_wufb", win_wufb)
         .withColumn("win_valid", win_valid)
     )

@@ -550,3 +550,126 @@ def test_mmaitag(spark):
     assert all(r.aitag in AITAG_LABELS for r in rows)
     with pytest.raises(NotImplementedError, match="external"):
         mmaitag(df, provider="external")
+
+
+# TLS / LAPS / WDAC / WUFB section fixtures — the exact payloads from
+# tests/mmsnareparse-basic.sh:41-44 (RCG + LAPS on 4624, TLS on 5157,
+# WDAC 6281, WUFB 1243)
+_SNARE_4624_LAPS = (
+    "MSWinEventLog\t1\tSecurity\t802301\tTue Feb 18 06:42:17 2025\t4624\t"
+    "Microsoft-Windows-Security-Auditing\tN/A\tN/A\tSuccess Audit\t"
+    "DC25-PREVIEW\tLogon\t\t"
+    "An account was successfully logged on.    Subject:   "
+    "Security ID:  S-1-5-18   Account Name:  SYSTEM   "
+    "Account Domain:  NT AUTHORITY   Logon ID:  0x3E7    "
+    "Logon Information:   Logon Type:  2    New Logon:   "
+    "Security ID:  S-1-5-21-88997766-500   Account Name:  ADMIN-LAPS$   "
+    "Account Domain:  FABRIKAM    Detailed Authentication Information:   "
+    "Logon Process:  User32   Authentication Package:  Negotiate   "
+    "Key Length:  0    Remote Credential Guard:  Enabled    "
+    "LAPS Context:  PolicyVersion=2; CredentialRotation=True"
+)
+_SNARE_5157_TLS = (
+    "MSWinEventLog\t1\tSecurity\t301221\tTue Feb 18 07:01:55 2025\t5157\t"
+    "Microsoft-Windows-Security-Auditing\tN/A\tN/A\tFailure Audit\t"
+    "EDGE25-01\tFiltering Platform Packet Drop\t\t"
+    "The Windows Filtering Platform has blocked a connection.    "
+    "Application Information:   Process ID:  948    "
+    "Filter Information:   Filter Run-Time ID:  89041   "
+    "Layer Name:  %%14596   Layer Run-Time ID:  44    "
+    "TLS Inspection:   Reason:  Unapproved Root Authority   "
+    "Policy:  ContosoOutboundTLS"
+)
+_SNARE_6281 = (
+    "MSWinEventLog\t1\tSecurity\t402991\tTue Feb 18 07:05:44 2025\t6281\t"
+    "Microsoft-Windows-CodeIntegrity\tN/A\tN/A\tError\tAPP25-API\t"
+    "Application Control\t\t"
+    "Code Integrity determined that a process attempted to load a DLL "
+    "that did not meet the Enterprise signing level requirements.    "
+    "Policy Name:  FABRIKAM-WDAC-BaseV3   Policy Version:  3.2.0   "
+    "Enforcement Mode:  Audit+Enforce   User:  FABRIKAM\\svc_batch   "
+    "PID:  4128"
+)
+_SNARE_1243 = (
+    "MSWinEventLog\t1\tSecurity\t802340\tTue Feb 18 06:59:13 2025\t1243\t"
+    "Microsoft-Windows-WindowsUpdateClient\tN/A\tN/A\tInformation\t"
+    "DC25-PREVIEW\tWUFB Deployment\t\t"
+    "Windows Update for Business deployment policy enforced.    "
+    "Policy ID:  2f9c4414-3f71-4f2b-9a7e-cc98a6d96970   "
+    "Ring:  SecureBaseline   "
+    "From Service:  Windows Update for Business deployment service   "
+    "Enforcement Result:  Success"
+)
+
+
+def test_snare_tls_laps_wdac_sections(spark):
+    """TLS/LAPS/WDAC/WUFB section promotion (mmsnareparse.c section
+    descriptors :539-548, field tables :345-400) over the
+    tests/mmsnareparse-basic.sh fixture payloads."""
+    from rsyslog_spark.parsing.devices import (
+        mmsnareparse, snare_event_metadata,
+    )
+
+    df = spark.createDataFrame(
+        [(l,) for l in (_SNARE_4624_LAPS, _SNARE_5157_TLS,
+                        _SNARE_6281, _SNARE_1243)],
+        "msg string",
+    )
+    rows = {r.win.EventID: r
+            for r in snare_event_metadata(mmsnareparse(df)).collect()}
+
+    # 4624: inline Remote Credential Guard + semicolon LAPS Context
+    r = rows[4624]
+    assert r.win_rcg.Enabled is True and r.win_rcg.Status == "Enabled"
+    assert r.win_logon.RemoteCredentialGuard is True
+    assert r.win_laps.PolicyVersion == 2
+    assert r.win_laps.CredentialRotation is True
+    assert r.win_laps.LAPSContext is None
+    # the inline sections must NOT leak into the preceding section
+    assert "Detailed Authentication Information.Remote Credential Guard" \
+        not in r.win_fields
+    assert r.win_fields[
+        "Detailed Authentication Information.Authentication Package"
+    ] == "Negotiate"
+
+    # 5157: TLS Inspection standard section
+    t = rows[5157]
+    assert t.win_tls.Reason == "Unapproved Root Authority"
+    assert t.win_tls.Policy == "ContosoOutboundTLS"
+    assert t.win_laps is None and t.win_rcg is None
+    assert t.win_fields["Filter Information.Filter Run-Time ID"] == "89041"
+
+    # 6281: WDAC enforcement (g_event6281FieldPatterns)
+    w = rows[6281]
+    assert w.win_event.Category == "WDAC"
+    assert w.win_wdac.PolicyName == "FABRIKAM-WDAC-BaseV3"
+    assert w.win_wdac.PolicyVersion == "3.2.0"
+    assert w.win_wdac.EnforcementMode == "Audit+Enforce"
+    assert w.win_wdac.User == "FABRIKAM\\svc_batch"
+    assert w.win_wdac.PID == 4128 and w.win_wdac.PIDRaw is None
+
+    # 1243: WUFB deployment (g_event1243FieldPatterns)
+    u = rows[1243]
+    assert u.win_event.Category == "WindowsUpdate"
+    assert u.win_wufb.PolicyID == "2f9c4414-3f71-4f2b-9a7e-cc98a6d96970"
+    assert u.win_wufb.Ring == "SecureBaseline"
+    assert u.win_wufb.EnforcementResult == "Success"
+
+
+def test_snare_sections_gated(spark):
+    """sections= mirrors enableLaps/enableTls/enableWdac — a dropped
+    flag nulls the section column (should_capture_section, c:2931)."""
+    from rsyslog_spark.parsing.devices import (
+        mmsnareparse, snare_event_metadata,
+    )
+
+    df = spark.createDataFrame(
+        [(_SNARE_4624_LAPS,), (_SNARE_5157_TLS,), (_SNARE_6281,)],
+        "msg string",
+    )
+    rows = {r.win.EventID: r for r in snare_event_metadata(
+        mmsnareparse(df), sections=("wufb",)
+    ).collect()}
+    assert rows[4624].win_laps is None
+    assert rows[5157].win_tls is None
+    assert rows[6281].win_wdac is None
