@@ -919,6 +919,16 @@ RULEBASE_V2_TEXT = (
     '{"type":"alpha","name":"stw"}]}%\n'
 )
 
+# r5: depth-2 composite — a repeat of repeats (arbitrary nesting landed
+# in NormalizeRule._compile_element; VERDICT r4 #7)
+RULEBASE_V2_DEEP_TEXT = (
+    "version=2\n"
+    'rule=v2deep:grp %{"name":"g","type":"repeat","parser":['
+    '{"type":"repeat","name":"ids","parser":[{"name":"n","type":"number"}],'
+    '"while":{"type":"literal","text":"+"}}],'
+    '"while":{"type":"literal","text":";"}}%\n'
+)
+
 
 def q_rulebase_v2(spark, sf):
     """v2 repeat/alternative extraction: a repeat-shaped line is
@@ -936,8 +946,22 @@ def q_rulebase_v2(spark, sf):
             F.col("severity") <= 3, F.col("severity").cast("string")
         ).otherwise(F.col("programname")),
     )
+    # r5: a depth-2 line (repeat of '+'-joined id runs, ';'-separated)
+    # exercises the recursive element compiler end-to-end
+    line2 = F.concat(
+        F.lit("grp "), kv.cast("string"), F.lit("+"),
+        ((kv + 1) % 100).cast("string"), F.lit(";"),
+        ((kv * 7) % 100).cast("string"),
+    )
     rules = mm.load_rulebase(RULEBASE_V2_TEXT)
-    out = mm.mmnormalize(p.withColumn("line", line), rules, msg_col="line")
+    out = mm.mmnormalize(
+        p.withColumns({"line": line, "line2": line2}), rules,
+        msg_col="line",
+    )
+    out = mm.mmnormalize(
+        out, mm.load_rulebase(RULEBASE_V2_DEEP_TEXT), msg_col="line2",
+        out_col="norm2", rule_col="norm2_rule",
+    )
     nval = lambda k: F.try_element_at("norm", F.lit(k))  # noqa: E731
     return out.select(
         "doc_id",
@@ -946,6 +970,9 @@ def q_rulebase_v2(spark, sf):
         nval("vals").alias("vals"),
         nval("stn").try_cast("long").alias("stn"),
         nval("stw").alias("stw"),
+        F.coalesce(
+            F.try_element_at("norm2", F.lit("g")), F.lit("")
+        ).alias("deep"),
     )
 
 
@@ -1879,7 +1906,12 @@ def oracle_sql() -> dict[str, str]:
                    '"}}]' AS vals,
                    CASE WHEN {sev} <= 3 THEN CAST({sev} AS BIGINT) END
                        AS stn,
-                   CASE WHEN {sev} > 3 THEN event_type END AS stw
+                   CASE WHEN {sev} > 3 THEN event_type END AS stw,
+                   '[{{"ids":[{{"n":"' || CAST(k AS VARCHAR) ||
+                   '"}},{{"n":"' || CAST((k + 1) % 100 AS VARCHAR) ||
+                   '"}}]}},{{"ids":[{{"n":"' ||
+                   CAST((k * 7) % 100 AS VARCHAR) ||
+                   '"}}]}}]' AS deep
             FROM (SELECT *,
                          CAST(json_extract(props, '$.k') AS INTEGER) AS k
                   FROM events)

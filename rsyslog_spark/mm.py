@@ -305,18 +305,52 @@ def _v2_parser_list(obj: dict, what: str) -> list[dict]:
     return parsers
 
 
-def _v2_while_sep_raw(obj: dict) -> str:
+def _v2_while(obj: dict) -> tuple[str | None, str, bool]:
+    """A repeat's ``while`` separator parser → (raw_literal_or_None,
+    split regex, is_literal). r5: any supported v2 atom type works as
+    the separator (liblognorm runs the while parser between
+    iterations); a literal keeps its exact text for the collision
+    check below."""
     wh = obj.get("while")
-    if not isinstance(wh, dict) or wh.get("type") != "literal":
-        raise ValueError(
-            "repeat 'while' subset supports {'type':'literal'} only "
-            f"(got {wh!r})"
-        )
-    return _unescape(wh["text"])
+    if not isinstance(wh, dict):
+        raise ValueError(f"repeat needs a 'while' parser object (got {wh!r})")
+    if wh.get("type") == "literal":
+        raw = _unescape(wh["text"])
+        return raw, re.escape(raw), True
+    return None, _noncapture(_v2_atom_pattern(wh)), False
 
 
-def _v2_while_sep(obj: dict) -> str:
-    return re.escape(_v2_while_sep_raw(obj))
+def _v2_sep_collision(outer: tuple, inner: tuple) -> str | None:
+    """Why splitting an outer repeat's span on its separator would cut
+    inside a nested repeat's span (or None when provably safe). The
+    regex-split extraction can only work when the outer separator
+    cannot occur inside inner elements: liblognorm parses
+    left-to-right incrementally and has no such constraint, so this is
+    a documented divergence, rejected loudly rather than silently
+    mis-split (code-review r4 #2, generalized to regex separators r5)."""
+    oraw, orx, olit = outer
+    iraw, irx, ilit = inner
+    if olit and ilit:
+        if oraw in iraw or iraw in oraw:
+            return (
+                "neither may be a substring of the other — the outer "
+                "split cannot see the boundary otherwise"
+            )
+        return None
+    try:
+        if olit and not ilit:
+            if re.search(irx, oraw):
+                return "the inner separator pattern matches the outer literal"
+            return None
+        if ilit and not olit:
+            if re.search(orx, iraw):
+                return "the outer separator pattern matches the inner literal"
+            return None
+    except re.error:  # Java-only construct: cannot prove safety
+        return "separator patterns cannot be proven disjoint"
+    if orx == irx:
+        return "identical separator patterns"
+    return None
 
 
 def _v2_groupless(obj: dict) -> str:
@@ -332,7 +366,7 @@ def _v2_groupless(obj: dict) -> str:
             + ")"
         )
     if t == "repeat":
-        sep = _v2_while_sep(obj)
+        _, sep, _ = _v2_while(obj)
         inner = "".join(
             f"(?:{_v2_groupless(p)})" for p in _v2_parser_list(obj, "repeat")
         )
@@ -353,11 +387,9 @@ class _FieldSpec:
                    alternative); the value is the first non-empty — the
                    branch that participated in the match.
 
-    `inner_named` entries are (name, kind, groups, sep): kind 'plain'
-    coalesces the first non-empty of `groups` (an alternative nested in
-    a repeat element contributes one group per named branch); kind
-    'repeat' splits the single span group on `sep` (a repeat nested in
-    a repeat element → nested JSON array). `optional` marks a spec
+    `inner_named` entries are the RECURSIVE spec nodes documented on
+    :meth:`NormalizeRule._compile_element` (r5: arbitrary nesting
+    depth), consumed by :func:`_v2_extract`. `optional` marks a spec
     whose field is OMITTED when its span is empty (a repeat branch of
     an alternative that did not participate).
     """
@@ -503,103 +535,132 @@ class NormalizeRule:
         # as the single-pass group-rewrite pattern (see mmnormalize)
         self.rewrite = self.regex
 
-    @staticmethod
-    def _repeat_core(obj: dict) -> tuple[str, str, list, str]:
-        """Shared compile of a repeat body: returns (groupless span
-        without the outer capture parens, sep_rx, inner field
-        descriptors, inner_rx for per-element extraction).
+    @classmethod
+    def _compile_element(
+        cls, parsers: list[dict], enclosing: list[tuple]
+    ) -> tuple[str, list, int]:
+        """Recursively compile ONE repeated element's parser list into
+        (element regex with local capture groups, extraction specs,
+        group count). r5: arbitrary nesting depth — a nested repeat's
+        span is ONE local group here; its own fields live in a CHILD
+        element regex applied after splitting that span on the child's
+        separator (so group numbering stays flat per level and the
+        recursion mirrors liblognorm's parser tree exactly).
 
-        r4 nesting support inside the repeated element:
-        * an ``alternative`` of atoms — each named branch gets a local
-          group; same-name branches merge first-non-empty;
-        * a ``repeat`` of atoms (nested array) — its span is one local
-          group, split again on ITS separator at extraction time. The
-          inner separator must differ from the outer one (the outer
-          split could not see the boundary otherwise) — rejected with a
-          clear error, as is nesting any deeper.
-        """
-        parsers = _v2_parser_list(obj, "repeat")
-        sep_rx = _v2_while_sep(obj)
+        Spec nodes (consumed by :func:`_v2_extract`):
+        * ``("plain", name, (group,))`` — scalar, "" when empty;
+        * ``("alt", name, (groups...))`` — first non-empty branch, null
+          (field omitted) when none participated;
+        * ``("repeat", name, group, sep_rx, child_rx, child_specs,
+          optional)`` — span split + recursive extraction; optional
+          (an alternative's repeat branch) → null when the span is
+          empty.
+
+        ``enclosing`` carries every ancestor separator; a nested
+        separator that could collide with ANY of them is rejected (see
+        :func:`_v2_sep_collision`)."""
         g_parts: list[str] = []
-        inner_fields: list[list] = []  # [name, kind, [groups], sep]
+        specs: list[list] = []
         local_g = 0
 
-        def named_inner(pname: str, group: int, kind: str) -> None:
-            # 'alt' fields (alternative branches) may not participate
-            # in a given element → null/omitted; 'plain' fields always
-            # participate when the element matched
-            for f in inner_fields:
-                if f[0] == pname and f[1] == kind:
+        def add_scalar(pname: str, group: int, kind: str) -> None:
+            # same-(name, kind) branches merge first-non-empty
+            for f in specs:
+                if f[0] == kind and f[1] == pname:
                     f[2].append(group)
                     return
-            inner_fields.append([pname, kind, [group], None])
+            specs.append([kind, pname, [group]])
+
+        def compile_repeat_local(p: dict, optional: bool) -> None:
+            nonlocal local_g
+            pname = p.get("name")
+            sep = _v2_while(p)
+            for anc in enclosing:
+                why = _v2_sep_collision(anc, sep)
+                if why:
+                    raise ValueError(
+                        "nested repeat 'while' separator collides with "
+                        f"an enclosing one ({why})"
+                    )
+            child_parsers = _v2_parser_list(p, "repeat")
+            child_body, child_specs, _ = cls._compile_element(
+                child_parsers, enclosing + [sep]
+            )
+            inner_nc = "".join(
+                f"(?:{_v2_groupless(ip)})" for ip in child_parsers
+            )
+            span = f"(?:{inner_nc})(?:{sep[1]}(?:{inner_nc}))*"
+            if pname and pname not in ("-", "."):
+                local_g += 1
+                specs.append([
+                    "repeat", pname, local_g, sep[1],
+                    "^" + child_body + "$", child_specs, optional,
+                ])
+                g_parts.append(f"({span})")
+            else:
+                g_parts.append(f"(?:{span})")
+
+        def walk_alt(branches: list[dict], frags: list[str]) -> None:
+            nonlocal local_g
+            for b in branches:
+                bt = b.get("type")
+                if bt == "alternative":
+                    sub: list[str] = []
+                    walk_alt(_v2_parser_list(b, "alternative"), sub)
+                    frags.append("(?:" + "|".join(sub) + ")")
+                    continue
+                if bt == "repeat":
+                    # a repeat branch of an alternative: participates
+                    # only when its span matched → optional
+                    mark = len(g_parts)
+                    compile_repeat_local(b, optional=True)
+                    frags.extend(g_parts[mark:])
+                    del g_parts[mark:]
+                    continue
+                pat = _v2_atom_pattern(b)
+                bname = b.get("name")
+                if bt != "literal" and bname and bname not in ("-", "."):
+                    local_g += 1
+                    add_scalar(bname, local_g, "alt")
+                    frags.append(f"({pat})")
+                else:
+                    frags.append(f"(?:{pat})")
 
         for p in parsers:
             t = p.get("type")
             pname = p.get("name")
             if t == "alternative":
-                branch_frags = []
-                for b in _v2_parser_list(p, "alternative"):
-                    bt = b.get("type")
-                    if bt in ("repeat", "alternative"):
-                        raise ValueError(
-                            "composites nested deeper than one level "
-                            "inside repeat are not supported"
-                        )
-                    pat = _v2_atom_pattern(b)
-                    bname = b.get("name")
-                    if bt != "literal" and bname and bname not in ("-", "."):
-                        local_g += 1
-                        named_inner(bname, local_g, "alt")
-                        branch_frags.append(f"({pat})")
-                    else:
-                        branch_frags.append(f"(?:{pat})")
+                branch_frags: list[str] = []
+                walk_alt(_v2_parser_list(p, "alternative"), branch_frags)
                 g_parts.append("(?:" + "|".join(branch_frags) + ")")
             elif t == "repeat":
-                isep = _v2_while_sep(p)
-                raw_outer = _v2_while_sep_raw(obj)
-                raw_inner = _v2_while_sep_raw(p)
-                # substring either way corrupts the outer split: an
-                # outer ';' cuts inside an inner '; ' just as surely as
-                # an identical separator would (code-review r4 #2)
-                if raw_outer in raw_inner or raw_inner in raw_outer:
-                    raise ValueError(
-                        "nested repeat must use a different 'while' "
-                        "separator than its parent (neither may be a "
-                        "substring of the other — the outer split "
-                        "cannot see the boundary otherwise)"
-                    )
-                iparts = []
-                for ip in _v2_parser_list(p, "repeat"):
-                    if ip.get("type") in ("repeat", "alternative"):
-                        raise ValueError(
-                            "composites nested deeper than one level "
-                            "inside repeat are not supported"
-                        )
-                    iparts.append(f"(?:{_v2_atom_pattern(ip)})")
-                ispan = f"(?:{''.join(iparts)})(?:{isep}(?:{''.join(iparts)}))*"
-                if pname and pname not in ("-", "."):
-                    local_g += 1
-                    inner_fields.append([pname, "repeat", [local_g], isep])
-                    g_parts.append(f"({ispan})")
-                else:
-                    g_parts.append(f"(?:{ispan})")
+                compile_repeat_local(p, optional=False)
             else:
                 pat = _v2_atom_pattern(p)
                 if t != "literal" and pname and pname not in ("-", "."):
                     local_g += 1
-                    named_inner(pname, local_g, "plain")
+                    add_scalar(pname, local_g, "plain")
                     g_parts.append(f"({pat})")
                 else:
                     g_parts.append(f"(?:{pat})")
-        inner_nc = "".join(f"(?:{_v2_groupless(p)})" for p in parsers)
-        span = f"(?:{inner_nc})(?:{sep_rx}(?:{inner_nc}))*"
-        inner_rx = "^" + "".join(g_parts) + "$"
-        inner = [
-            (nm, kind, tuple(groups), isep)
-            for nm, kind, groups, isep in inner_fields
+        frozen = [
+            tuple(f[:2]) + (tuple(f[2]),) if f[0] in ("plain", "alt")
+            else tuple(f)
+            for f in specs
         ]
-        return span, sep_rx, inner, inner_rx
+        return "".join(g_parts), frozen, local_g
+
+    @classmethod
+    def _repeat_core(cls, obj: dict) -> tuple[str, str, list, str]:
+        """Compile a repeat body: (groupless span without the outer
+        capture parens, sep_rx, recursive extraction specs, element
+        regex)."""
+        parsers = _v2_parser_list(obj, "repeat")
+        sep = _v2_while(obj)
+        body, specs, _ = cls._compile_element(parsers, [sep])
+        inner_nc = "".join(f"(?:{_v2_groupless(p)})" for p in parsers)
+        span = f"(?:{inner_nc})(?:{sep[1]}(?:{inner_nc}))*"
+        return span, sep[1], specs, "^" + body + "$"
 
     def _compile_repeat(
         self, obj: dict, grp: int, optional: bool = False
@@ -732,6 +793,43 @@ def load_rulebase_file(path: str) -> list[NormalizeRule]:
 _SEP = "\x01"
 
 
+def _v2_elem_fn(rx: str, specs: tuple):
+    """Factory for the per-element struct builder of a repeat's value
+    (factory fn, not inline lambda: the loop-variable capture pitfall,
+    and F.transform 2-arg lambdas receive (element, index)). Recursive
+    with :func:`_v2_extract` — arbitrary nesting depth (r5)."""
+
+    def per_item(x: Column) -> Column:
+        return F.struct(
+            *[_v2_extract(x, rx, sp).alias(sp[1]) for sp in specs]
+        )
+
+    return per_item
+
+
+def _v2_extract(x: Column, rx: str, sp: tuple) -> Column:
+    """One field of one repeated element (see _compile_element's spec
+    nodes). null (→ to_json omits the field, like liblognorm) for
+    non-participating alternative branches and optional repeats."""
+    kind = sp[0]
+    if kind == "plain":
+        return F.regexp_extract(x, rx, sp[2][0])
+    if kind == "alt":
+        return F.coalesce(
+            *[F.nullif(F.regexp_extract(x, rx, g), F.lit("")) for g in sp[2]]
+        )
+    _, _name, grp, sep_rx, child_rx, child_specs, optional = sp
+    span = F.regexp_extract(x, rx, grp)
+    items = F.split(span, sep_rx, -1)
+    if child_specs:
+        arr = F.transform(items, _v2_elem_fn(child_rx, tuple(child_specs)))
+    else:
+        arr = items
+    if optional:
+        return F.when(span != "", arr)
+    return arr
+
+
 def mmnormalize(
     df: DataFrame, rules: list[NormalizeRule], msg_col: str = "msg",
     out_col: str = "norm", rule_col: str = "norm_rule",
@@ -798,46 +896,12 @@ def mmnormalize(
                 elif s.kind == "repeat":
                     items = F.split(g(s.group), s.sep_rx, -1)
                     if s.inner_named:
-
-                        def mk(rx=s.inner_rx, named=tuple(s.inner_named)):
-                            def field(x, kind, groups, isep):
-                                if kind == "repeat":
-                                    # nested repeat: the span group
-                                    # splits again on ITS separator —
-                                    # to_json renders the nested array
-                                    return F.split(
-                                        F.regexp_extract(x, rx, groups[0]),
-                                        isep, -1,
-                                    )
-                                if kind == "alt":
-                                    # alternative inside the element:
-                                    # the branch that participated
-                                    # (non-empty); null when none did
-                                    # so to_json OMITS the field, like
-                                    # liblognorm and like top-level
-                                    # alternatives (map_filter)
-                                    return F.coalesce(
-                                        *[
-                                            F.nullif(
-                                                F.regexp_extract(
-                                                    x, rx, lg
-                                                ),
-                                                F.lit(""),
-                                            )
-                                            for lg in groups
-                                        ]
-                                    )
-                                return F.regexp_extract(x, rx, groups[0])
-
-                            def per_item(x: Column) -> Column:
-                                return F.struct(*[
-                                    field(x, kind, groups, isep).alias(nm)
-                                    for nm, kind, groups, isep in named
-                                ])
-
-                            return per_item
-
-                        val = F.to_json(F.transform(items, mk()))
+                        val = F.to_json(
+                            F.transform(
+                                items,
+                                _v2_elem_fn(s.inner_rx, tuple(s.inner_named)),
+                            )
+                        )
                     else:
                         val = F.to_json(items)
                     if s.optional:

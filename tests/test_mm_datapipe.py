@@ -139,16 +139,9 @@ def test_load_rulebase_rejects_unsupported_v2_shapes():
     # repeat without a parser list
     with pytest.raises(ValueError, match="parser"):
         mm.load_rulebase('rule=:msg: %{"name":"n", "type":"repeat"}% b')
-    # one level of nesting is supported (r4); DEEPER nesting and a
-    # nested repeat sharing its parent's separator are rejected
-    with pytest.raises(ValueError, match="deeper than one level"):
-        mm.load_rulebase(
-            'rule=:%{"name":"n","type":"repeat","parser":'
-            '{"type":"alternative","parser":[{"type":"alternative",'
-            '"parser":[{"type":"word"}]}]},'
-            '"while":{"type":"literal","text":","}}%'
-        )
-    with pytest.raises(ValueError, match="different"):
+    # r5: nesting is now arbitrary-depth, but a nested repeat whose
+    # separator could collide with an enclosing one is still rejected
+    with pytest.raises(ValueError, match="collide"):
         mm.load_rulebase(
             'rule=:%{"name":"n","type":"repeat","parser":'
             '{"name":"i","type":"repeat","parser":{"type":"number"},'
@@ -164,6 +157,14 @@ def test_load_rulebase_rejects_unsupported_v2_shapes():
             '"while":{"type":"literal","text":"; "}},'
             '"while":{"type":"literal","text":";"}}%'
         )
+    # ...as is a non-literal separator matching an enclosing literal
+    with pytest.raises(ValueError, match="collide"):
+        mm.load_rulebase(
+            'rule=:%{"name":"n","type":"repeat","parser":'
+            '{"name":"i","type":"repeat","parser":{"type":"number"},'
+            '"while":{"type":"whitespace"}},'
+            '"while":{"type":"literal","text":" "}}%'
+        )
     # a repeat branch sharing its name with another alternative branch
     # would LAST_WIN-collide in the output map — rejected loudly
     with pytest.raises(ValueError, match="share its name"):
@@ -173,16 +174,65 @@ def test_load_rulebase_rejects_unsupported_v2_shapes():
             '"while":{"type":"literal","text":","}},'
             '{"name":"x","type":"alpha"}]}%'
         )
-    # non-literal while
+    # while must be a parser OBJECT
     with pytest.raises(ValueError, match="while"):
         mm.load_rulebase(
             'rule=:%{"name":"n","type":"repeat",'
-            '"parser":{"type":"number"},"while":{"type":"number"}}%'
+            '"parser":{"type":"number"},"while":","}%'
         )
-    # unknown basic type still rejected
-    with pytest.raises(ValueError, match="unsupported"):
-        mm.load_rulebase('rule=:%{"name":"n","type":"nope"}%')
 
+
+def test_v2_deep_nesting_and_regex_while(spark):
+    """r5: arbitrary nesting depth (repeat>repeat>repeat, alternative
+    at any level) and non-literal `while` parsers (liblognorm runs the
+    while PARSER between iterations — any supported atom type)."""
+    import json
+
+    r = mm.NormalizeRule(
+        'groups %{"name":"g","type":"repeat","parser":['
+        '{"type":"repeat","name":"pairs","parser":['
+        '{"type":"repeat","name":"ids","parser":'
+        '[{"name":"n","type":"number"}],'
+        '"while":{"type":"literal","text":"+"}}],'
+        '"while":{"type":"literal","text":","}}],'
+        '"while":{"type":"literal","text":" | "}}%'
+    )
+    df = spark.createDataFrame([("groups 1+2,3 | 4+5+6",)], "msg string")
+    out = json.loads(
+        mm.mmnormalize(df, [r]).select(F.col("norm")["g"]).first()[0]
+    )
+    assert out == [
+        {"pairs": [{"ids": [{"n": "1"}, {"n": "2"}]},
+                   {"ids": [{"n": "3"}]}]},
+        {"pairs": [{"ids": [{"n": "4"}, {"n": "5"}, {"n": "6"}]}]},
+    ]
+    # whitespace (non-literal) separator
+    r2 = mm.NormalizeRule(
+        'vals %{"name":"v","type":"repeat",'
+        '"parser":[{"name":"n","type":"number"}],'
+        '"while":{"type":"whitespace"}}%'
+    )
+    df2 = spark.createDataFrame([("vals 10 20   30",)], "msg string")
+    out2 = json.loads(
+        mm.mmnormalize(df2, [r2]).select(F.col("norm")["v"]).first()[0]
+    )
+    assert out2 == [{"n": "10"}, {"n": "20"}, {"n": "30"}]
+    # alternative nested inside a depth-2 repeat: non-participating
+    # branch omitted per element
+    r3 = mm.NormalizeRule(
+        'x %{"name":"o","type":"repeat","parser":['
+        '{"type":"repeat","name":"e","parser":['
+        '{"type":"alternative","parser":['
+        '{"name":"num","type":"number"},{"name":"w","type":"word"}]}],'
+        '"while":{"type":"literal","text":"+"}}],'
+        '"while":{"type":"literal","text":";"}}%'
+    )
+    df3 = spark.createDataFrame([("x 1+abc;2",)], "msg string")
+    out3 = json.loads(
+        mm.mmnormalize(df3, [r3]).select(F.col("norm")["o"]).first()[0]
+    )
+    assert out3 == [{"e": [{"num": "1"}, {"w": "abc"}]},
+                    {"e": [{"num": "2"}]}]
 
 def test_v2_repeat_and_alternative(spark):
     """liblognorm v2 subset (VERDICT r2 next #3): repeat emits the JSON
