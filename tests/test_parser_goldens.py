@@ -215,3 +215,106 @@ def test_headerless_hostname_steal_and_repair(spark):
         )
     ).first()
     assert fixed.syslogtag == "This" and fixed.hostname is None
+
+
+def test_parse_frame_differential_fuzz():
+    """r5: the vectorized batch parser (_MEGA one-match-per-row +
+    columnar ops) must agree with parse_line on EVERY field for
+    adversarial and random inputs — parse_line is the executable spec,
+    _parse_frame the fast twin the UDF actually runs."""
+    import random
+
+    import pandas as pd
+
+    from rsyslog_spark.parsing.full import PARSE_SCHEMA, _parse_frame
+
+    cols = [f.name for f in PARSE_SCHEMA.fields]
+    fixed = [
+        "<34>Oct 11 22:14:15 mymachine su: 'su root' failed",
+        "<013>Oct 11 22:14:15 padded pri: x",
+        '<107>1 2024-01-01T00:09:58Z h13 err 0 ID0 [ex@1 k="87"] m:1',
+        "<13>1 2024-01-01T00:00:00Z h app - - - no sd dash",
+        '<13>1 2024-01-01T00:00:00Z h app 12 MID [a b="x\\]y"][c d="2"] two',
+        "<13>1 2024-01-01T00:00:00Z h app - - [unterminated oops",
+        "<13>1 2024-01-01T00:00:00Z h app - - nosd here",
+        "This is a message!", "<999>too big pri", "<191>edge pri ok",
+        " Oct 11 22:14:15 procurve leading space",
+        "Oct 11 22:14:15 2024 host with year tag: msg",
+        "Oct 11 22:14:15 bad_host! tag: msg",
+        "2024-05-06T01:02:03.123+02:00 host tag: rfc3339 in legacy",
+        "<13>no timestamp here", "", "<13>", "<13>1 ", "1", "1 x",
+        "<13>1 - - - - - - msg after all dashes", "tagonly:", ":",
+        "line with\x01ctrl and\nnewline inside\n",
+        "<13>Oct 11 22:14:15 9999 hostlike year out of range",
+        "<13>Oct 11 22:14:15 1975 : colon after year",
+        "<13>1 2024-01-01T00:00:00Z h app - - [b] [next",
+        "Oct 11 22:14:15host nospace after ts",
+        "Oct 11 22:14:15 hostonly",
+        "<13>1 2024-01-01T00:00:00Z h app - - -",
+        "<13>1 2024-01-01T00:00:00Z h app - - -x",
+    ]
+    random.seed(43)
+    frag = [
+        "<13>", "<191>", "<192>", "<999>", "<1>", "", "1 ", " ",
+        "Oct 11 22:14:15", "Jan  1 00:00:01", "2024-01-01T00:00:00Z",
+        "2024-01-01T00:00:00.5+01:00", " 1999", " 2150", "host",
+        "ho_st!", "h.o-st", "tag:", "tag[1]:", "tag", "-",
+        '[sd a="1"]', '[sd a="x\\]z"]', "[unterm", "msg body", ":",
+        "::", "\x02", "\t", "x" * 40, "[a][b]", "mid dle", "1975 ",
+        "Jan",
+    ]
+    cases = fixed + [
+        "".join(
+            random.choice(["", " "]) + random.choice(frag)
+            for _ in range(random.randint(0, 7))
+        )
+        for _ in range(2500)
+    ]
+    # both code paths: mixed batch (ctrl rows → per-row sanitize) and
+    # a clean batch (joined-search shortcut)
+    for batch in (
+        cases,
+        [c for c in cases
+         if not any(ord(ch) < 32 and ch != "\t" for ch in c)],
+    ):
+        exp = pd.DataFrame([parse_line(x) for x in batch], columns=cols)
+        got = _parse_frame(pd.Series(batch))
+        for col in cols:
+            for i in range(len(batch)):
+                e, g = exp[col][i], got[col][i]
+                if pd.isna(e):
+                    e = None
+                if pd.isna(g):
+                    g = None
+                if (isinstance(g, (int, float)) and g is not None
+                        and e is not None):
+                    e, g = float(e), float(g)
+                assert e == g, (
+                    f"{col}: {e!r} != {g!r} for {batch[i]!r}"
+                )
+
+
+def test_decode_arrow_flat_paths():
+    """r5 flat-buffer decode: latin-1 fast path, wide-codepoint
+    fallback, empty rows/batches."""
+    import numpy as np
+    import pandas as pd
+
+    from rsyslog_spark.parsing.core import _decode_arrow_impl
+
+    tok_sets = [
+        [], [104, 105], list(range(1, 128)), [255, 128],
+    ]
+    got = list(_decode_arrow_impl(
+        pd.Series([np.array(t, dtype=np.int64) for t in tok_sets])
+    ))
+    assert got == ["".join(map(chr, t)) for t in tok_sets]
+    wide = tok_sets + [[0x263A, 65]]
+    got2 = list(_decode_arrow_impl(
+        pd.Series([np.array(t, dtype=np.int64) for t in wide])
+    ))
+    assert got2 == ["".join(map(chr, t)) for t in wide]
+    assert list(_decode_arrow_impl(pd.Series([], dtype=object))) == []
+    assert list(_decode_arrow_impl(
+        pd.Series([np.array([], dtype=np.int64)] * 2)
+    )) == ["", ""]
