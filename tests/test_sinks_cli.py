@@ -452,3 +452,197 @@ def test_omhttp_batch_stable_identity(spark, sf_dir):
     assert bodies_by_source(p.repartition(6)) == bodies_by_source(
         p.repartition(2, "doc_id")
     )
+
+
+# ---------------- mmdarwin: live Darwin filter protocol ----------------
+
+def _darwin_server(sockpath, frames, scores_fn):
+    """A real Darwin filter endpoint (contrib/mmdarwin/protocol.h):
+    accepts connections, reads 56-byte headers + body, records the
+    exact frames, replies with certitude packets."""
+    import socket as socketlib
+    import threading
+
+    from rsyslog_spark.darwin import (
+        PACKET_SIZE, pack_packet, unpack_packet,
+    )
+
+    srv = socketlib.socket(socketlib.AF_UNIX, socketlib.SOCK_STREAM)
+    srv.bind(sockpath)
+    srv.listen(8)
+    stop = threading.Event()
+
+    def recv_exact(c, n):
+        buf = b""
+        while len(buf) < n:
+            b = c.recv(n - len(buf))
+            if not b:
+                return None
+            buf += b
+        return buf
+
+    def serve():
+        while not stop.is_set():
+            try:
+                conn, _ = srv.accept()
+            except OSError:
+                return
+            with conn:
+                while True:
+                    hdr = recv_exact(conn, PACKET_SIZE)
+                    if hdr is None:
+                        break
+                    h = unpack_packet(hdr)
+                    body = recv_exact(conn, h["body_size"])
+                    frames.append((h, body))
+                    if h["response"] in (1, 3):  # back / both
+                        conn.sendall(pack_packet(
+                            response=1, filter_code=h["filter_code"],
+                            body_size=0, evt_id=h["evt_id"],
+                            certitude=scores_fn(body),
+                            certitude_size=1,
+                        ))
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    def shutdown():
+        stop.set()
+        srv.close()
+
+    return shutdown
+
+
+def test_mmdarwin_protocol_roundtrip(spark, tmp_path):
+    """mmdarwin against a REAL unix-socket Darwin filter: exact
+    56-byte header layout, [["v1","v2"]]\\0 body framing, certitude
+    enrichment, send_partial skip semantics, fire-and-forget modes
+    (mmdarwin.c doAction:740-825)."""
+    from rsyslog_spark.darwin import mmdarwin
+
+    sockpath = str(tmp_path / "darwin.sock")
+    frames = []
+    stop = _darwin_server(
+        sockpath, frames, lambda body: len(body) % 100
+    )
+    try:
+        df = spark.createDataFrame(
+            [("10.0.0.1", "malware.example", 443),
+             ("10.0.0.2", None, 80),
+             ("10.0.0.3", "ok.example", 8080)],
+            "src string, domain string, port int",
+        ).coalesce(1)
+        out = mmdarwin(
+            df, sockpath, fields=["src", "domain", "port"],
+            filtercode="0x62616C66", response="back",
+        ).collect()
+        rows = {r.src: r for r in out}
+        # scored rows got the server's certitude; the partial row was
+        # skipped entirely (send_partial default off)
+        exp1 = len(b'[["10.0.0.1","malware.example","443"]]\0') % 100
+        assert rows["10.0.0.1"].certitude == exp1
+        assert rows["10.0.0.2"].certitude is None
+        assert rows["10.0.0.2"].darwin_uuid is None
+        assert rows["10.0.0.3"].certitude is not None
+        # deterministic UUIDs: well-formed and distinct
+        import uuid as uuidlib
+
+        u1 = uuidlib.UUID(rows["10.0.0.1"].darwin_uuid)
+        u3 = uuidlib.UUID(rows["10.0.0.3"].darwin_uuid)
+        assert u1 != u3
+        # server saw exactly 2 frames with the right header fields
+        assert len(frames) == 2
+        h, body = frames[0]
+        assert h["filter_code"] == 0x62616C66
+        assert h["response"] == 1 and h["type"] == 0
+        assert body == b'[["10.0.0.1","malware.example","443"]]\0'
+        assert h["body_size"] == len(body)
+        assert h["evt_id"] == u1.bytes
+
+        # send_partial=True sends the non-null prefix
+        frames.clear()
+        out2 = mmdarwin(
+            df, sockpath, fields=["src", "domain", "port"],
+            send_partial=True, response="back",
+        ).collect()
+        assert all(r.certitude is not None for r in out2)
+        bodies = {b for _, b in frames}
+        assert b'[["10.0.0.2","80"]]\0' in bodies
+
+        # fire-and-forget: response='darwin' sends but never reads
+        frames.clear()
+        out3 = mmdarwin(
+            df, sockpath, fields=["src"], response="darwin",
+        ).collect()
+        assert all(r.certitude is None for r in out3)
+        assert all(r.darwin_uuid is not None for r in out3)
+        import time
+
+        for _ in range(50):
+            if len(frames) == 3:
+                break
+            time.sleep(0.1)
+        assert len(frames) == 3 and all(
+            h["response"] == 2 for h, _ in frames
+        )
+    finally:
+        stop()
+
+
+def test_mmdarwin_socket_rotation(spark, tmp_path):
+    """socket_max_use rotates the connection after N packets
+    (mmdarwin.c:767-775) — the server sees multiple connections."""
+    import socket as socketlib
+    import threading
+
+    from rsyslog_spark.darwin import (
+        PACKET_SIZE, mmdarwin, pack_packet, unpack_packet,
+    )
+
+    sockpath = str(tmp_path / "d2.sock")
+    conns = []
+    srv = socketlib.socket(socketlib.AF_UNIX, socketlib.SOCK_STREAM)
+    srv.bind(sockpath)
+    srv.listen(8)
+
+    def recv_exact(c, n):
+        buf = b""
+        while len(buf) < n:
+            b = c.recv(n - len(buf))
+            if not b:
+                return None
+            buf += b
+        return buf
+
+    def serve():
+        while True:
+            try:
+                conn, _ = srv.accept()
+            except OSError:
+                return
+            conns.append(conn)
+
+            def handle(c):
+                while True:
+                    hdr = recv_exact(c, PACKET_SIZE)
+                    if hdr is None:
+                        return
+                    h = unpack_packet(hdr)
+                    recv_exact(c, h["body_size"])
+                    c.sendall(pack_packet(1, 0, 0, h["evt_id"], 7, 1))
+
+            threading.Thread(target=handle, args=(conn,),
+                             daemon=True).start()
+
+    threading.Thread(target=serve, daemon=True).start()
+    try:
+        df = spark.createDataFrame(
+            [(f"m{i}",) for i in range(6)], "msg string"
+        ).coalesce(1)
+        out = mmdarwin(
+            df, sockpath, fields=["msg"], socket_max_use=2,
+        ).collect()
+        assert all(r.certitude == 7 for r in out)
+        assert len(conns) == 3  # 6 packets / 2 per connection
+    finally:
+        srv.close()
