@@ -642,6 +642,131 @@ def q_repetition(spark, sf):
     )
 
 
+def _curation_page():
+    """Deterministic multi-line page derived from doc_id (the corpus
+    docs are single-line): a good opening line, a too-short line, a
+    boilerplate footer SHARED by every doc, a unique good line, a
+    banned-substring line, and (every third doc) a within-doc
+    duplicate of the opening line. The oracle rebuilds the identical
+    page in SQL and runs the REAL filter/dedup logic on it."""
+    i = F.col("doc_id")
+    l1 = F.concat(F.lit("Document "), i.cast("string"),
+                  F.lit(" begins with a fine line."))
+    base = F.concat_ws(
+        "\n",
+        l1,
+        F.lit("short"),
+        F.lit("Shared boilerplate footer line."),
+        F.concat(F.lit("Unique content for document "),
+                 i.cast("string"), F.lit("!")),
+        F.lit("this line has javascript inside."),
+    )
+    return F.when(i % 3 == 0, F.concat(base, F.lit("\n"), l1)).otherwise(
+        base
+    )
+
+
+# the same page in DuckDB SQL (string concat mirrors _curation_page)
+_CURATION_PAGE_SQL = (
+    "'Document ' || doc_id || ' begins with a fine line.' || chr(10) ||"
+    " 'short' || chr(10) ||"
+    " 'Shared boilerplate footer line.' || chr(10) ||"
+    " 'Unique content for document ' || doc_id || '!' || chr(10) ||"
+    " 'this line has javascript inside.' ||"
+    " CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'Document ' || doc_id ||"
+    " ' begins with a fine line.' ELSE '' END"
+)
+
+
+def q_c4_filter(spark, sf):
+    """C4-style line cleaning (Raffel et al. 2020 §2.2): terminal-
+    punctuation + min-words + banned-substrings line filter with
+    within-doc first-occurrence dedup and a min-surviving-lines doc
+    gate — the DuckDB oracle re-runs the SAME filter with list
+    lambdas over the identically-constructed pages."""
+    from rsyslog_spark.datapipe.curation import c4_line_filter
+
+    d = _docs(spark, sf).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _curation_page().alias("text"),
+    )
+    out = c4_line_filter(d, min_words_per_line=3, min_lines=2)
+    return out.select(
+        "doc_id",
+        F.col("keep_doc").cast("long").alias("keep"),
+        F.col("n_lines_kept").cast("long").alias("n_lines_kept"),
+        F.col("n_lines_dropped").cast("long").alias("n_lines_dropped"),
+        "clean_text",
+    )
+
+
+def q_line_dedup(spark, sf):
+    """C4's cross-document duplicate-span removal at line granularity:
+    every duplicated line keeps exactly one corpus-wide occurrence
+    (smallest doc_id, pos); docs re-assemble in original order. The
+    shared footer/short/banned lines survive only in doc 0."""
+    from rsyslog_spark.datapipe.curation import global_line_dedup
+
+    d = _docs(spark, sf).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _curation_page().alias("text"),
+    )
+    out = global_line_dedup(d)
+    return out.select(
+        "doc_id",
+        F.col("n_lines_kept").cast("long").alias("n_lines_kept"),
+        F.col("n_lines_dropped").cast("long").alias("n_lines_dropped"),
+        "clean_text",
+    )
+
+
+def q_seq_pack(spark, sf):
+    """Greedy sequence packing for training batches: docs in id order
+    within 8 buckets, appended to the current bin while the token
+    budget (150) holds. The DuckDB oracle replays the same greedy
+    scan as a recursive CTE."""
+    from rsyslog_spark.datapipe.curation import pack_sequences
+
+    d = _docs(spark, sf).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens"),
+    )
+    out = pack_sequences(
+        d, max_tokens=150, n_buckets=8,
+        bucket_expr=F.pmod(F.col("doc_id"), F.lit(8)),
+    )
+    return out.select(
+        "doc_id",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("bin_id").cast("long").alias("bin_id"),
+        F.col("bin_fill").cast("long").alias("bin_fill"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+def q_corpus_mix(spark, sf):
+    """Deterministic mixture building: per-source sampling rates via
+    a seeded LCG draw (exact-binary rates so the SQL mirror is
+    boundary-identical) plus a hard cap on src1 keeping the smallest
+    draws."""
+    from rsyslog_spark.datapipe.curation import corpus_mix
+
+    d = _docs(spark, sf).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("source").alias("domain"),
+    )
+    out = corpus_mix(
+        d,
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        caps={"src1": 8},
+        default_rate=0.125,
+        seed=42,
+    )
+    return out.select(
+        "doc_id", "domain", F.col("_draw").cast("long").alias("draw")
+    )
+
+
 def q_decontaminate(spark, sf):
     """Benchmark decontamination: docs sharing any 13-word-gram with
     the 'benchmark' (docs 0-4 play the eval set) are flagged. Exact
@@ -1312,6 +1437,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
         "repetition": q_repetition,
+        "c4_filter": q_c4_filter,
+        "line_dedup": q_line_dedup,
+        "seq_pack": q_seq_pack,
+        "corpus_mix": q_corpus_mix,
         "dedup_clusters": q_dedup_clusters,
         "media_frames": q_media_frames,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -2025,6 +2154,131 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, scrubbed, scrubbed <> text AS pii_found
             FROM s
+        """,
+        # r5 curation ops: the oracle re-runs the REAL logic (list-
+        # lambda line filter / window dedup / recursive-CTE greedy
+        # packing / LCG draw) over pages rebuilt with the identical
+        # SQL construction — not planted expectations.
+        "c4_filter": f"""
+            WITH pages AS (
+                SELECT doc_id, {_CURATION_PAGE_SQL} AS text
+                FROM documents
+            ),
+            split AS (
+                SELECT doc_id, text,
+                       string_split(text, chr(10)) AS ls
+                FROM pages
+            ),
+            filt AS (
+                SELECT doc_id, len(ls) AS n_total,
+                       list_filter(ls, x ->
+                           regexp_matches(trim(x), '[.!?"”]$')
+                           AND len(string_split_regex(trim(x),
+                                                      '\\s+')) >= 3
+                           AND NOT contains(lower(trim(x)), 'javascript')
+                           AND NOT contains(lower(trim(x)), 'lorem ipsum')
+                           AND NOT contains(lower(trim(x)), '{{')
+                       ) AS kept0
+                FROM split
+            ),
+            dedup AS (
+                SELECT doc_id, n_total,
+                       list_filter(kept0, (x, i) ->
+                           list_position(kept0, x) = i) AS kept
+                FROM filt
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(len(kept) >= 2 AS BIGINT) AS keep,
+                   CAST(len(kept) AS BIGINT) AS n_lines_kept,
+                   CAST(n_total - len(kept) AS BIGINT) AS n_lines_dropped,
+                   array_to_string(kept, chr(10)) AS clean_text
+            FROM dedup
+        """,
+        "line_dedup": f"""
+            WITH pages AS (
+                SELECT doc_id, {_CURATION_PAGE_SQL} AS text
+                FROM documents
+            ),
+            ln AS (
+                SELECT doc_id, i, list_extract(ls, i) AS line
+                FROM (SELECT doc_id,
+                             string_split(text, chr(10)) AS ls
+                      FROM pages),
+                     LATERAL unnest(generate_series(1, len(ls))) AS t(i)
+            ),
+            w AS (
+                SELECT doc_id, i, line,
+                       row_number() OVER (
+                           PARTITION BY line ORDER BY doc_id, i
+                       ) AS rn
+                FROM ln
+            ),
+            k AS (
+                SELECT doc_id, count(*) AS n_kept,
+                       string_agg(line, chr(10) ORDER BY i) AS clean_text
+                FROM w WHERE rn = 1 GROUP BY doc_id
+            ),
+            tot AS (
+                SELECT doc_id,
+                       len(string_split(text, chr(10))) AS n
+                FROM pages
+            )
+            SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+                   CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_lines_kept,
+                   CAST(t.n - coalesce(k.n_kept, 0) AS BIGINT)
+                       AS n_lines_dropped,
+                   coalesce(k.clean_text, '') AS clean_text
+            FROM tot t LEFT JOIN k ON t.doc_id = k.doc_id
+        """,
+        "seq_pack": """
+            WITH RECURSIVE d AS (
+                SELECT doc_id,
+                       CAST(doc_id % 8 AS BIGINT) AS bucket,
+                       CAST(len(string_split_regex(text, '\\s+'))
+                            AS BIGINT) AS tok,
+                       row_number() OVER (
+                           PARTITION BY doc_id % 8 ORDER BY doc_id
+                       ) AS rn
+                FROM documents
+            ),
+            r AS (
+                SELECT bucket, rn, doc_id, tok, tok AS fill,
+                       CAST(0 AS BIGINT) AS bin
+                FROM d WHERE rn = 1
+                UNION ALL
+                SELECT d.bucket, d.rn, d.doc_id, d.tok,
+                       CASE WHEN r.fill + d.tok <= 150
+                            THEN r.fill + d.tok ELSE d.tok END,
+                       CASE WHEN r.fill + d.tok <= 150
+                            THEN r.bin ELSE r.bin + 1 END
+                FROM r JOIN d
+                  ON d.bucket = r.bucket AND d.rn = r.rn + 1
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, bucket,
+                   bin AS bin_id, fill AS bin_fill, tok AS n_tokens
+            FROM r
+        """,
+        "corpus_mix": """
+            WITH h AS (
+                SELECT doc_id, source AS domain,
+                       ((doc_id + 42) * 1103515245 + 12345)
+                           % 2147483648 % 10000 AS draw
+                FROM documents
+            ),
+            f AS (
+                SELECT * FROM h
+                WHERE draw < CASE domain
+                    WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                    WHEN 'src2' THEN 2500 ELSE 1250 END
+            ),
+            c AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY domain ORDER BY draw, doc_id) AS rn
+                FROM f
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, domain,
+                   CAST(draw AS BIGINT) AS draw
+            FROM c WHERE domain <> 'src1' OR rn <= 8
         """,
         "decontaminate": r"""
             WITH norm AS (

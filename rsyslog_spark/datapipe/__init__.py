@@ -40,3 +40,9 @@ from rsyslog_spark.datapipe.multimodal import (  # noqa: F401
     media_schema,
     resize_images,
 )
+from rsyslog_spark.datapipe.curation import (  # noqa: F401
+    c4_line_filter,
+    corpus_mix,
+    global_line_dedup,
+    pack_sequences,
+)

@@ -1,0 +1,313 @@
+"""Corpus curation operators for LLM training-data pipelines.
+
+The reference engine feeds SIEM/analytics sinks; a 100 TB log/text
+corpus feeding model training needs the same pipeline plus the
+standard curation passes published with C4 (Raffel et al. 2020,
+"Exploring the Limits of Transfer Learning", §2.2) and Gopher (Rae et
+al. 2021, A.1.1). This module adds them Spark-first:
+
+* :func:`c4_line_filter` — per-document line cleaning (terminal
+  punctuation, min words per line, banned substrings, within-doc
+  line dedup) as pure Column array ops: no UDF, no shuffle, fully
+  codegen'd — the 100 TB shape is "free" map work.
+* :func:`global_line_dedup` — C4's cross-document duplicate-span
+  removal at line granularity: explode → first-occurrence winner per
+  line hash (one shuffle on the hash) → re-assemble documents in
+  original line order. State is one row per DISTINCT line.
+* :func:`pack_sequences` — greedy sequential packing of documents
+  into fixed token budgets (training sequence packing). Documents
+  are bucketed (hash) and packed in doc_id order within each bucket:
+  the packing loop is per-bucket ``applyInPandas`` (inherently
+  sequential per bin, embarrassingly parallel across buckets).
+* :func:`corpus_mix` — deterministic mixture building: per-domain
+  sampling rates and hard caps via a seeded arithmetic hash, so the
+  same corpus + seed always yields the same mixture (replay-safe,
+  and expressible in plain SQL for the oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "c4_line_filter",
+    "global_line_dedup",
+    "pack_sequences",
+    "corpus_mix",
+    "mix_hash",
+]
+
+#: C4's banned-substring list (lowercased match; §2.2: "javascript",
+#: lorem ipsum, curly brace)
+C4_BANNED = ("javascript", "lorem ipsum", "{")
+
+
+def _kept_lines(
+    text: Column,
+    min_words_per_line: int,
+    require_terminal_punct: bool,
+    banned: tuple[str, ...],
+    dedup_lines: bool,
+) -> Column:
+    lines = F.split(text, r"\n")
+
+    def keep(ln: Column) -> Column:
+        t = F.trim(ln)
+        cond = F.lit(True)
+        if require_terminal_punct:
+            # terminal punctuation incl. closing quote (C4 §2.2)
+            cond = cond & t.rlike(r'[.!?"”]$')
+        if min_words_per_line > 0:
+            cond = cond & (
+                F.size(F.split(t, r"\s+")) >= min_words_per_line
+            )
+        low = F.lower(t)
+        for b in banned:
+            cond = cond & ~low.contains(b)
+        return cond
+
+    kept = F.filter(lines, keep)
+    if dedup_lines:
+        # array_distinct keeps FIRST occurrence order — exactly the
+        # keep-first within-document dedup
+        kept = F.array_distinct(kept)
+    return kept
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 3,
+    min_lines: int = 3,
+    require_terminal_punct: bool = True,
+    banned: tuple[str, ...] = C4_BANNED,
+    dedup_lines: bool = True,
+) -> DataFrame:
+    """C4-style per-document line cleaning (Raffel et al. 2020 §2.2).
+
+    Adds ``clean_text`` (kept lines re-joined), ``n_lines_kept``,
+    ``n_lines_dropped`` and ``keep_doc`` (≥ ``min_lines`` survive —
+    C4 drops pages with too few sentences). Everything is Column
+    array algebra over one split: predicate-pushable, zero Python.
+
+    Divergence note: C4 filters SENTENCES of ≥5 words and pages of
+    ≥3 sentences with langdetect; line granularity and the
+    configurable thresholds here are the common open-source
+    reimplementation shape (the sentence splitter is a tokenizer
+    choice, not an engine operator)."""
+    kept = _kept_lines(
+        F.col(text_col), min_words_per_line, require_terminal_punct,
+        tuple(banned), dedup_lines,
+    )
+    n_total = F.size(F.split(F.col(text_col), r"\n"))
+    out = df.withColumns(
+        {
+            "_kept": kept,
+        }
+    )
+    return (
+        out.withColumn("clean_text", F.array_join(F.col("_kept"), "\n"))
+        .withColumn("n_lines_kept", F.size(F.col("_kept")))
+        .withColumn("n_lines_dropped", n_total - F.col("n_lines_kept"))
+        .withColumn("keep_doc", F.col("n_lines_kept") >= min_lines)
+        .drop("_kept")
+    )
+
+
+def global_line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4's cross-document duplicate-span removal, line granularity:
+    every duplicated line keeps exactly ONE occurrence corpus-wide —
+    the one in the smallest (doc_id, line_pos) — and all others are
+    dropped; documents are re-assembled with their surviving lines in
+    original order.
+
+    100 TB shape: explode (narrow) → ONE shuffle keyed on the 64-bit
+    line hash (window min over (doc_id, pos) — partial aggregation
+    applies map-side) → winners re-grouped by doc. No joins against
+    the corpus, no collect; skew on a mega-duplicated line is one
+    hot key whose groups reduce to a single min — AQE splits it.
+    Returns (id_col, clean_text, n_lines_kept, n_lines_dropped)."""
+    lines = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(F.col(text_col), r"\n")).alias(
+                "_pos", "_line"
+            ),
+        )
+        .withColumn("_h", F.xxhash64("_line"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_h")
+    winner = F.min(F.struct(F.col("_id"), F.col("_pos"))).over(w)
+    kept = lines.withColumn("_win", winner).filter(
+        (F.col("_win._id") == F.col("_id"))
+        & (F.col("_win._pos") == F.col("_pos"))
+    )
+    return (
+        kept.groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("_pos"), F.col("_line"))
+                        )
+                    ),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_lines_kept"),
+        )
+        .join(
+            df.select(
+                F.col(id_col).alias("_id"),
+                F.size(F.split(F.col(text_col), r"\n")).alias("_n"),
+            ),
+            "_id",
+            "right",
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+            (F.col("_n") - F.coalesce("n_lines_kept", F.lit(0))).alias(
+                "n_lines_dropped"
+            ),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    n_buckets: int = 64,
+    bucket_expr: Column | None = None,
+) -> DataFrame:
+    """Greedy sequential sequence packing: within each of
+    ``n_buckets`` hash buckets, documents are taken in ``id_col``
+    order and appended to the current bin while it fits
+    (fill + n ≤ max_tokens), else a new bin starts. A document larger
+    than ``max_tokens`` occupies its own bin (callers chunk oversize
+    docs upstream). Returns the input keys plus (bucket, bin_id,
+    bin_fill) — bin_fill is the running fill AFTER placing the doc.
+
+    Scale shape: packing is inherently sequential PER BIN, so the
+    parallel unit is the bucket — ``applyInPandas`` over
+    ``pmod(hash(id), n_buckets)`` groups, each group a sorted greedy
+    scan (O(rows), no per-row Python beyond a numpy-backed loop). At
+    100 TB raise n_buckets to ~10× the executor count; determinism
+    holds because bucket assignment and intra-bucket order are both
+    functions of the id."""
+    import pandas as pd
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_bkt_id").reset_index(drop=True)
+        fills, bins = [], []
+        fill, b = 0, -1
+        for n in pdf["_tok"].tolist():
+            if b < 0 or fill + n > max_tokens:
+                b += 1
+                fill = 0
+            fill += n
+            bins.append(b)
+            fills.append(fill)
+        pdf["bin_id"] = pd.array(bins, dtype="int64")
+        pdf["bin_fill"] = pd.array(fills, dtype="int64")
+        return pdf
+
+    if bucket_expr is None:
+        # xxhash64 spreads adversarial id patterns; pass an explicit
+        # bucket_expr when cross-engine reproducibility matters more
+        bucket_expr = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
+    prepared = df.select(
+        F.col(id_col),
+        F.col(tokens_col).cast("long").alias("_tok"),
+        bucket_expr.cast("int").alias("bucket"),
+        F.col(id_col).alias("_bkt_id"),
+    )
+    out_schema = (
+        "{} {}, _tok long, bucket int, _bkt_id {}, bin_id long, "
+        "bin_fill long"
+    ).format(
+        id_col,
+        dict(prepared.dtypes)[id_col],
+        dict(prepared.dtypes)["_bkt_id"],
+    )
+    return (
+        prepared.groupBy("bucket")
+        .applyInPandas(pack, out_schema)
+        .select(
+            id_col, "bucket", "bin_id", "bin_fill",
+            F.col("_tok").alias("n_tokens"),
+        )
+    )
+
+
+def mix_hash(id_col: Column, seed: int) -> Column:
+    """Seeded deterministic per-row draw in [0, 10000): an LCG over
+    the numeric id — chosen over xxhash64 because the SAME arithmetic
+    runs in any SQL engine (the DuckDB oracle computes it verbatim),
+    and mixture sampling needs cross-engine replayability more than
+    hash quality. Constants are glibc's LCG."""
+    h = (id_col.cast("long") + F.lit(seed)) * F.lit(1103515245) + F.lit(12345)
+    return F.pmod(h, F.lit(2147483648)) % 10000
+
+
+def corpus_mix(
+    df: DataFrame,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+    caps: dict[str, int] | None = None,
+    default_rate: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic mixture building: keep each row iff its seeded
+    draw < rate(domain) · 10000, then enforce optional per-domain
+    hard ``caps`` keeping the smallest draws (ties by id). The same
+    corpus + seed always yields the same mixture — re-runs and
+    incremental appends are replay-safe, unlike rand()-based
+    sampling.
+
+    Scale: the rate filter is a pushable scan predicate; caps add one
+    shuffle per domain partition (window row_number), skew-safe
+    because each domain's winner set is capped."""
+    from pyspark.sql import Window
+
+    rate_map = F.create_map(
+        *[x for k, v in rates.items() for x in (F.lit(k), F.lit(float(v)))]
+    )
+    draw = mix_hash(F.col(id_col), seed)
+    rate = F.coalesce(
+        F.try_element_at(rate_map, F.col(domain_col)),
+        F.lit(float(default_rate)),
+    )
+    out = df.withColumn("_draw", draw).filter(
+        F.col("_draw") < rate * 10000
+    )
+    if caps:
+        cap_map = F.create_map(
+            *[x for k, v in caps.items() for x in (F.lit(k), F.lit(int(v)))]
+        )
+        w = Window.partitionBy(domain_col).orderBy("_draw", id_col)
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(
+                F.col("_rn")
+                <= F.coalesce(
+                    F.try_element_at(cap_map, F.col(domain_col)),
+                    F.lit(2**31 - 1),
+                )
+            )
+            .drop("_rn")
+        )
+    return out

@@ -1026,3 +1026,113 @@ def test_mmrfc5424addhmac(spark):
     assert '[hmac@0 hash="' in r2[0].structured_data   # value text ignored
     assert r2[1].structured_data == "[hmac@0]"         # element present
     assert r2[2].structured_data.count("[hmac@0") == 1  # escaped quotes ok
+
+
+# ---------------- datapipe: corpus curation (r5) ----------------
+
+def test_c4_line_filter(spark):
+    from rsyslog_spark.datapipe.curation import c4_line_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "Good line one here.\nshort\nAnother good line stays!\n"
+                "has javascript inside it.\nGood line one here.\nno punct"),
+            (2, "Only one good line survives here.\nlorem ipsum dolor sit."),
+            (3, "x\ny\nz"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r
+            for r in c4_line_filter(df, min_lines=2).collect()}
+    # within-doc dedup keeps the first occurrence only
+    assert rows[1].clean_text == (
+        "Good line one here.\nAnother good line stays!"
+    )
+    assert rows[1].n_lines_kept == 2 and rows[1].keep_doc
+    # banned substring + min-words + terminal punct all fire
+    assert rows[2].n_lines_kept == 1 and not rows[2].keep_doc
+    assert rows[3].n_lines_kept == 0 and rows[3].clean_text == ""
+
+
+def test_global_line_dedup_keeps_first_occurrence(spark):
+    from rsyslog_spark.datapipe.curation import global_line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "dup line\nuniq a"),
+         (2, "dup line\nuniq b\ndup line"),
+         (3, "dup line")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in global_line_dedup(df).collect()}
+    assert rows[1].clean_text == "dup line\nuniq a"
+    # later docs lose every duplicated occurrence, order preserved
+    assert rows[2].clean_text == "uniq b"
+    assert rows[2].n_lines_dropped == 2
+    # a doc reduced to nothing still comes back (empty, all dropped)
+    assert rows[3].clean_text == "" and rows[3].n_lines_kept == 0
+
+
+def test_pack_sequences_greedy_and_oversize(spark):
+    from rsyslog_spark.datapipe.curation import pack_sequences
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(0, 60), (1, 50), (2, 40), (3, 200), (4, 10)],
+        "doc_id long, n_tokens long",
+    )
+    out = {r.doc_id: r for r in pack_sequences(
+        df, max_tokens=100, n_buckets=1,
+        bucket_expr=F.lit(0),
+    ).collect()}
+    # greedy in id order: [60], then 50 overflows -> [50,40], then the
+    # oversize 200 gets its own bin, then 10 starts fresh
+    assert (out[0].bin_id, out[0].bin_fill) == (0, 60)
+    assert (out[1].bin_id, out[1].bin_fill) == (1, 50)
+    assert (out[2].bin_id, out[2].bin_fill) == (1, 90)
+    assert (out[3].bin_id, out[3].bin_fill) == (2, 200)
+    assert (out[4].bin_id, out[4].bin_fill) == (3, 10)
+    # determinism: same input -> identical assignment
+    again = {r.doc_id: (r.bin_id, r.bin_fill) for r in pack_sequences(
+        df, max_tokens=100, n_buckets=1, bucket_expr=F.lit(0),
+    ).collect()}
+    assert again == {k: (v.bin_id, v.bin_fill) for k, v in out.items()}
+
+
+def test_corpus_mix_rates_caps_deterministic(spark):
+    from rsyslog_spark.datapipe.curation import corpus_mix
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(400)],
+        "doc_id long, domain string",
+    )
+    out = corpus_mix(df, rates={"a": 0.5, "b": 0.25},
+                     caps={"a": 20}, seed=3)
+    a = out.filter("domain = 'a'").count()
+    b = out.filter("domain = 'b'").count()
+    assert a == 20  # cap binds (rate 0.5 of 200 ≈ 100 > 20)
+    assert 25 <= b <= 75  # ~25% of 200, LCG spread
+    # replay-identical
+    ids1 = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(r.doc_id for r in corpus_mix(
+        df, rates={"a": 0.5, "b": 0.25}, caps={"a": 20}, seed=3
+    ).collect())
+    assert ids1 == ids2
+    # different seed -> different mixture
+    ids3 = sorted(r.doc_id for r in corpus_mix(
+        df, rates={"a": 0.5, "b": 0.25}, caps={"a": 20}, seed=4
+    ).collect())
+    assert ids1 != ids3
+
+
+def test_global_line_dedup_plan_single_shuffle(spark):
+    """Scale shape: the dedup costs ONE exchange keyed on the line
+    hash plus the doc re-assembly exchange — no joins against the
+    corpus, no cartesian."""
+    from rsyslog_spark.datapipe.curation import global_line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a\nb"), (2, "b\nc")], "doc_id long, text string"
+    )
+    plan = global_line_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
