@@ -646,3 +646,97 @@ def test_mmdarwin_socket_rotation(spark, tmp_path):
         assert len(conns) == 3  # 6 packets / 2 per connection
     finally:
         srv.close()
+
+
+# ---------------- omsql: transactional SQL sink ----------------
+
+def test_omsql_statements_template_and_rollback(spark, tmp_path):
+    """ommysql model: template-rendered INSERT statements, one
+    transaction per batch, full rollback on any failure
+    (ommysql.c commitTransaction:336-370)."""
+    import sqlite3
+
+    import pytest
+
+    from rsyslog_spark.sinks import omsql_statements
+    from rsyslog_spark.templates import compile_template
+
+    db = str(tmp_path / "events.db")
+    con = sqlite3.connect(db)
+    con.execute(
+        "CREATE TABLE SystemEvents (Message TEXT, Facility INTEGER, "
+        "FromHost TEXT, SysLogTag TEXT)"
+    )
+    con.commit()
+    con.close()
+
+    df = spark.createDataFrame(
+        [("it's a msg", 3, "h1", "app:"), ("plain", 4, "h2", "db:")],
+        "msg string, facility int, hostname string, syslogtag string",
+    )
+    # stdsql escaping (quote doubling) — SQLite speaks standard SQL;
+    # the `sql` option is the MySQL backslash dialect (StdPgSQLFmt
+    # uses stdsql for the same reason, runtime/rsconf.c:229)
+    tpl = ("insert into SystemEvents (Message, Facility, FromHost, "
+           "SysLogTag) values ('%msg:::stdsql%', %syslogfacility%, "
+           "'%hostname:::stdsql%', '%syslogtag:::stdsql%')")
+    stmts = df.select(compile_template(tpl).alias("sql"))
+    n = omsql_statements(stmts, db, batch_id="b1")
+    assert n == 2
+    con = sqlite3.connect(db)
+    rows = con.execute(
+        "SELECT Message, Facility, FromHost FROM SystemEvents "
+        "ORDER BY Facility"
+    ).fetchall()
+    # the stdsql template option escaped the quote
+    assert rows == [("it's a msg", 3, "h1"), ("plain", 4, "h2")]
+
+    # replaying the same batch_id is a committed no-op
+    assert omsql_statements(stmts, db, batch_id="b1") == 0
+    assert con.execute(
+        "SELECT count(*) FROM SystemEvents").fetchone()[0] == 2
+
+    # a failing statement mid-batch rolls EVERYTHING back
+    bad = spark.createDataFrame(
+        [("insert into SystemEvents (Message) values ('x')",),
+         ("insert into NoSuchTable values (1)",)],
+        "sql string",
+    )
+    with pytest.raises(Exception):
+        omsql_statements(bad, db, batch_id="b2")
+    assert con.execute(
+        "SELECT count(*) FROM SystemEvents").fetchone()[0] == 2
+    # ...and the failed batch_id did NOT journal: a fixed retry lands
+    good = spark.createDataFrame(
+        [("insert into SystemEvents (Message) values ('x')",)],
+        "sql string",
+    )
+    assert omsql_statements(good, db, batch_id="b2") == 1
+    assert con.execute(
+        "SELECT count(*) FROM SystemEvents").fetchone()[0] == 3
+    con.close()
+
+
+def test_omsql_rows_and_stream_writer(spark, tmp_path):
+    """Structured parameterized variant + the foreachBatch adapter's
+    epoch idempotence."""
+    import sqlite3
+
+    from rsyslog_spark.sinks import omsql_rows, omsql_stream_writer
+
+    db = str(tmp_path / "rows.db")
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, s string, v double"
+    )
+    assert omsql_rows(df, db, "t", batch_id=0) == 2
+    # schema-derived table with right affinities; replay no-op
+    assert omsql_rows(df, db, "t", batch_id=0) == 0
+    writer = omsql_stream_writer(db, "t")
+    writer(df, epoch_id=1)   # new epoch lands
+    writer(df, epoch_id=1)   # replayed epoch skipped
+    con = sqlite3.connect(db)
+    assert con.execute("SELECT count(*) FROM t").fetchone()[0] == 4
+    assert con.execute(
+        "SELECT typeof(id), typeof(s), typeof(v) FROM t LIMIT 1"
+    ).fetchone() == ("integer", "text", "real")
+    con.close()
