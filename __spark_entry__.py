@@ -784,8 +784,13 @@ def q_decontaminate(spark, sf):
 
 
 def q_media_frames(spark, sf):
-    """Video frame-sampling plumbing (rows-only: payload is opaque;
-    the decode boundary is a documented stub)."""
+    """Video frame-sampling plumbing. r5: oracle-checked — the
+    sampled-frame CONTRACT (which media fan out, frame indices,
+    uniform timestamps over duration, frame payload size) is fully
+    arithmetic over synth_media's construction; only the frame BYTES
+    themselves are the documented stub (deterministic rotation — their
+    length still equals the source payload's, which the oracle
+    checks)."""
     from rsyslog_spark.datapipe.multimodal import frame_sample, synth_media
 
     media = synth_media(spark, 64)
@@ -793,6 +798,9 @@ def q_media_frames(spark, sf):
         "media_id",
         F.col("frame_idx").cast("long").alias("frame_idx"),
         F.col("ts_ms").cast("long").alias("ts_ms"),
+        F.length(F.col("frame_payload")).cast("long").alias(
+            "n_frame_bytes"
+        ),
     )
 
 
@@ -829,12 +837,26 @@ def q_embedding_dup_pairs(spark, sf):
 
 
 def q_media_decode(spark, sf):
+    """r5: REAL format decoding under oracle check — payloads are
+    actual PPM images / PCM WAV audio with arithmetically-known
+    dimensions (synth_media_real), decoded by the real numpy/stdlib
+    decoders; the DuckDB oracle enumerates the expected width/height/
+    sample-rate/frame-count outputs from the same arithmetic. Codec
+    rows (mp4) exercise the tagged digest-stub path."""
     from rsyslog_spark.datapipe import decode_media_batch
-    from rsyslog_spark.datapipe.multimodal import synth_media
+    from rsyslog_spark.datapipe.multimodal import synth_media_real
 
-    return decode_media_batch(synth_media(spark, 64), n_features=8).select(
-        "media_id", "modality", F.col("n_bytes").cast("long").alias("n_bytes"),
-        "decode_ok",
+    out = decode_media_batch(synth_media_real(spark, 64), n_features=8)
+    f = lambda i: F.try_element_at(F.col("features"), F.lit(i + 1))  # noqa: E731
+    return out.select(
+        "media_id", "modality", "decode_ok",
+        # f0/f2: image → (width, channels); audio → (rate, frames);
+        # digest rows → -1 sentinels (floats stay out of the compare)
+        F.when(F.col("decode_ok") != "ok:digest", f(0).cast("long"))
+        .otherwise(F.lit(-1)).alias("f0"),
+        F.when(F.col("decode_ok") != "ok:digest", f(2).cast("long"))
+        .otherwise(F.lit(-1)).alias("f2"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
     )
 
 
@@ -2154,6 +2176,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, scrubbed, scrubbed <> text AS pii_found
             FROM s
+        """,
+        # r5: media_decode gained a real oracle — payloads are actual
+        # PPM/WAV bytes with arithmetic dimensions, so DuckDB
+        # enumerates the decoder's expected outputs (PPM header is
+        # 11 bytes for 1-digit dims; the stdlib WAV header is 44).
+        "media_frames": """
+            SELECT printf('m%04d', i) AS media_id,
+                   CAST(j AS BIGINT) AS frame_idx,
+                   CAST((1000 * j) // 4 AS BIGINT) AS ts_ms,
+                   CAST(16 + i % 5 AS BIGINT) AS n_frame_bytes
+            FROM generate_series(0, 63) t(i),
+                 generate_series(0, 3) u(j)
+            WHERE i % 4 = 2
+        """,
+        "media_decode": """
+            SELECT printf('m%04d', i) AS media_id,
+                   CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS modality,
+                   CASE i % 3 WHEN 0 THEN 'ok:pnm' WHEN 1 THEN 'ok:wav'
+                        ELSE 'ok:digest' END AS decode_ok,
+                   CAST(CASE i % 3 WHEN 0 THEN 4 + i % 5
+                        WHEN 1 THEN 8000 ELSE -1 END AS BIGINT) AS f0,
+                   CAST(CASE i % 3 WHEN 0 THEN 3
+                        WHEN 1 THEN 100 + i ELSE -1 END AS BIGINT) AS f2,
+                   CAST(CASE i % 3
+                        WHEN 0 THEN 11 + (4 + i % 5) * (3 + i % 7) * 3
+                        WHEN 1 THEN 44 + (100 + i) * 2
+                        ELSE 16 + i % 5 END AS BIGINT) AS n_bytes
+            FROM generate_series(0, 63) t(i)
         """,
         # r5 curation ops: the oracle re-runs the REAL logic (list-
         # lambda line filter / window dedup / recursive-CTE greedy

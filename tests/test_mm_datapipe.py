@@ -607,8 +607,8 @@ def test_quality_score(spark):
 def test_decode_media_batch(spark):
     media = synth_media(spark, 16)
     out = decode_media_batch(media, n_features=4).collect()
-    ok = [r for r in out if r.decode_ok == "ok"]
-    bad = [r for r in out if r.decode_ok != "ok"]
+    ok = [r for r in out if r.decode_ok.startswith("ok")]
+    bad = [r for r in out if not r.decode_ok.startswith("ok")]
     assert len(ok) == 12 and len(bad) == 4  # hologram modality unstubbed
     assert all(len(r.features) == 4 for r in ok)
     assert all(r.features is None for r in bad)
@@ -1136,3 +1136,80 @@ def test_global_line_dedup_plan_single_shuffle(spark):
     plan = global_line_dedup(df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_real_media_decoders(spark):
+    """r5: PNM/BMP/WAV payloads decode for REAL (no codec libs needed)
+    — round-trip arrays, correct features, real nearest-neighbor
+    resize; codec formats keep the tagged digest stub."""
+    import struct
+
+    import numpy as np
+
+    from rsyslog_spark.datapipe.multimodal import (
+        MEDIA_SCHEMA,
+        decode_bmp,
+        decode_pnm,
+        decode_wav,
+        encode_ppm,
+        encode_wav,
+        resize_images,
+        resize_nearest,
+    )
+
+    # PPM round-trip
+    img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    assert (decode_pnm(encode_ppm(img)) == img).all()
+    # PGM with a header comment
+    pgm = b"P5\n# a comment\n3 2\n255\n" + bytes(range(6))
+    assert decode_pnm(pgm).shape == (2, 3, 1)
+
+    # BMP: build a 2x2 24-bit bottom-up image by hand and decode it
+    px = np.array([[[255, 0, 0], [0, 255, 0]],
+                   [[0, 0, 255], [9, 8, 7]]], dtype=np.uint8)
+    stride = (2 * 3 + 3) & ~3
+    body = b"".join(
+        bytes(px[y, x, ::-1]) for y in (1, 0) for x in (0, 1)
+    )
+    rows = body[:6] + b"\0" * (stride - 6) + body[6:] + b"\0" * (stride - 6)
+    bmp = (b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0,
+                         len(rows), 0, 0, 0, 0) + rows)
+    assert (decode_bmp(bmp) == px).all()
+
+    # WAV round-trip: 100 Hz sine at 8 kHz, mono 16-bit
+    t = np.arange(800) / 8000.0
+    sig = np.sin(2 * np.pi * 100 * t).astype(np.float32)
+    x, sr = decode_wav(encode_wav(sig, 8000))
+    assert sr == 8000 and x.shape == (800, 1)
+    assert float(np.abs(x[:, 0] - sig).max()) < 1e-3
+
+    # end-to-end through the Spark operators
+    media = spark.createDataFrame(
+        [
+            ("ppm1", "image", bytearray(encode_ppm(img)), "image/x-ppm",
+             6, 4, None),
+            ("wav1", "audio", bytearray(encode_wav(sig, 8000)),
+             "audio/wav", None, None, 100),
+            ("jpg1", "image", bytearray(b"\xff\xd8\xff fake jpeg"),
+             "image/jpeg", 1, 1, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    from rsyslog_spark.datapipe import decode_media_batch
+
+    rows = {r.media_id: r
+            for r in decode_media_batch(media, n_features=8).collect()}
+    assert rows["ppm1"].decode_ok == "ok:pnm"
+    assert rows["ppm1"].features[:3] == [6.0, 4.0, 3.0]  # w, h, c
+    assert rows["wav1"].decode_ok == "ok:wav"
+    assert rows["wav1"].features[0] == 8000.0  # sample rate
+    assert abs(rows["wav1"].features[4] - 0.707) < 0.01  # sine RMS
+    assert rows["jpg1"].decode_ok == "ok:digest"  # codec → stub
+
+    # real resize: decoded output must equal numpy nearest-neighbor
+    res = {r.media_id: r
+           for r in resize_images(media, 3, 2).collect()}
+    out_img = decode_pnm(bytes(res["ppm1"].payload))
+    assert (out_img == resize_nearest(img, 3, 2)).all()
+    assert res["jpg1"].payload is not None  # stub path still flows
