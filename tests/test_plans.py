@@ -296,3 +296,45 @@ def test_device_parsers_single_regex_pass(spark):
         assert "RegExpExtract" not in code.replace(
             "RegExpExtractAll", ""
         ) or fixup is pmaixforwardedfrom  # programname re-derivation
+
+
+def test_c4_line_filter_pure_codegen(spark, sf_dir):
+    """c4_filter's cleaning is Column array algebra — no Python eval
+    node and no exchange (per-row map work at 100 TB)."""
+    import __spark_entry__ as entry
+
+    q = entry.queries()["c4_filter"](spark, sf_dir)
+    p = plan_of(q)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "Exchange" not in p, p
+
+
+def test_global_line_dedup_shuffles_on_line_hash_only(spark):
+    """line dedup: exchanges only on the line hash (winner window) and
+    the doc re-assembly — never a join against the corpus or a
+    cartesian."""
+    from rsyslog_spark.datapipe.curation import global_line_dedup
+
+    df = spark.createDataFrame(
+        [(i, f"line a{i}\nshared line\nline b{i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    p = plan_of(global_line_dedup(df))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_corpus_mix_rate_filter_is_pushable(spark, tmp_path):
+    """corpus_mix's rate gate must reach the scan as a plain Filter
+    (no window) when no caps are set — the common 100 TB path reads
+    only the sampled fraction's row groups."""
+    from rsyslog_spark.datapipe.curation import corpus_mix
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "a") for i in range(100)], "doc_id long, domain string"
+    ).write.parquet(path)
+    out = corpus_mix(spark.read.parquet(path), rates={"a": 0.5}, seed=1)
+    p = plan_of(out)
+    assert "Window" not in p, p
+    assert "Exchange" not in p, p
