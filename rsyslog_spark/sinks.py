@@ -984,3 +984,111 @@ def omsql_stream_writer(
         )
 
     return write
+
+
+def omelasticsearch_deliver(
+    df: "DataFrame",
+    es_url: str,
+    entry_col: str = "value",
+    batch_size: int = 500,
+    retry_statuses: tuple[int, ...] = (429,),
+    max_retries: int = 2,
+    timeout_secs: float = 10.0,
+    headers: dict | None = None,
+) -> "DataFrame":
+    """Executor-side ``_bulk`` delivery WITH per-item reply handling —
+    omelasticsearch's checkResultBulkmode (omelasticsearch.c:2028-2053
+    + parseRequestAndResponseForContext): the bulk reply's ``items``
+    array is parsed positionally against the request entries, each
+    row gets its own outcome, and items failing with a RETRYABLE
+    status (ES 429 bulk rejections) are re-POSTed as a smaller bulk up
+    to ``max_retries`` times (the retryfailures model, c:2576).
+
+    Returns the input rows plus ``es_status`` (long; -1 = transport
+    failure), ``es_ok`` (bool) and ``es_error`` (the reply's error
+    JSON, null when ok). Rows still failing after retries are the
+    caller's routing decision — filter ``~es_ok`` into an error sink
+    (errorFile, c:1929-2016) or feed them back through a retry
+    ruleset; both reference behaviors are projections of this output.
+
+    Scale shape: partition-local batches, one POST per ``batch_size``
+    rows, no shuffle; the reply parse is O(batch)."""
+    import pyspark.sql.types as T
+
+    hdrs = {"Content-Type": "application/x-ndjson", **(headers or {})}
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("es_status", T.LongType()),
+            T.StructField("es_ok", T.BooleanType()),
+            T.StructField("es_error", T.StringType()),
+        ]
+    )
+
+    def deliver(batches):
+        import json as _json
+        import urllib.error
+        import urllib.request
+
+        import pandas as pd
+
+        def post(entries: list[str]):
+            """POST one bulk; returns per-entry (status, error)."""
+            body = ("\n".join(entries) + "\n").encode("utf-8")
+            try:
+                req = urllib.request.Request(
+                    es_url, data=body, headers=hdrs, method="POST"
+                )
+                with urllib.request.urlopen(
+                    req, timeout=timeout_secs
+                ) as resp:
+                    reply = _json.loads(resp.read().decode("utf-8"))
+            except urllib.error.HTTPError as e:
+                return [(e.code, f"http {e.code}")] * len(entries)
+            except (urllib.error.URLError, OSError, ValueError) as e:
+                return [(-1, str(e))] * len(entries)
+            items = reply.get("items", [])
+            out = []
+            for i in range(len(entries)):
+                if i >= len(items):  # malformed reply tail
+                    out.append((-1, "missing bulk reply item"))
+                    continue
+                res = next(iter(items[i].values()), {})
+                st = int(res.get("status", -1))
+                err = res.get("error")
+                out.append(
+                    (st, _json.dumps(err) if err is not None else None)
+                )
+            return out
+
+        def run_batch(entries: list[str]):
+            results = post(entries)
+            for _ in range(max_retries):
+                retry_idx = [
+                    i for i, (st, _e) in enumerate(results)
+                    if st in retry_statuses
+                ]
+                if not retry_idx:
+                    break
+                sub = post([entries[i] for i in retry_idx])
+                for j, i in enumerate(retry_idx):
+                    results[i] = sub[j]
+            return results
+
+        for pdf in batches:
+            entries_all = pdf[entry_col].tolist()
+            statuses: list = []
+            errors: list = []
+            for off in range(0, len(entries_all), batch_size):
+                for st, err in run_batch(
+                    entries_all[off : off + batch_size]
+                ):
+                    statuses.append(st)
+                    errors.append(err)
+            out = pdf.copy()
+            out["es_status"] = pd.array(statuses, dtype="Int64")
+            out["es_ok"] = [200 <= s < 300 for s in statuses]
+            out["es_error"] = errors
+            yield out
+
+    return df.mapInPandas(deliver, out_schema)

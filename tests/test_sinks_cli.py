@@ -740,3 +740,95 @@ def test_omsql_rows_and_stream_writer(spark, tmp_path):
         "SELECT typeof(id), typeof(s), typeof(v) FROM t LIMIT 1"
     ).fetchone() == ("integer", "text", "real")
     con.close()
+
+
+def test_omelasticsearch_bulk_reply_handling(spark):
+    """checkResultBulkmode against a REAL local _bulk endpoint: per-
+    item statuses map back to rows positionally, 429 bulk rejections
+    re-POST as a smaller bulk (retryfailures), hard failures surface
+    es_ok=false with the error JSON for errorfile/retry-ruleset
+    routing (omelasticsearch.c:2028-2053)."""
+    import http.server
+    import json
+    import threading
+
+    from rsyslog_spark.sinks import (
+        omelasticsearch_deliver, omelasticsearch_frame,
+    )
+
+    seen_bodies = []
+    retried: dict = {}
+    lock = threading.Lock()
+
+    class Bulk(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            body = self.rfile.read(n).decode()
+            lines = [l for l in body.split("\n") if l]
+            items = []
+            any_err = False
+            with lock:
+                seen_bodies.append(body)
+                for i in range(0, len(lines), 2):
+                    doc = lines[i + 1]
+                    if "hardfail" in doc:
+                        items.append({"index": {
+                            "status": 400,
+                            "error": {"type": "mapper_parsing_exception"},
+                        }})
+                        any_err = True
+                    elif "flaky" in doc and doc not in retried:
+                        retried[doc] = 1
+                        items.append({"index": {
+                            "status": 429,
+                            "error": {"type": "es_rejected_execution"},
+                        }})
+                        any_err = True
+                    else:
+                        items.append({"index": {"status": 201}})
+            reply = json.dumps(
+                {"took": 1, "errors": any_err, "items": items}
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(reply)))
+            self.end_headers()
+            self.wfile.write(reply)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Bulk)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        df = spark.createDataFrame(
+            [("d1", "ok doc"), ("d2", "flaky doc"),
+             ("d3", "hardfail doc"), ("d4", "another ok")],
+            "id string, msg string",
+        ).coalesce(1)
+        entries = df.join(
+            omelasticsearch_frame(
+                df, template='{"id":"%id%","m":"%msg:::json%"}',
+                index="logs", id_template="%id%",
+            ).withColumn("id", F.get_json_object(
+                F.split("value", "\n")[0], "$.index._id")),
+            "id",
+        )
+        out = {r.id: r for r in omelasticsearch_deliver(
+            entries, f"http://127.0.0.1:{port}/_bulk", batch_size=10,
+        ).collect()}
+        assert out["d1"].es_ok and out["d1"].es_status == 201
+        assert out["d4"].es_ok
+        # the 429 row was re-POSTed and landed on the retry
+        assert out["d2"].es_ok and out["d2"].es_status == 201
+        # hard failure surfaces the reply error for routing
+        assert not out["d3"].es_ok and out["d3"].es_status == 400
+        assert "mapper_parsing" in out["d3"].es_error
+        # retry bulk contained ONLY the rejected entry
+        with lock:
+            assert len(seen_bodies) == 2
+            assert "flaky" in seen_bodies[1]
+            assert "hardfail" not in seen_bodies[1]
+    finally:
+        srv.shutdown()
