@@ -832,3 +832,155 @@ def test_omelasticsearch_bulk_reply_handling(spark):
             assert "hardfail" not in seen_bodies[1]
     finally:
         srv.shutdown()
+
+
+# ---------------- kafka wire protocol ----------------
+
+def test_kafka_wire_primitives():
+    """CRC32C against the published check value, zigzag varints, and
+    record-batch v2 round-trip with headers/nulls/timestamps (KIP-98
+    layout; the reference delegates this to librdkafka)."""
+    import pytest
+
+    from rsyslog_spark.kafka_wire import (
+        crc32c, decode_record_batch, decode_varint,
+        encode_record_batch, encode_varint,
+    )
+
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0
+    for v in (0, 1, -1, 63, 64, -64, -65, 300, -300, 2**31, -2**31):
+        buf = encode_varint(v)
+        got, pos = decode_varint(buf, 0)
+        assert got == v and pos == len(buf)
+
+    recs = [
+        (b"k1", b"hello", [("h1", b"x"), ("h2", None)], 1000),
+        (None, b"world", [], 1500),
+        (b"k3", None, [("a", b"")], 2000),
+    ]
+    batch = encode_record_batch(recs, base_offset=7, base_timestamp_ms=1000)
+    d = decode_record_batch(batch)
+    assert d["base_offset"] == 7 and d["records"] == recs
+    assert d["max_timestamp_ms"] == 2000
+    # the batch header fields sit at their spec'd offsets
+    import struct
+
+    assert struct.unpack_from(">q", batch, 0)[0] == 7  # baseOffset
+    # magic sits after baseOffset(8) + batchLength(4) + leaderEpoch(4)
+    assert batch[16] == 2
+    # CRC detects corruption
+    bad = bytearray(batch)
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_record_batch(bytes(bad))
+
+
+def test_omkafka_produce_over_socket(spark):
+    """End-to-end over a REAL TCP socket: DataFrame → produce-request
+    frames → a loopback broker reads the length-prefixed request,
+    CRC-verifies and decodes the record batch, and replies with a
+    Produce v7 response the client parser understands."""
+    import socket
+    import struct
+    import threading
+
+    from rsyslog_spark.kafka_wire import (
+        decode_record_batch, omkafka_batches, parse_produce_response,
+    )
+
+    received = []
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(4)
+    port = srv.getsockname()[1]
+
+    def recv_exact(c, n):
+        buf = b""
+        while len(buf) < n:
+            b = c.recv(n - len(buf))
+            if not b:
+                return None
+            buf += b
+        return buf
+
+    def broker():
+        while True:
+            try:
+                conn, _ = srv.accept()
+            except OSError:
+                return
+            with conn:
+                while True:
+                    hdr = recv_exact(conn, 4)
+                    if hdr is None:
+                        break
+                    size = struct.unpack(">i", hdr)[0]
+                    msg = recv_exact(conn, size)
+                    api, ver, corr = struct.unpack_from(">hhi", msg, 0)
+                    assert (api, ver) == (0, 7)
+                    # skip client_id, transactional_id, acks, timeout
+                    pos = 8
+                    cl = struct.unpack_from(">h", msg, pos)[0]
+                    pos += 2 + cl
+                    tl = struct.unpack_from(">h", msg, pos)[0]
+                    pos += 2 + max(0, tl) + 2 + 4 + 4
+                    tlen = struct.unpack_from(">h", msg, pos)[0]
+                    pos += 2
+                    topic = msg[pos : pos + tlen].decode()
+                    pos += tlen + 4
+                    part = struct.unpack_from(">i", msg, pos)[0]
+                    pos += 4
+                    blen = struct.unpack_from(">i", msg, pos)[0]
+                    pos += 4
+                    batch = msg[pos : pos + blen]
+                    received.append(
+                        (topic, part, decode_record_batch(batch))
+                    )
+                    body = (
+                        struct.pack(">i", corr) + struct.pack(">i", 1)
+                        + struct.pack(">h", tlen) + topic.encode()
+                        + struct.pack(">i", 1)
+                        + struct.pack(">ihqqq", part, 0, 100, -1, 0)
+                    )
+                    conn.sendall(struct.pack(">i", len(body)) + body)
+
+    threading.Thread(target=broker, daemon=True).start()
+    try:
+        df = spark.createDataFrame(
+            [(f"key{i % 3}", f"event number {i}") for i in range(30)],
+            "k string, v string",
+        ).coalesce(1)
+        frames = omkafka_batches(
+            df, "logs", value_col="v", key_col="k",
+            n_partitions=3, max_records=100,
+        ).collect()
+        assert {r.partition for r in frames} <= {0, 1, 2}
+        assert sum(r.n_records for r in frames) == 30
+        # drive every frame through the socket, parse the responses
+        sock = socket.create_connection(("127.0.0.1", port))
+        try:
+            for fr in frames:
+                sock.sendall(bytes(fr.request))
+                hdr = recv_exact(sock, 4)
+                size = struct.unpack(">i", hdr)[0]
+                resp = hdr + recv_exact(sock, size)
+                r = parse_produce_response(resp)
+                assert r["error_code"] == 0 and r["base_offset"] == 100
+                assert r["topic"] == "logs"
+        finally:
+            sock.close()
+        # the broker decoded every record byte-identically
+        got = sorted(
+            rec[1].decode()
+            for _t, _p, d in received for rec in d["records"]
+        )
+        assert got == sorted(f"event number {i}" for i in range(30))
+        # keyed partitioning is consistent: one partition per key
+        bykey: dict = {}
+        for _t, p, d in received:
+            for k, _v, _h, _ts in d["records"]:
+                bykey.setdefault(k, set()).add(p)
+        assert all(len(ps) == 1 for ps in bykey.values())
+    finally:
+        srv.close()
