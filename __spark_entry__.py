@@ -2312,7 +2312,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_mix": """
             WITH h AS (
                 SELECT doc_id, source AS domain,
-                       ((doc_id + 42) * 1103515245 + 12345)
+                       ((doc_id % 2147483648 + 42) * 1103515245 + 12345)
                            % 2147483648 % 10000 AS draw
                 FROM documents
             ),

@@ -257,8 +257,12 @@ def mix_hash(id_col: Column, seed: int) -> Column:
     the numeric id — chosen over xxhash64 because the SAME arithmetic
     runs in any SQL engine (the DuckDB oracle computes it verbatim),
     and mixture sampling needs cross-engine replayability more than
-    hash quality. Constants are glibc's LCG."""
-    h = (id_col.cast("long") + F.lit(seed)) * F.lit(1103515245) + F.lit(12345)
+    hash quality. Constants are glibc's LCG. The id folds through
+    mod 2^31 FIRST so the multiply can't overflow int64 at any id
+    magnitude (ANSI Spark raises on overflow; (2^31+seed)·1103515245
+    ≈ 2.4e18 < 2^63)."""
+    folded = F.pmod(id_col.cast("long"), F.lit(2147483648))
+    h = (folded + F.lit(seed)) * F.lit(1103515245) + F.lit(12345)
     return F.pmod(h, F.lit(2147483648)) % 10000
 
 

@@ -58,3 +58,34 @@ def test_incremental_batches(spark, tmp_path):
     assert df3.count() == 3 and os.path.basename(files3[0]) == "b.parquet"
     inc.commit(files3)
     assert inc.pending() == []
+
+
+def test_imrelp_listener_spool_to_stream(spark, tmp_path):
+    """imrelp: a real RELP listener spools messages (ack strictly
+    AFTER the durable write — RELP's lossless guarantee), and the
+    spool directory feeds the standard streaming read."""
+    from rsyslog_spark.relp import RelpClient, RelpListener
+
+    spool = str(tmp_path / "spool")
+    lst = RelpListener(spool, rotate_every=20)
+    try:
+        cl = RelpClient("127.0.0.1", lst.port, window=8)
+        results: dict = {}
+        cl.results = results
+        msgs = [f"<13>Jan  1 00:00:00 h tag: ev {i}" for i in range(50)]
+        for i, m in enumerate(msgs):
+            cl.send_syslog(m.encode(), i)
+        cl.drain()
+        cl.close()
+        assert all(results[i] == 200 for i in range(50))
+        assert lst.n_received == 50
+        # spool rotated and is batch/stream-readable
+        got = sorted(
+            r.value for r in spark.read.text(spool + "/*.log").collect()
+        )
+        assert got == sorted(msgs)
+        import glob
+
+        assert len(glob.glob(spool + "/*.log")) >= 3  # rotate_every=20
+    finally:
+        lst.close()
