@@ -212,6 +212,16 @@ def mmdarwin(
                         rp = unpack_packet(
                             _recv_exact(sock, PACKET_SIZE)
                         )
+                        # protocol.h declares certitude_list as a
+                        # flexible array; a filter replying with
+                        # certitude_size > 1 ships extra 4-byte
+                        # certitudes BEYOND the fixed struct — drain
+                        # them so the persistent connection stays
+                        # frame-aligned (the reference would desync
+                        # here; code-review r5)
+                        extra = max(0, rp["certitude_size"] - 1)
+                        if extra:
+                            _recv_exact(sock, 4 * extra)
                         certs.append(rp["certitude"])
                     else:
                         certs.append(None)

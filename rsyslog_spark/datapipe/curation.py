@@ -287,6 +287,15 @@ def corpus_mix(
     because each domain's winner set is capped."""
     from pyspark.sql import Window
 
+    id_type = dict(df.dtypes).get(id_col, "")
+    if id_type not in ("bigint", "int", "smallint", "tinyint", "long"):
+        # a string id would cast('long') to null and silently drop
+        # EVERY row at the draw filter (code-review r5) — demand a
+        # numeric surrogate instead
+        raise ValueError(
+            f"corpus_mix needs a numeric {id_col!r} (got {id_type}): "
+            "derive a surrogate, e.g. xxhash64(doc_id), at ingest"
+        )
     rate_map = F.create_map(
         *[x for k, v in rates.items() for x in (F.lit(k), F.lit(float(v)))]
     )

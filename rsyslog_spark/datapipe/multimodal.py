@@ -226,17 +226,30 @@ def decode_payload(
     """Dispatch on payload magic: real decode where no codec library
     is required, digest stub otherwise. Returns (features, tag) with
     tag ∈ ok:pnm / ok:bmp / ok:wav / ok:digest."""
+    import struct as _struct
+    import wave as _wave
+
     p = payload or b""
+    # every real-decode branch degrades to the digest stub on a
+    # malformed/exotic payload instead of failing the Spark task
+    # (code-review r5: a truncated header or >8-bit PNM must tag the
+    # ROW, not kill the partition)
     if p[:2] in (b"P5", b"P6"):
-        return _image_features(decode_pnm(p), n_features), "ok:pnm"
+        try:
+            return _image_features(decode_pnm(p), n_features), "ok:pnm"
+        except (ValueError, IndexError):
+            pass
     if p[:2] == b"BM":
         try:
             return _image_features(decode_bmp(p), n_features), "ok:bmp"
-        except ValueError:
+        except (ValueError, IndexError, _struct.error):
             pass  # exotic BMP variant → digest
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
-        x, sr = decode_wav(p)
-        return _audio_features(x, sr, n_features), "ok:wav"
+        try:
+            x, sr = decode_wav(p)
+            return _audio_features(x, sr, n_features), "ok:wav"
+        except (ValueError, EOFError, _wave.Error):
+            pass
     return _fake_decode(p, modality, n_features), "ok:digest"
 
 
@@ -410,15 +423,24 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
         return bytes((payload[i % len(payload)] + i) % 256 for i in range(n))
 
     def one(payload: bytes) -> bytes:
+        import struct as _struct
+
         p = payload or b""
+        # malformed headers degrade to the fold stub, never fail the
+        # task (code-review r5)
         if p[:2] in (b"P5", b"P6"):
-            return encode_ppm(resize_nearest(decode_pnm(p), width, height))
+            try:
+                return encode_ppm(
+                    resize_nearest(decode_pnm(p), width, height)
+                )
+            except (ValueError, IndexError):
+                pass
         if p[:2] == b"BM":
             try:
                 return encode_ppm(
                     resize_nearest(decode_bmp(p), width, height)
                 )
-            except ValueError:
+            except (ValueError, IndexError, _struct.error):
                 pass
         return _fake_resize(p)
 

@@ -348,9 +348,14 @@ def _v2_sep_collision(outer: tuple, inner: tuple) -> str | None:
             return None
     except re.error:  # Java-only construct: cannot prove safety
         return "separator patterns cannot be proven disjoint"
-    if orx == irx:
-        return "identical separator patterns"
-    return None
+    # two regex separators: disjointness of regular languages is not
+    # decidable by inspection here — 'alpha' vs 'word' overlap even
+    # though the patterns differ (code-review r5). Reject rather than
+    # silently mis-split; nest with literal separators instead.
+    return (
+        "two non-literal separators cannot be proven disjoint — use a "
+        "literal 'while' on at least one level"
+    )
 
 
 def _v2_groupless(obj: dict) -> str:

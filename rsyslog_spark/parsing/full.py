@@ -293,11 +293,13 @@ def _parse_frame(raw: pd.Series) -> pd.DataFrame:
     n = len(raw)
     lines = raw.tolist()
     m = _MEGA.match
-    # one control-char search over the newline-joined batch decides
+    # one control-char search over the concatenated batch decides
     # whether ANY row needs sanitize (trailing NUL/LF/CR are control
     # chars, so sanitize-needing rows are exactly the hits) — the
-    # common clean batch skips the per-row search entirely
-    if n and _CTRL.search("\n".join(lines)) is not None:
+    # common clean batch skips the per-row search entirely. Join with
+    # "" — a "\n" separator would itself be a _CTRL hit on every
+    # multi-row batch (code-review r5)
+    if n and _CTRL.search("".join(lines)) is not None:
         search = _CTRL.search
         for j in range(n):
             x = lines[j]

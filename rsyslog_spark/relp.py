@@ -332,7 +332,8 @@ class RelpListener:
                             # durably spooled BEFORE the ack
                             f.flush()
                             os.fsync(f.fileno())
-                            self.n_received += 1
+                            with self._lock:  # sessions are threads
+                                self.n_received += 1
                             n_in_file += 1
                             if n_in_file >= self.rotate_every:
                                 f.close()

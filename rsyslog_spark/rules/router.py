@@ -331,7 +331,16 @@ def compile_routes(
         prev = merged.get(a.sink)
         if prev is None:
             merged[a.sink] = a
-        elif prev.foreach_arr is None and a.foreach_arr is None:
+        elif (
+            prev.foreach_arr is None
+            and a.foreach_arr is None
+            and prev.params == a.params
+        ):
+            # identical sink + params from two call sites: one column,
+            # OR-merged predicates ("two rulesets appending to one
+            # file"). DIFFERING params must not silently adopt the
+            # first action's config (code-review r5) — fall through to
+            # the disambiguated-name branch instead.
             merged[a.sink] = Action(
                 a.sink, prev.predicate | a.predicate, prev.params
             )

@@ -281,7 +281,11 @@ class Parser:
             params = {}
             while self.peek().kind != ")":
                 k = self.next()
-                if k.kind not in ("name", "str"):
+                # keywords are valid param names here — action(
+                # template="...") is the single most common action
+                # param and 'template' is otherwise a statement
+                # keyword (code-review r5 fallout)
+                if k.kind not in ("name", "str") and k.kind not in _KEYWORDS:
                     raise SyntaxError(f"bad action param {k!r}")
                 key = k.val
                 # dotted param names like queue.type

@@ -165,6 +165,15 @@ def test_load_rulebase_rejects_unsupported_v2_shapes():
             '"while":{"type":"whitespace"}},'
             '"while":{"type":"literal","text":" "}}%'
         )
+    # two non-literal separators can overlap even when the patterns
+    # differ (alpha vs word) — rejected (code-review r5)
+    with pytest.raises(ValueError, match="non-literal"):
+        mm.load_rulebase(
+            'rule=:%{"name":"n","type":"repeat","parser":'
+            '{"name":"i","type":"repeat","parser":{"type":"number"},'
+            '"while":{"type":"char-to","extradata":","}},'
+            '"while":{"type":"whitespace"}}%'
+        )
     # a repeat branch sharing its name with another alternative branch
     # would LAST_WIN-collide in the output map — rejected loudly
     with pytest.raises(ValueError, match="share its name"):

@@ -344,3 +344,20 @@ if $programname == "b" then { call sub }
     assert counts == {"out": 2}
     routed = r.apply(df)
     assert routed.columns.count("route_out") == 1
+
+
+def test_same_sink_different_params_not_merged(spark):
+    """Two actions on one sink name with DIFFERENT params must not
+    silently adopt the first action's config — they keep separate
+    disambiguated columns (code-review r5)."""
+    script = """
+ruleset(name="a") { action(name="out" template="t1") }
+ruleset(name="b") { action(name="out" template="t2") }
+call a
+call b
+"""
+    r = Router(script)
+    df = spark.createDataFrame([("x",)], "msg string")
+    routed = r.apply(df)
+    outs = [c for c in routed.columns if c.startswith("route_out")]
+    assert len(outs) == 2
