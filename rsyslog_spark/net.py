@@ -1,0 +1,303 @@
+"""Plain-TCP/UDP syslog transport: imtcp/imudp framing + omfwd send.
+
+The framing state machine mirrors the reference's processDataRcvd
+(runtime/tcps_sess.c:590-740): framing auto-detects PER FRAME — a
+leading digit starts RFC 6587 octet counting (digits accumulate into
+the length until a non-digit, which SHOULD be SP; a non-SP delimiter
+or a zero count is a logged framing error, and processing continues),
+anything else is octet stuffing (LF-terminated, the traditional
+syslog/TCP framing). Both can interleave on one connection.
+
+:class:`SyslogTcpListener` / :class:`SyslogUdpListener` are the
+imtcp/imudp sockets with the same spool-then-stream bridge as
+:class:`rsyslog_spark.relp.RelpListener` (Structured Streaming
+sources must be replayable; a raw socket is not — the spool file is
+the replay log). :func:`omfwd_send` is omfwd's doAction made real:
+per-partition persistent TCP connection (or UDP datagrams) writing
+:func:`rsyslog_spark.sinks.omfwd_frame` bytes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+MAX_OCTET_COUNT = 200_000_000  # tcps_sess.c:713 cap
+
+
+class SyslogFrameParser:
+    """Incremental RFC 6587 frame extractor with the reference's
+    per-frame auto-detection. ``feed`` returns (message, framing,
+    error) tuples — error carries the reference's logged framing
+    complaints (non-SP delimiter / invalid count), with the message
+    still delivered like the reference does."""
+
+    def __init__(self, max_line: int = 64 * 1024) -> None:
+        self._buf = b""
+        self.max_line = max_line
+
+    def feed(self, data: bytes) -> list[tuple[bytes, str, str | None]]:
+        self._buf += data
+        out = []
+        while True:
+            got = self._try_frame()
+            if got is None:
+                return out
+            out.append(got)
+
+    def _try_frame(self):
+        buf = self._buf
+        if not buf:
+            return None
+        c = buf[0:1]
+        if c == b" ":
+            # Cisco ASA SP-after-LF fix (tcps_sess.c:614-620)
+            self._buf = buf[1:]
+            return self._try_frame()
+        if c.isdigit():
+            # octet counting: digits then SP then exactly N bytes
+            i = 1
+            while i < len(buf) and buf[i : i + 1].isdigit():
+                i += 1
+            if i >= len(buf):
+                return None  # count still incomplete
+            err = None
+            n = int(buf[:i])
+            if n > MAX_OCTET_COUNT:
+                n = MAX_OCTET_COUNT
+            delim = buf[i : i + 1]
+            if delim != b" ":
+                err = (
+                    f"framing error: delimiter is not SP but ASCII "
+                    f"{delim[0]}"
+                )
+                # reference continues with the count consumed and the
+                # non-SP byte as message data
+                start = i
+            else:
+                start = i + 1
+            if n < 1:
+                err = f"framing error: invalid octet count {n}"
+                self._buf = buf[start:]
+                return b"", "octet-counted", err
+            if len(buf) - start < n:
+                return None
+            msg = buf[start : start + n]
+            self._buf = buf[start + n :]
+            return msg[: self.max_line], "octet-counted", err
+        nl = buf.find(b"\n")
+        if nl < 0:
+            return None
+        msg = buf[:nl]
+        self._buf = buf[nl + 1 :]
+        return msg[: self.max_line], "octet-stuffing", None
+
+    def flush(self) -> bytes | None:
+        """Connection closed: an unterminated stuffing frame is the
+        final message (the reference submits the residual buffer on
+        session close)."""
+        if self._buf and not self._buf[0:1].isdigit():
+            msg, self._buf = self._buf, b""
+            return msg
+        return None
+
+
+class _SpoolWriter:
+    def __init__(self, spool_dir: str, prefix: str,
+                 rotate_every: int) -> None:
+        import os
+
+        os.makedirs(spool_dir, exist_ok=True)
+        self.dir = spool_dir
+        self.prefix = prefix
+        self.rotate = rotate_every
+        self._f = None
+        self._n_file = 0
+        self._n = 0
+
+    def write(self, msg: bytes) -> None:
+        import os
+
+        if self._f is None:
+            self._f = open(
+                os.path.join(
+                    self.dir, f"{self.prefix}-{self._n_file:06d}.log"
+                ),
+                "ab",
+            )
+        self._f.write(msg.replace(b"\n", b" ") + b"\n")
+        self._f.flush()
+        self._n += 1
+        if self._n >= self.rotate:
+            self._f.close()
+            self._f, self._n_file, self._n = None, self._n_file + 1, 0
+
+    def close(self) -> None:
+        if self._f is not None:
+            self._f.close()
+
+
+class SyslogTcpListener:
+    """imtcp: accept TCP connections, extract frames with the
+    per-frame auto-detecting parser, spool newline-delimited messages
+    for the streaming reader."""
+
+    def __init__(self, spool_dir: str, host: str = "127.0.0.1",
+                 port: int = 0, rotate_every: int = 10_000) -> None:
+        import socket as socketlib
+        import threading
+
+        self.spool_dir = spool_dir
+        self.rotate_every = rotate_every
+        self.n_received = 0
+        self.framing_errors: list[str] = []
+        self._lock = threading.Lock()
+        self._n_sessions = 0
+        self._srv = socketlib.socket(
+            socketlib.AF_INET, socketlib.SOCK_STREAM
+        )
+        self._srv.setsockopt(
+            socketlib.SOL_SOCKET, socketlib.SO_REUSEADDR, 1
+        )
+        self._srv.bind((host, port))
+        self._srv.listen(16)
+        self.port = self._srv.getsockname()[1]
+        threading.Thread(target=self._serve, daemon=True).start()
+
+    def _serve(self) -> None:
+        import threading
+
+        while True:
+            try:
+                conn, _ = self._srv.accept()
+            except OSError:
+                return
+            with self._lock:
+                self._n_sessions += 1
+                sid = self._n_sessions
+            threading.Thread(
+                target=self._session, args=(conn, sid), daemon=True
+            ).start()
+
+    def _session(self, conn, sid: int) -> None:
+        parser = SyslogFrameParser()
+        spool = _SpoolWriter(
+            self.spool_dir, f"tcp-{sid:04d}", self.rotate_every
+        )
+        try:
+            with conn:
+                while True:
+                    try:
+                        data = conn.recv(65536)
+                    except OSError:
+                        return
+                    if not data:
+                        tail = parser.flush()
+                        if tail is not None:
+                            spool.write(tail)
+                            with self._lock:
+                                self.n_received += 1
+                        return
+                    for msg, _framing, err in parser.feed(data):
+                        if err:
+                            with self._lock:
+                                self.framing_errors.append(err)
+                        if msg:
+                            spool.write(msg)
+                            with self._lock:
+                                self.n_received += 1
+        finally:
+            spool.close()
+
+    def close(self) -> None:
+        self._srv.close()
+
+
+class SyslogUdpListener:
+    """imudp: one datagram = one message (no framing)."""
+
+    def __init__(self, spool_dir: str, host: str = "127.0.0.1",
+                 port: int = 0, rotate_every: int = 10_000) -> None:
+        import socket as socketlib
+        import threading
+
+        self.n_received = 0
+        self._lock = threading.Lock()
+        self._sock = socketlib.socket(
+            socketlib.AF_INET, socketlib.SOCK_DGRAM
+        )
+        self._sock.bind((host, port))
+        self.port = self._sock.getsockname()[1]
+        self._spool = _SpoolWriter(spool_dir, "udp", rotate_every)
+        threading.Thread(target=self._serve, daemon=True).start()
+
+    def _serve(self) -> None:
+        while True:
+            try:
+                data, _ = self._sock.recvfrom(65536)
+            except OSError:
+                self._spool.close()
+                return
+            self._spool.write(data.rstrip(b"\n"))
+            with self._lock:
+                self.n_received += 1
+
+    def close(self) -> None:
+        self._sock.close()
+
+
+def omfwd_send(
+    df: DataFrame,
+    host: str,
+    port: int,
+    protocol: str = "tcp",
+    value_col: str = "value",
+) -> int:
+    """omfwd's doAction made real (tools/omfwd.c TCPSend/UDPSend):
+    ship pre-framed wire bytes (see sinks.omfwd_frame) over one
+    persistent TCP connection per partition, or as one UDP datagram
+    per message. Driver-visible return: messages sent. A TCP transport
+    error fails the partition → Spark retries (the reference suspends
+    the action and replays from the queue)."""
+    import pyspark.sql.types as T
+
+    if protocol not in ("tcp", "udp"):
+        raise ValueError("protocol must be tcp|udp")
+
+    def send(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import socket as socketlib
+
+        sock = None
+        n = 0
+        try:
+            for pdf in batches:
+                vals = pdf[value_col].tolist()
+                if vals and sock is None:
+                    if protocol == "tcp":
+                        sock = socketlib.create_connection(
+                            (host, port), timeout=10.0
+                        )
+                    else:
+                        sock = socketlib.socket(
+                            socketlib.AF_INET, socketlib.SOCK_DGRAM
+                        )
+                for v in vals:
+                    b = v.encode("utf-8") if isinstance(v, str) else v
+                    if protocol == "tcp":
+                        sock.sendall(b)
+                    else:
+                        sock.sendto(b, (host, port))
+                    n += 1
+            yield pd.DataFrame({"n_sent": [n]})
+        finally:
+            if sock is not None:
+                sock.close()
+
+    out = df.mapInPandas(
+        send, T.StructType([T.StructField("n_sent", T.LongType())])
+    )
+    return int(
+        out.agg({"n_sent": "sum"}).first()[0] or 0
+    )

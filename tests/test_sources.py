@@ -89,3 +89,103 @@ def test_imrelp_listener_spool_to_stream(spark, tmp_path):
         assert len(glob.glob(spool + "/*.log")) >= 3  # rotate_every=20
     finally:
         lst.close()
+
+
+def test_syslog_frame_parser_rfc6587():
+    """tcps_sess.c processDataRcvd semantics: per-frame auto-detect,
+    interleaved octet-counted and LF frames, split reads, Cisco SP
+    fix, framing-error tolerance, close-flush."""
+    from rsyslog_spark.net import SyslogFrameParser
+
+    p = SyslogFrameParser()
+    # octet-counted + stuffing interleaved on one connection; the SP
+    # before 'trailing' exercises the Cisco ASA skip
+    wire = b"10 <13>hello!<14>world lf framed\n5 12345 trailing\n"
+    got = p.feed(wire)
+    assert got[0] == (b"<13>hello!", "octet-counted", None)
+    assert got[1] == (b"<14>world lf framed", "octet-stuffing", None)
+    assert got[2] == (b"12345", "octet-counted", None)
+    assert got[3] == (b"trailing", "octet-stuffing", None)
+
+    # frames split across arbitrary read boundaries
+    p2 = SyslogFrameParser()
+    frames = []
+    for ch in (b"6", b" abc", b"def7 messag", b"e\nrest\n"):
+        frames += p2.feed(ch)
+    # the stray LF after the octet-counted frame yields an empty
+    # stuffing frame (the reference submits-on-LF; listeners skip
+    # empty messages)
+    assert [f[0] for f in frames] == [b"abcdef", b"message", b"", b"rest"]
+
+    # Cisco ASA SP before the next frame is swallowed
+    p3 = SyslogFrameParser()
+    assert [f[0] for f in p3.feed(b"3 abc 3 def")] == [b"abc", b"def"]
+
+    # non-SP delimiter after the count: error recorded, stream continues
+    p4 = SyslogFrameParser()
+    out = p4.feed(b"0 \n")
+    assert out[0][2] and "invalid octet count" in out[0][2]
+
+    # close-flush: unterminated stuffing frame is the last message
+    p5 = SyslogFrameParser()
+    assert p5.feed(b"partial msg") == []
+    assert p5.flush() == b"partial msg"
+
+
+def test_imtcp_imudp_omfwd_roundtrip(spark, tmp_path):
+    """omfwd_send → SyslogTcpListener/SyslogUdpListener over real
+    sockets: both framings and UDP datagrams arrive byte-identical in
+    the spool the streaming reader consumes."""
+    from rsyslog_spark.net import (
+        SyslogTcpListener, SyslogUdpListener, omfwd_send,
+    )
+    from rsyslog_spark.sinks import omfwd_frame
+    import time
+
+    msgs = [(13, f"host{i}", f"app{i}:", f" event {i}") for i in range(40)]
+    df = spark.createDataFrame(
+        msgs, "pri int, hostname string, syslogtag string, msg string"
+    ).withColumns(
+        {"facility": (F.col("pri") / 8).cast("int"),
+         "severity": F.col("pri") % 8,
+         "timereported_str": F.lit("2024-01-01T00:00:00Z")}
+    ).coalesce(1)
+
+    tcp_spool = str(tmp_path / "tcp")
+    lst = SyslogTcpListener(tcp_spool)
+    try:
+        n1 = omfwd_send(
+            omfwd_frame(df, framing="octet-counted"),
+            "127.0.0.1", lst.port,
+        )
+        n2 = omfwd_send(
+            omfwd_frame(df, framing="octet-stuffing"),
+            "127.0.0.1", lst.port,
+        )
+        assert n1 == 40 and n2 == 40
+        for _ in range(100):
+            if lst.n_received >= 80:
+                break
+            time.sleep(0.05)
+        assert lst.n_received == 80 and not lst.framing_errors
+        got = [r.value for r in spark.read.text(tcp_spool + "/*.log").collect()]
+        assert len(got) == 80
+        assert sum("host7" in g and "event 7" in g for g in got) == 2
+    finally:
+        lst.close()
+
+    udp_spool = str(tmp_path / "udp")
+    ul = SyslogUdpListener(udp_spool)
+    try:
+        n3 = omfwd_send(
+            omfwd_frame(df, framing="octet-stuffing"),
+            "127.0.0.1", ul.port, protocol="udp",
+        )
+        assert n3 == 40
+        for _ in range(100):
+            if ul.n_received >= 40:
+                break
+            time.sleep(0.05)
+        assert ul.n_received == 40
+    finally:
+        ul.close()
