@@ -104,6 +104,41 @@ class SyslogFrameParser:
         return None
 
 
+def compress_message(msg: bytes, level: int = 6) -> bytes:
+    """Sender side of the legacy syslog compression extension: 'z' +
+    zlib stream (what uncompressMessage expects)."""
+    import zlib
+
+    return b"z" + zlib.compress(msg, level)
+
+
+def uncompress_message(
+    msg: bytes, max_line: int = 64 * 1024
+) -> tuple[bytes | None, str | None]:
+    """runtime/parser.c:262 uncompressMessage: a message whose first
+    byte is 'z' is zlib-compressed; inflate it with a hard output cap
+    (the reference refuses to inflate beyond iMaxLine — decompression
+    bombs are a DoS vector). Returns (message, error): a failed or
+    over-limit inflate drops the message (None) with the error noted,
+    exactly the reference's log-and-ignore. Non-'z' messages pass
+    through untouched."""
+    import zlib
+
+    if not msg or msg[0:1] != b"z":
+        return msg, None
+    try:
+        d = zlib.decompressobj()
+        out = d.decompress(msg[1:], max_line + 1)
+        if len(out) > max_line or d.unconsumed_tail:
+            return None, (
+                f"uncompressed message exceeds max line {max_line} "
+                "- message ignored"
+            )
+        return out, None
+    except zlib.error as e:
+        return None, f"uncompression of a message failed ({e}) - ignored"
+
+
 class _SpoolWriter:
     def __init__(self, spool_dir: str, prefix: str,
                  rotate_every: int) -> None:
@@ -145,12 +180,14 @@ class SyslogTcpListener:
     for the streaming reader."""
 
     def __init__(self, spool_dir: str, host: str = "127.0.0.1",
-                 port: int = 0, rotate_every: int = 10_000) -> None:
+                 port: int = 0, rotate_every: int = 10_000,
+                 support_compression: bool = True) -> None:
         import socket as socketlib
         import threading
 
         self.spool_dir = spool_dir
         self.rotate_every = rotate_every
+        self.support_compression = support_compression
         self.n_received = 0
         self.framing_errors: list[str] = []
         self._lock = threading.Lock()
@@ -204,6 +241,11 @@ class SyslogTcpListener:
                         if err:
                             with self._lock:
                                 self.framing_errors.append(err)
+                        if msg and self.support_compression:
+                            msg, zerr = uncompress_message(msg)
+                            if zerr:
+                                with self._lock:
+                                    self.framing_errors.append(zerr)
                         if msg:
                             spool.write(msg)
                             with self._lock:

@@ -189,3 +189,50 @@ def test_imtcp_imudp_omfwd_roundtrip(spark, tmp_path):
         assert ul.n_received == 40
     finally:
         ul.close()
+
+
+def test_uncompress_message_and_listener(tmp_path):
+    """runtime/parser.c:262 legacy compression: 'z'+zlib messages
+    inflate (with the DoS size cap); failures drop the message with
+    the reference's log-and-ignore."""
+    import socket
+    import time
+    import zlib
+
+    from rsyslog_spark.net import (
+        SyslogTcpListener, compress_message, uncompress_message,
+    )
+
+    msg = b"<13>Jan  1 00:00:00 h tag: compressed payload " + b"x" * 200
+    z = compress_message(msg)
+    assert z[0:1] == b"z"
+    assert uncompress_message(z) == (msg, None)
+    # pass-through for plain messages
+    assert uncompress_message(b"plain") == (b"plain", None)
+    # inflate bomb capped
+    bomb = compress_message(b"A" * 100_000)
+    out, err = uncompress_message(bomb, max_line=1024)
+    assert out is None and "max line" in err
+    # garbage after 'z' → dropped with error
+    out2, err2 = uncompress_message(b"znot zlib at all")
+    assert out2 is None and "failed" in err2
+
+    spool = str(tmp_path / "ztcp")
+    lst = SyslogTcpListener(spool)
+    try:
+        s = socket.create_connection(("127.0.0.1", lst.port))
+        frame = str(len(z)).encode() + b" " + z
+        s.sendall(frame + b"<14>plain one\n")
+        s.close()
+        for _ in range(100):
+            if lst.n_received >= 2:
+                break
+            time.sleep(0.05)
+        got = []
+        import glob
+
+        for fp in glob.glob(spool + "/*.log"):
+            got += open(fp, "rb").read().splitlines()
+        assert msg in got and b"<14>plain one" in got
+    finally:
+        lst.close()
