@@ -234,6 +234,10 @@ def _bench_queries(spark, tokens_path: str) -> tuple[dict[str, float], dict]:
         # r3: single-pass rulebase extraction (one regexp_replace per
         # rule, see mm.mmnormalize)
         "mmnormalize",
+        # r5 curation ops: the shuffle-heavy global line dedup and the
+        # applyInPandas greedy packer
+        "line_dedup",
+        "seq_pack",
     ):
         jobs[name] = lambda n=name: qs[n](spark, SF_DIR).count()
 
