@@ -159,6 +159,8 @@ BEST_KNOWN = {
     "ratelimit": 0.57,
     "doc_token_stats": 0.21,
     "mmnormalize": 0.54,
+    "line_dedup": 0.31,
+    "seq_pack": 0.53,
 }
 REMEASURE_TRIP = 1.5
 
