@@ -102,6 +102,11 @@ class Env:
         if props:
             self.props.update(props)
         self.locals: dict[str, tuple[Column, str]] = {}
+        # r5: `set $!path` support — the CURRENT (possibly rewritten)
+        # message tree Column; None = the raw `cee` column. SSA like
+        # locals: every write produces a new conditional Column.
+        self.cee: Column | None = None
+        self.tree_written = False
         self.lookups: dict[str, object] = {}  # name → LookupTable
         self.templates: dict[str, str] = {}  # name → template string
         # name → pre-compiled Column (list/subtree template objects)
@@ -129,13 +134,23 @@ class Env:
             return F.lit(""), "S"
         if name.startswith("$!"):
             path = [p for p in name[2:].split("!") if p]
-            col = F.col("cee")
+            col = self.cee if self.cee is not None else F.col("cee")
             if not path:  # whole tree: keep the map column as-is
                 return col, "M"
-            for p in path:
-                col = F.try_element_at(col, F.lit(p))
+            # flat key first ('a!b' — where `set $!a!b` writes land),
+            # then the nested-JSON fallback: mmjsonparse keeps nested
+            # objects as JSON STRINGS under the top key, so $!a!b
+            # reads get_json_object(tree['a'], '$.b') (r5; chained
+            # element_at on a string value was an analysis error)
+            flat = F.try_element_at(col, F.lit("!".join(path)))
+            if len(path) > 1:
+                nested = F.get_json_object(
+                    F.try_element_at(col, F.lit(path[0])),
+                    "$." + ".".join(path[1:]),
+                )
+                flat = F.coalesce(flat, nested)
             # missing CEE path → "" (var2String), not NULL
-            return F.coalesce(col, F.lit("")), "S"
+            return F.coalesce(flat, F.lit("")), "S"
         if name in self.props:
             cname, tag = self.props[name]
             return (F.col(cname) if isinstance(cname, str) else cname), tag

@@ -94,8 +94,36 @@ def _walk(stmts: list, pc: Column, state: _State, depth: int = 0) -> None:
                 _walk(st[3], pc & ~cond, state, depth)
         elif kind == "set":
             var = st[1]
+            if var.startswith("$!"):
+                # r5: writes into the message tree (msgAddJSON) — the
+                # flat map gets key 'a!b'; reads resolve it first
+                from rsyslog_spark.rules.compiler import _to_str
+
+                key = var[2:].strip("!")
+                if not key:
+                    raise ValueError("cannot set the whole $! tree")
+                new, tag = _compile(_scalarize(st[2]), state.env)
+                eff = pc & state.live
+                tree = (
+                    state.env.cee
+                    if state.env.cee is not None else F.col("cee")
+                )
+                state.env.cee = F.when(
+                    eff,
+                    F.map_concat(  # LAST_WIN dedup = upsert
+                        F.coalesce(
+                            tree,
+                            F.create_map().cast("map<string,string>"),
+                        ),
+                        F.create_map(F.lit(key), _to_str(new, tag)),
+                    ),
+                ).otherwise(tree)
+                state.env.tree_written = True
+                continue
             if not var.startswith("$."):
-                raise ValueError(f"can only set local $. variables, got {var}")
+                raise ValueError(
+                    f"can only set $. locals or $! tree keys, got {var}"
+                )
             name = var[2:]
             new, tag = _compile(_scalarize(st[2]), state.env)
             old = state.env.locals.get(name)
@@ -106,7 +134,21 @@ def _walk(stmts: list, pc: Column, state: _State, depth: int = 0) -> None:
                 col = F.when(eff, new).otherwise(old[0])
             state.env.locals[name] = (col, tag)
         elif kind == "unset":
-            name = st[1][2:]
+            var = st[1]
+            if var.startswith("$!"):
+                key = var[2:].strip("!")
+                eff = pc & state.live
+                tree = (
+                    state.env.cee
+                    if state.env.cee is not None else F.col("cee")
+                )
+                state.env.cee = F.when(
+                    eff,
+                    F.map_filter(tree, lambda k, _v: k != F.lit(key)),
+                ).otherwise(tree)
+                state.env.tree_written = True
+                continue
+            name = var[2:]
             old = state.env.locals.get(name)
             if old is not None:
                 eff = pc & state.live
@@ -371,7 +413,14 @@ class Router:
 
     def apply(self, df: DataFrame, keep_locals: bool = False) -> DataFrame:
         """Add one boolean ``route_<sink>`` column per action — a single
-        narrow projection, no shuffle, evaluated in one pass."""
+        narrow projection, no shuffle, evaluated in one pass. When the
+        script wrote into ``$!`` (set $!k), the ``cee`` column is
+        replaced by the rewritten tree (created as an empty map first
+        if the input has no tree yet)."""
+        if self.env.tree_written and "cee" not in df.columns:
+            df = df.withColumn(
+                "cee", F.create_map().cast("map<string,string>")
+            )
         cols = [
             F.coalesce(a.predicate, F.lit(False)).alias(f"route_{a.sink}")
             for a in self.actions
@@ -381,7 +430,12 @@ class Router:
                 col.alias(f"local_{name}")
                 for name, (col, _t) in self.env.locals.items()
             ]
-        return df.select("*", *cols)
+        base = [
+            (self.env.cee.alias("cee")
+             if c == "cee" and self.env.cee is not None else F.col(c))
+            for c in df.columns
+        ]
+        return df.select(*base, *cols)
 
     def route_counts(self, df: DataFrame) -> DataFrame:
         """Per-sink routed-row counts in ONE aggregation job (no cache,

@@ -361,3 +361,47 @@ call b
     routed = r.apply(df)
     outs = [c for c in routed.columns if c.startswith("route_out")]
     assert len(outs) == 2
+
+
+def test_set_unset_message_tree(spark):
+    """r5: `set $!key` / `unset $!key` write into the message tree
+    (msgAddJSON semantics): conditional SSA rebinds like locals, the
+    tree auto-creates on tree-less inputs, subtree templates see the
+    writes, and LAST_WIN map dedup makes repeated sets an upsert."""
+    script = """
+set $!site = "fra";
+set $!site = "ber";
+if $msg contains "a" then { set $!flag!deep = "yes"; }
+if $!flag!deep == "yes" then { action(name="flagged") }
+unset $!site;
+if $!site == "" then { action(name="nosite") }
+template(name="tree" type="subtree" subtree="$!")
+set $.render = exec_template("tree");
+action(name="all")
+"""
+    df = spark.createDataFrame([("has a",), ("nothing",)], "msg string")
+    r = Router(script)
+    rows = {x.msg: x for x in r.apply(df, keep_locals=True).collect()}
+    assert dict(rows["has a"].cee) == {"flag!deep": "yes"}
+    assert dict(rows["nothing"].cee) == {}
+    assert rows["has a"].local_render == '{"flag!deep":"yes"}'
+    counts = dict(r.route_counts(df).collect())
+    assert counts == {"flagged": 1, "nosite": 2, "all": 2}
+
+
+def test_cee_nested_read_through_json_value(spark):
+    """$!a!b reads reach INTO nested-object values (mmjsonparse keeps
+    sub-objects as JSON strings) via the get_json_object fallback —
+    previously a chained element_at analysis error."""
+    from rsyslog_spark import mm
+
+    df = spark.createDataFrame(
+        [('@cee: {"a":{"b":"42"},"c":"x"}',), ('@cee: {"c":"y"}',)],
+        "msg string",
+    )
+    p = mm.mmjsonparse(df)
+    counts = dict(Router(
+        'if $!a!b == "42" then { action(name="deep") }\n'
+        'if $!c == "y" then { action(name="top") }'
+    ).route_counts(p).collect())
+    assert counts == {"deep": 1, "top": 1}
