@@ -79,6 +79,27 @@ def q_route_counts(spark, sf):
     return flagship.route_counts(spark, sf)
 
 
+def q_tree_writes(spark, sf):
+    """r5: `set $!key` message-tree writes end-to-end — conditional
+    tree mutation + unset + subtree-template render over the parsed
+    corpus; the oracle rebuilds the rendered JSON arithmetically from
+    the raw events (map key order = insertion order)."""
+    from rsyslog_spark.rules import Router
+
+    p = flagship.build_parsed(spark, sf)
+    script = """
+set $!sev = $severity;
+set $!prog = $programname;
+if $severity <= 3 then { set $!urgent = "y"; }
+unset $!prog;
+template(name="tree" type="subtree" subtree="$!")
+set $.out = exec_template("tree");
+action(name="all")
+"""
+    out = Router(script).apply(p, keep_locals=True)
+    return out.select("doc_id", F.col("local_out").alias("tree"))
+
+
 def q_agg_fac_sev_source(spark, sf):
     p = flagship.build_parsed(spark, sf)
     return agg.salted_counts(p, ["facility", "severity", "source"]).select(
@@ -1427,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_roundtrip": q_token_roundtrip,
         "route_counts": q_route_counts,
         "agg_fac_sev_source": q_agg_fac_sev_source,
+        "tree_writes": q_tree_writes,
         "dynstats_prog": q_dynstats_prog,
         "dynstats_capped": q_dynstats_capped,
         "dynstats_stream": q_dynstats_stream,
@@ -1584,6 +1606,13 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'routed_urgent',
                    CAST(count(*) FILTER (WHERE {sev} <= 3) AS BIGINT)
+            FROM events
+        """,
+        "tree_writes": f"""
+            SELECT {O['doc_id']} AS doc_id,
+                   '{{"sev":"' || CAST({O['severity']} AS VARCHAR) ||
+                   CASE WHEN {O['severity']} <= 3
+                        THEN '","urgent":"y"}}' ELSE '"}}' END AS tree
             FROM events
         """,
         "agg_fac_sev_source": f"""
