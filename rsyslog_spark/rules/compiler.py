@@ -360,9 +360,18 @@ def _compile_call(name: str, args: list, env: Env) -> tuple[Column, str]:
         # CEE paths raw — a missing key is absent, an empty value exists
         if args[0][0] == "var" and args[0][1].startswith("$!"):
             path = [p for p in args[0][1][2:].split("!") if p]
-            c = F.col("cee")
-            for p in path:
-                c = F.try_element_at(c, F.lit(p))
+            tree = env.cee if env.cee is not None else F.col("cee")
+            # flat key first (where `set $!a!b` writes land), nested-
+            # JSON fallback — same scheme as resolve (r5)
+            c = F.try_element_at(tree, F.lit("!".join(path)))
+            if len(path) > 1:
+                c = F.coalesce(
+                    c,
+                    F.get_json_object(
+                        F.try_element_at(tree, F.lit(path[0])),
+                        "$." + ".".join(path[1:]),
+                    ),
+                )
             return c.isNotNull(), "B"
         if args[0][0] == "var" and args[0][1].startswith("$."):
             # per-row: a conditionally-set local exists only on rows

@@ -405,3 +405,24 @@ def test_cee_nested_read_through_json_value(spark):
         'if $!c == "y" then { action(name="top") }'
     ).route_counts(p).collect())
     assert counts == {"deep": 1, "top": 1}
+
+
+def test_exists_sees_tree_writes(spark):
+    """exists($!k) must observe earlier `set $!k` writes and reach
+    nested JSON values, consistent with reads."""
+    from rsyslog_spark import mm
+
+    df = spark.createDataFrame(
+        [('@cee: {"a":{"b":"1"}}',), ("plain",)], "msg string"
+    )
+    p = mm.mmjsonparse(df)
+    script = """
+if $msg contains "plain" then { set $!mark = ""; }
+if exists($!mark) then { action(name="marked") }
+if exists($!a!b) then { action(name="nested") }
+if exists($!ghost) then { action(name="ghost") }
+"""
+    counts = dict(Router(script).route_counts(p).collect())
+    assert counts.get("marked", 0) == 1   # empty value still EXISTS
+    assert counts.get("nested", 0) == 1
+    assert counts.get("ghost", 0) == 0
