@@ -1442,6 +1442,34 @@ def q_perctile_window(spark, sf):
     )
 
 
+# fixed, operand-consistent merge table for the bpe_tokens contract
+# query (a merge's operands always have lower ranks than the merge
+# itself, like any table bpe_train would learn). Exercises depth-4
+# nesting (t a b l e -> table) and greedy rank priority ("row" takes
+# (r,o)@4 before (o,w)@11; "slow" takes (o,w)).
+BPE_MERGES = [
+    ("t", "a"), ("ta", "b"), ("l", "e"), ("tab", "le"),
+    ("r", "o"), ("ro", "w"), ("s", "t"), ("a", "st"), ("f", "ast"),
+    ("u", "e"), ("a", "n"), ("o", "w"),
+]
+
+
+def q_bpe_tokens(spark, sf):
+    """Greedy BPE tokenization stats over documents with a fixed merge
+    table (datapipe.tokenize.bpe_apply — Arrow UDF, per-batch word
+    memo, map-only). The DuckDB oracle replays the SAME greedy
+    lowest-rank-first merge loop per distinct word via a recursive CTE,
+    so token counts are compared against an independent implementation
+    of BPE, not a SQL approximation."""
+    from rsyslog_spark.datapipe.tokenize import bpe_token_stats
+
+    out = bpe_token_stats(_docs(spark, sf), BPE_MERGES)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_words", "n_bpe", "compression_permille",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_headers": q_parse_headers,
@@ -1506,6 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drain_templates": q_drain_templates,
         "token_minhash": q_token_minhash,
         "perctile_window": q_perctile_window,
+        "bpe_tokens": q_bpe_tokens,
     }
 
 
@@ -2456,4 +2485,72 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS valid
             FROM generate_series(0, 49) t(i)
         """,
+        "bpe_tokens": _bpe_oracle(),
     }
+
+
+def _bpe_oracle() -> str:
+    """Independent greedy-BPE replay in DuckDB: per DISTINCT word, a
+    recursive CTE merges the lowest-rank adjacent pair (leftmost on
+    rank ties) until no pair is in the merge map — the same priority
+    semantics as datapipe.tokenize._encode_word, implemented against
+    list primitives instead of Python. Word-level results then join
+    back to per-doc word counts. '|' is a safe pair-key separator (the
+    pre-tokenizer alphabet is [a-z0-9])."""
+    keys = ", ".join(f"'{l}|{r}'" for l, r in BPE_MERGES)
+    ranks = ", ".join(str(i) for i in range(len(BPE_MERGES)))
+    mk = f"map([{keys}], [{ranks}])"
+    return f"""
+        WITH RECURSIVE
+        wpd AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+            FROM documents
+        ),
+        wcount AS (SELECT doc_id, w, count(*) AS c FROM wpd GROUP BY 1, 2),
+        dwords AS (SELECT DISTINCT w FROM wpd),
+        bpe AS (
+            SELECT w,
+                   list_transform(range(1, length(w) + 1), i -> w[i]) AS toks,
+                   false AS done
+            FROM dwords
+            UNION ALL
+            SELECT w,
+                   CASE WHEN best IS NULL THEN toks
+                        ELSE list_concat(list_concat(toks[1:pos - 1],
+                                 [toks[pos] || toks[pos + 1]]),
+                                 toks[pos + 2:]) END,
+                   best IS NULL
+            FROM (
+                SELECT w, toks,
+                       list_min(list_filter(ranks, r -> r < 999999999))
+                           AS best,
+                       list_position(ranks,
+                           list_min(list_filter(ranks, r -> r < 999999999)))
+                           AS pos
+                FROM (
+                    SELECT w, toks,
+                           list_transform(range(1, length(toks)), i ->
+                               coalesce(map_extract({mk},
+                                   toks[i] || '|' || toks[i + 1])[1],
+                                   999999999)) AS ranks
+                    FROM bpe WHERE NOT done
+                )
+            )
+        ),
+        wl AS (SELECT w, length(toks) AS nb FROM bpe WHERE done),
+        agg AS (
+            SELECT wc.doc_id,
+                   sum(wc.c) AS n_words,
+                   sum(wc.c * wl.nb) AS n_bpe,
+                   sum(wc.c * length(wc.w)) AS n_chars
+            FROM wcount wc JOIN wl USING (w) GROUP BY 1
+        )
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+               CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+               CAST(coalesce(a.n_bpe, 0) AS BIGINT) AS n_bpe,
+               CAST(CASE WHEN coalesce(a.n_chars, 0) > 0
+                    THEN (1000 * a.n_bpe) // a.n_chars
+                    ELSE -1 END AS BIGINT) AS compression_permille
+        FROM documents d LEFT JOIN agg a ON CAST(d.doc_id AS BIGINT) = a.doc_id
+    """

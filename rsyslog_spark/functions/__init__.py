@@ -110,6 +110,11 @@ def re_extract(s, pattern, match=0, submatch=0, nomatch="") -> Column:
     return F.coalesce(got, F.lit(nomatch))
 
 
+def re_extract_i(s, pattern, match=0, submatch=0, nomatch="") -> Column:
+    """grammar/rainerscript.c:4485 — re_extract with REG_ICASE."""
+    return re_extract(s, f"(?i){pattern}", match, submatch, nomatch)
+
+
 def split(s, sep) -> Column:
     """rainerscript.c:3245-3330 — split on a literal separator to array
     (JSON array in the reference)."""
@@ -1353,15 +1358,52 @@ def exists(col) -> Column:
     return _c(col).isNotNull()
 
 
-def tocef(*parts) -> Column:
-    """rainerscript.c:3368 — CEF:0|dev_vendor|...|ext ; ext escaping of
-    '=' and '\\' per cef_ext_escape (rainerscript.c:3429)."""
-    hdr = [_c(p) for p in parts[:7]]
-    ext = parts[7] if len(parts) > 7 else F.lit("")
-    esc = F.regexp_replace(
-        F.regexp_replace(_c(ext), r"\\", r"\\\\"), "=", r"\\="
+def _cef_escape_header(col: Column) -> Column:
+    # grammar/rainerscript.c:3324 cef_escape_header: \ -> \\ , | -> \|
+    return F.regexp_replace(
+        F.regexp_replace(col, r"\\", r"\\\\"), r"\|", r"\\|"
     )
-    return F.concat(F.lit("CEF:0|"), F.concat_ws("|", *hdr), F.lit("|"), esc)
+
+
+def _cef_escape_eventclassid(col: Column) -> Column:
+    # grammar/rainerscript.c:3341 — header escapes PLUS = % # -> \= \% \#
+    c = _cef_escape_header(col)
+    for ch in "=%#":
+        c = F.regexp_replace(c, ch, "\\\\" + ch)
+    return c
+
+
+def cef_ext_escape(value) -> Column:
+    """grammar/rainerscript.c:3429 doFunct_cef_ext_escape — escape ONE
+    CEF extension VALUE: \\ -> \\\\, = -> \\=, LF -> literal '\\n',
+    CR -> literal '\\r'. tocef() appends extensions verbatim; callers
+    wrap dynamic values in this."""
+    c = F.regexp_replace(_c(value), r"\\", r"\\\\")
+    c = F.regexp_replace(c, "=", r"\\=")
+    c = F.regexp_replace(c, "\n", r"\\n")
+    return F.regexp_replace(c, "\r", r"\\r")
+
+
+def tocef(*parts) -> Column:
+    """grammar/rainerscript.c:3351 doFunct_tocef —
+    tocef(version, vendor, product, devversion, eventclassid, name,
+    severity, extensions): 'CEF:' + 7 pipe-delimited escaped header
+    fields + '|' + extensions VERBATIM (:3400 'extensions - verbatim';
+    escaping extension values is the caller's job via cef_ext_escape).
+    eventclassid gets the stricter escape set (:3335)."""
+    args = list(parts) + [F.lit("")] * (8 - len(parts))
+    version = F.coalesce(_c(args[0]), F.lit("0"))
+    version = F.when(version == "", F.lit("0")).otherwise(version)
+    hdr = [_cef_escape_header(version)]
+    for i in (1, 2, 3):
+        hdr.append(_cef_escape_header(F.coalesce(_c(args[i]), F.lit(""))))
+    hdr.append(
+        _cef_escape_eventclassid(F.coalesce(_c(args[4]), F.lit("")))
+    )
+    for i in (5, 6):
+        hdr.append(_cef_escape_header(F.coalesce(_c(args[i]), F.lit(""))))
+    ext = F.coalesce(_c(args[7]), F.lit(""))
+    return F.concat(F.lit("CEF:"), F.concat_ws("|", *hdr), F.lit("|"), ext)
 
 
 REGISTRY = {
@@ -1373,7 +1415,8 @@ REGISTRY = {
     "pcre_match": re_match,
     # plugins/fmhttp/fmhttp.c:156 — real GET, Arrow-batched (r4)
     "http_request": http_request,
-    "re_extract": re_extract, "split": split, "b64_decode": b64_decode,
+    "re_extract": re_extract, "re_extract_i": re_extract_i,
+    "split": split, "b64_decode": b64_decode,
     "int2hex": int2hex, "cstr": cstr, "cnum": cnum, "cbool": cbool,
     "ipv42num": ipv42num, "ip42num": ipv42num, "num2ipv4": num2ipv4,
     "is_in_subnet": is_in_subnet, "format_time": format_time,
@@ -1394,5 +1437,6 @@ REGISTRY = {
     ),
     "hash64": hash64, "hash32": hash32, "hash64mod": hash64mod,
     "hash32mod": hash32mod, "random": random, "exists": exists,
-    "tocef": tocef, "append_json": append_json, "get_property": get_property,
+    "tocef": tocef, "cef_ext_escape": cef_ext_escape,
+    "append_json": append_json, "get_property": get_property,
 }

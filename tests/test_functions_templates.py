@@ -89,15 +89,38 @@ def test_casts(one):
 
 
 def test_tocef(one):
+    # grammar/rainerscript.c:3351 — headers escaped (\ |), eventclassid
+    # additionally (= % #), extensions VERBATIM (:3400)
     got = ev(
         one,
         fn.tocef(
-            F.lit("Vendor"), F.lit("Prod"), F.lit("1.0"), F.lit("42"),
-            F.lit("name"), F.lit("5"), F.lit(""), F.lit("k=v\\x"),
+            F.lit("0"), F.lit("Ven|dor"), F.lit("Prod"), F.lit("1.0"),
+            F.lit("id=4#2"), F.lit("name"), F.lit("5"), F.lit("k=v\\x"),
         ),
     )
-    assert got.startswith("CEF:0|Vendor|Prod|1.0|42|name|5|")
-    assert "k\\=v\\\\x" in got
+    assert got == "CEF:0|Ven\\|dor|Prod|1.0|id\\=4\\#2|name|5|k=v\\x"
+
+
+def test_tocef_version_default_and_ext_escape(one):
+    # NULL/empty version -> "0" (rainerscript.c:3388)
+    got = ev(
+        one,
+        fn.tocef(
+            F.lit(""), F.lit("V"), F.lit("P"), F.lit("1"),
+            F.lit("c"), F.lit("n"), F.lit("5"),
+            fn.cef_ext_escape(F.lit("k=a\\b\nc\rd")),
+        ),
+    )
+    assert got == "CEF:0|V|P|1|c|n|5|k\\=a\\\\b\\nc\\rd"
+
+
+def test_re_extract_i(one):
+    assert ev(
+        one, fn.re_extract_i(F.lit("Error 42"), r"error (\d+)", 0, 1)
+    ) == "42"
+    assert ev(
+        one, fn.re_extract_i(F.lit("nope"), r"error (\d+)", 0, 1, "miss")
+    ) == "miss"
 
 
 # ---------------- templates ----------------
