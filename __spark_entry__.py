@@ -1470,6 +1470,45 @@ def q_bpe_tokens(spark, sf):
     )
 
 
+def q_global_vars(spark, sf):
+    """`$/` global variables (rules/globals.py): a RainerScript
+    accumulator script compiled to window aggregates — running count,
+    conditional running count, running sum, and last-set value over a
+    single logical store ordered by event_id (the reference's
+    one-worker semantics; worker_col shards the store at scale).
+    Everything stays JVM-side: no interpreter, no Python."""
+    from rsyslog_spark.rules.compiler import Env
+    from rsyslog_spark.rules.router import Router
+
+    ev = _events(spark, sf).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    env = Env(props={
+        "$event_type": ("event_type", "S"),
+        "$user_id": (F.col("user_id").cast("string"), "S"),
+        "$value_cents": ("cents", "N"),
+    })
+    script = """
+    set $/n = $/n + 1;
+    if $event_type == "click" then {
+        set $/clicks = $/clicks + 1;
+        set $/last_click_user = $user_id;
+    }
+    set $/cents = $/cents + $value_cents;
+    action(name="out")
+    """
+    r = Router(script, env, globals_order="event_id")
+    out = r.apply(ev)
+    return out.where("route_out").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        env.resolve("$/n")[0].cast("long").alias("n_so_far"),
+        F.coalesce(env.resolve("$/clicks")[0].cast("long"), F.lit(0))
+        .alias("clicks_so_far"),
+        env.resolve("$/cents")[0].cast("long").alias("cents_so_far"),
+        env.resolve("$/last_click_user")[0].alias("last_click_user"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_headers": q_parse_headers,
@@ -1535,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_minhash": q_token_minhash,
         "perctile_window": q_perctile_window,
         "bpe_tokens": q_bpe_tokens,
+        "global_vars": q_global_vars,
     }
 
 
@@ -2486,6 +2526,21 @@ def oracle_sql() -> dict[str, str]:
             FROM generate_series(0, 49) t(i)
         """,
         "bpe_tokens": _bpe_oracle(),
+        "global_vars": """
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(row_number() OVER w AS BIGINT) AS n_so_far,
+                   CAST(count(*) FILTER (WHERE event_type = 'click')
+                        OVER w AS BIGINT) AS clicks_so_far,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        OVER w AS BIGINT) AS cents_so_far,
+                   coalesce(last_value(
+                        CASE WHEN event_type = 'click'
+                             THEN CAST(user_id AS VARCHAR) END
+                        IGNORE NULLS) OVER w, '') AS last_click_user
+            FROM events
+            WINDOW w AS (ORDER BY event_id
+                         ROWS UNBOUNDED PRECEDING)
+        """,
     }
 
 

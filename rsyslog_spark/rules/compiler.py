@@ -114,8 +114,21 @@ class Env:
         # predicate of the most recently compiled action — feeds
         # previous_action_suspended() (set by the router's _walk)
         self.last_action_pred: Column | None = None
+        # r5: `$/` globals → window aggregates (rules/globals.py).
+        # Populated by the router's collect pass; globals_final flips
+        # for the real pass; global_set_passed tracks program points.
+        self.globals: dict[str, object] = {}
+        self.global_set_passed: dict[str, bool] = {}
+        self.globals_final = False
+        self.global_placeholder_read = False
+        self.globals_order_col: str | None = None
+        self.globals_worker_col: str | None = None
 
     def resolve(self, name: str) -> tuple[Column, str]:
+        if name.startswith("$/"):
+            from rsyslog_spark.rules.globals import resolve_global
+
+            return resolve_global(self, name[2:])
         if name.lower() in _SYS_PROPS:
             return _SYS_PROPS[name.lower()]()
         if name.startswith("$."):

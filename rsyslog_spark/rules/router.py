@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from rsyslog_spark.rules.compiler import Env, _compile, _scalarize
+from rsyslog_spark.rules.globals import _contains_global
 from rsyslog_spark.rules.rscript import parse_script
 
 MAX_CALL_DEPTH = 1024  # ruleset.c:64
@@ -61,6 +62,10 @@ class _State:
         # registry fan-out skips these (a cycle cannot be inlined;
         # the reference bounds runtime recursion at depth 1024)
         self.walking: set[str] = set()
+        # r5 `$/` globals: True during the collect pass that compiles
+        # window specs for `set $/` (rules/globals.py); the real pass
+        # then only flips program-point flags
+        self.collect = False
 
 
 def _sanitize_sink(name: str) -> str:
@@ -94,6 +99,38 @@ def _walk(stmts: list, pc: Column, state: _State, depth: int = 0) -> None:
                 _walk(st[3], pc & ~cond, state, depth)
         elif kind == "set":
             var = st[1]
+            if var.startswith("$/"):
+                # global store → window aggregates (rules/globals.py)
+                gname = var[2:]
+                if not state.collect:
+                    state.env.global_set_passed[gname] = True
+                    continue
+                if gname in state.env.globals:
+                    raise ValueError(
+                        f"multiple 'set $/{gname}' statements — the "
+                        "window mapping is single-assignment per name "
+                        "(rules/globals.py)"
+                    )
+                if state.env.global_placeholder_read:
+                    raise ValueError(
+                        "a $/ read is compiled before the first $/ "
+                        "write; write-then-read order is required "
+                        "(rules/globals.py)"
+                    )
+                if state.env.globals_order_col is None:
+                    raise ValueError(
+                        "script writes $/ globals: compile with "
+                        "globals_order=<column> (and optionally "
+                        "globals_worker=) — rules/globals.py"
+                    )
+                from rsyslog_spark.rules.globals import compile_global_set
+
+                state.env.globals[gname] = compile_global_set(
+                    gname, st[2], pc & state.live, state.env,
+                    state.env.globals_order_col,
+                    state.env.globals_worker_col,
+                )
+                continue
             if var.startswith("$!"):
                 # r5: writes into the message tree (msgAddJSON) — the
                 # flat map gets key 'a!b'; reads resolve it first
@@ -135,6 +172,11 @@ def _walk(stmts: list, pc: Column, state: _State, depth: int = 0) -> None:
             state.env.locals[name] = (col, tag)
         elif kind == "unset":
             var = st[1]
+            if var.startswith("$/"):
+                raise ValueError(
+                    "unset of $/ globals is unsupported (single-"
+                    "assignment window mapping, rules/globals.py)"
+                )
             if var.startswith("$!"):
                 key = var[2:].strip("!")
                 eff = pc & state.live
@@ -341,29 +383,55 @@ def _compile_foreach(st, pc: Column, state: _State) -> None:
 
 
 def compile_routes(
-    script: str | list, env: Env | None = None, entry: str | None = None
+    script: str | list, env: Env | None = None, entry: str | None = None,
+    globals_order: str | None = None, globals_worker: str | None = None,
 ) -> tuple[list[Action], Env]:
     """Compile a RainerScript routing program.
 
     Top-level ``ruleset(name=...){...}`` blocks are registered; the
     entry point is ``entry`` if given, else a ruleset named "main",
     else the bare top-level statements.
+
+    ``globals_order``/``globals_worker``: required when the script
+    writes ``$/`` globals — the total order (and optional worker-store
+    shard key) for the window mapping (rules/globals.py). Scripts with
+    globals compile in two passes: a collect pass builds each global's
+    window spec at its ``set`` site (with path condition, liveness and
+    locals all in scope), then the real pass resolves reads against
+    those specs by program point.
     """
     stmts = parse_script(script) if isinstance(script, str) else script
     env = env or Env()
-    state = _State(env)
-    top = [s for s in stmts if s[0] != "ruleset"]
-    for s in stmts:
-        if s[0] == "ruleset":
-            state.rulesets[s[1]] = s[2]
-    if entry is not None:
-        program = state.rulesets[entry]
-        state.walking.add(entry)
-    else:
-        program = state.rulesets.get("main", top)
-        if "main" in state.rulesets:
-            state.walking.add("main")
-    _walk(program, F.lit(True), state)
+    env.globals_order_col = globals_order
+    env.globals_worker_col = globals_worker
+
+    def _run_pass(collect: bool) -> _State:
+        state = _State(env)
+        state.collect = collect
+        for s in stmts:
+            if s[0] == "ruleset":
+                state.rulesets[s[1]] = s[2]
+        if entry is not None:
+            program = state.rulesets[entry]
+            state.walking.add(entry)
+        else:
+            program = state.rulesets.get("main",
+                                         [x for x in stmts
+                                          if x[0] != "ruleset"])
+            if "main" in state.rulesets:
+                state.walking.add("main")
+        _walk(program, F.lit(True), state)
+        return state
+
+    if _contains_global(stmts):
+        _run_pass(collect=True)
+        # reset per-pass compilation state; keep the compiled globals
+        env.globals_final = True
+        env.locals.clear()
+        env.cee = None
+        env.tree_written = False
+        env.last_action_pred = None
+    state = _run_pass(collect=False)
     # a sink reached from several inlined call sites (call_indirect
     # fan-out, repeated call) would otherwise emit duplicate
     # route_<sink> columns — OR-merge them, the same "two rulesets
@@ -404,8 +472,13 @@ def compile_routes(
 class Router:
     """Applies compiled routes to a DataFrame as boolean columns."""
 
-    def __init__(self, script: str, env: Env | None = None):
-        self.actions, self.env = compile_routes(script, env)
+    def __init__(self, script: str, env: Env | None = None,
+                 globals_order: str | None = None,
+                 globals_worker: str | None = None):
+        self.actions, self.env = compile_routes(
+            script, env,
+            globals_order=globals_order, globals_worker=globals_worker,
+        )
 
     @property
     def sinks(self) -> list[str]:
