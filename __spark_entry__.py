@@ -1509,6 +1509,21 @@ def q_global_vars(spark, sf):
     )
 
 
+def q_dup_spans(spark, sf):
+    """Exact-substring duplicate-span removal (Lee et al. ExactSubstr,
+    word-13-gram granularity): non-first occurrences of any duplicated
+    13-gram are masked out; output has per-doc removal stats plus an
+    md5 of the surviving text. Planted exact-duplicate docs (negative
+    ids) make removal deterministic; the DuckDB oracle recomputes the
+    whole pipeline independently (window first-occurrence + list
+    masking). hashed=False so grams stay SQL-comparable."""
+    from rsyslog_spark.datapipe.dedup import duplicate_span_stats
+
+    return duplicate_span_stats(
+        _docs_with_planted(spark, sf), k=13, hashed=False
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_headers": q_parse_headers,
@@ -1575,6 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perctile_window": q_perctile_window,
         "bpe_tokens": q_bpe_tokens,
         "global_vars": q_global_vars,
+        "dup_spans": q_dup_spans,
     }
 
 
@@ -2526,6 +2542,70 @@ def oracle_sql() -> dict[str, str]:
             FROM generate_series(0, 49) t(i)
         """,
         "bpe_tokens": _bpe_oracle(),
+        "dup_spans": r"""
+            WITH pb AS (SELECT i FROM generate_series(0, 9) t(i)),
+            planted AS (
+                SELECT CAST(-(2*i + 1) AS BIGINT) AS doc_id,
+                       array_to_string(list_transform(range(0, 40),
+                           j -> 'pz' || i || 'q' || j), ' ') AS text
+                FROM pb
+                UNION ALL
+                SELECT CAST(-(2*i + 2) AS BIGINT),
+                       upper(array_to_string(list_transform(range(0, 40),
+                           j -> 'pz' || i || 'q' || j), '  '))
+                FROM pb
+                UNION ALL
+                SELECT CAST(-(100 + i) AS BIGINT),
+                       array_to_string(list_concat(
+                           list_transform(range(0, 20),
+                               j -> 'pz' || i || 'q' || j),
+                           list_transform(range(1000, 1020),
+                               j -> 'pz' || i || 'q' || j)), ' ')
+                FROM pb
+            ),
+            corpus AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+                FROM documents
+                UNION ALL SELECT doc_id, text FROM planted
+            ),
+            norm AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text),
+                           '\s+', ' ', 'g')), ' ') AS w
+                FROM corpus
+            ),
+            g AS (
+                SELECT doc_id, i AS pos,
+                       array_to_string(w[i:i+12], ' ') AS sh
+                FROM norm, LATERAL unnest(generate_series(
+                    1, greatest(len(w) - 12, 1))) AS t(i)
+            ),
+            marked AS (
+                SELECT doc_id, pos,
+                       row_number() OVER (PARTITION BY sh
+                           ORDER BY doc_id, pos) AS rn,
+                       count(*) OVER (PARTITION BY sh) AS cnt
+                FROM g
+            ),
+            starts AS (
+                SELECT doc_id, list(pos ORDER BY pos) AS ss
+                FROM marked WHERE cnt > 1 AND rn > 1 GROUP BY doc_id
+            ),
+            outp AS (
+                SELECT n.doc_id, n.w,
+                       coalesce(s.ss, CAST([] AS BIGINT[])) AS ss,
+                       list_filter(n.w, (x, j) -> len(list_filter(
+                           coalesce(s.ss, CAST([] AS BIGINT[])),
+                           s -> s <= j AND j < s + 13)) = 0) AS kept
+                FROM norm n LEFT JOIN starts s USING (doc_id)
+            )
+            SELECT doc_id,
+                   CAST(len(w) AS BIGINT) AS n_words,
+                   CAST(len(w) - len(kept) AS BIGINT) AS n_removed,
+                   md5(coalesce(array_to_string(kept, ' '), ''))
+                       AS cleaned_fp
+            FROM outp
+        """,
         "global_vars": """
             SELECT CAST(event_id AS BIGINT) AS event_id,
                    CAST(row_number() OVER w AS BIGINT) AS n_so_far,

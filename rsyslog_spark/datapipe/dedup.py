@@ -454,6 +454,89 @@ def contamination_flags(
     )
 
 
+def duplicate_span_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 13,
+    hashed: bool = True,
+) -> DataFrame:
+    """Exact-substring duplicate-span removal (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    suffix-array ExactSubstr dedup, mapped to Spark at word-k-gram
+    granularity): every word position covered by a ``k``-gram whose
+    (doc, position) is NOT the corpus-wide first occurrence of that
+    k-gram is removed; the first occurrence survives.
+
+    Scale shape (the suffix-array equivalent for a shuffle engine):
+    one explode to (id, pos, gram) — the same O(total_tokens) row
+    count a suffix array indexes — then ONE groupBy(gram) keeping only
+    ``min(struct(id, pos))`` and a count (map-side combinable; a
+    mass-duplicated gram aggregates to a single row, so there is no
+    quadratic bucket problem), one join back to mark non-first
+    occurrences, one per-doc collect of duplicate span starts, and a
+    pure-Column mask rebuild. ``hashed=True`` carries 8-byte xxhash64
+    grams through the shuffle instead of ~80-char strings (the 100 TB
+    mode); ``hashed=False`` keeps raw grams (SQL-mirrorable oracle
+    mode).
+
+    Returns (id_col, n_words, n_removed, cleaned_fp) — cleaned_fp is
+    md5 of the surviving words joined by single spaces.
+    """
+    words = F.split(_norm_text(F.col(text_col)), " ")
+    base = docs.select(
+        F.col(id_col).cast("long").alias("id"), words.alias("w")
+    )
+    ex = base.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.col("w"),
+                lambda _w, i: F.when(
+                    i <= F.greatest(F.size("w") - k, F.lit(0)),
+                    F.array_join(F.slice("w", i + 1, k), " "),
+                ),
+            )
+        ).alias("pos", "sh"),
+    ).where(F.col("sh").isNotNull())
+    if hashed:
+        ex = ex.select("id", "pos", F.xxhash64("sh").alias("sh"))
+    firsts = (
+        ex.groupBy("sh")
+        .agg(
+            F.min(F.struct("id", "pos")).alias("first"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .where(F.col("cnt") > 1)
+        .select("sh", "first")
+    )
+    dup_starts = (
+        ex.join(firsts, "sh")
+        .where(
+            (F.col("id") != F.col("first.id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
+    )
+    joined = base.join(dup_starts, "id", "left").select(
+        "id", "w",
+        F.coalesce("starts", F.array().cast("array<int>")).alias("starts"),
+    )
+    cleaned = F.filter(
+        F.col("w"),
+        lambda _w, i: ~F.exists(
+            F.col("starts"), lambda s: (s <= i) & (i < s + k)
+        ),
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.size("w").cast("long").alias("n_words"),
+        (F.size("w") - F.size(cleaned)).cast("long").alias("n_removed"),
+        F.md5(F.array_join(cleaned, " ")).alias("cleaned_fp"),
+    )
+
+
 def word_hashes(col: Column) -> Column:
     """xxhash64 of each word of normalized text."""
     return F.transform(

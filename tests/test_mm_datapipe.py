@@ -1222,3 +1222,58 @@ def test_real_media_decoders(spark):
     out_img = decode_pnm(bytes(res["ppm1"].payload))
     assert (out_img == resize_nearest(img, 3, 2)).all()
     assert res["jpg1"].payload is not None  # stub path still flows
+
+
+def test_duplicate_span_stats_first_occurrence_kept(spark):
+    from rsyslog_spark.datapipe.dedup import duplicate_span_stats
+
+    # doc 1 and doc 2 share a 4-word run; doc 1 is the first occurrence
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta unique1 unique2"),
+            (2, "other words alpha beta gamma delta tail1 tail2"),
+            (3, "completely fresh words here nothing shared"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_span_stats(df, k=4, hashed=False).collect()
+    }
+    assert out[1]["n_removed"] == 0
+    # doc 2: the duplicated 4-gram starts at pos 2 -> words 2..5 masked
+    assert out[2]["n_removed"] == 4
+    assert out[3]["n_removed"] == 0
+    import hashlib
+
+    assert out[2]["cleaned_fp"] == hashlib.md5(
+        b"other words tail1 tail2"
+    ).hexdigest()
+
+
+def test_duplicate_span_stats_hashed_matches_raw(spark):
+    from rsyslog_spark.datapipe.dedup import duplicate_span_stats
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} common run of words here tail{i} x y z") for i in range(6)],
+        "doc_id long, text string",
+    )
+    raw = duplicate_span_stats(df, k=5, hashed=False).orderBy("doc_id")
+    hsh = duplicate_span_stats(df, k=5, hashed=True).orderBy("doc_id")
+    assert [r.asDict() for r in raw.collect()] == [
+        r.asDict() for r in hsh.collect()
+    ]
+
+
+def test_duplicate_span_stats_self_repetition(spark):
+    from rsyslog_spark.datapipe.dedup import duplicate_span_stats
+
+    # a doc repeating its own 3-gram: second occurrence masked
+    df = spark.createDataFrame(
+        [(1, "a b c a b c")], "doc_id long, text string"
+    )
+    [r] = duplicate_span_stats(df, k=3, hashed=False).collect()
+    assert r["n_words"] == 6 and r["n_removed"] == 3
+    import hashlib
+
+    assert r["cleaned_fp"] == hashlib.md5(b"a b c").hexdigest()
