@@ -1524,6 +1524,89 @@ def q_dup_spans(spark, sf):
     )
 
 
+def q_url_filter(spark, sf):
+    """C4-style URL blocklist filter (curation.url_filter): a
+    deterministic per-doc URL (subdomain + multi-label co.uk suffixes)
+    is cut to its PSL registered domain via faup_domain and gated on a
+    blocklist; blocking a registered domain blocks its subdomains.
+    The oracle derives the same URL arithmetically and maps hosts to
+    registered domains by the PSL rule spelled out as CASE arms — so
+    the Spark side's actual PSL walk is checked against an independent
+    statement of the expected eTLD+1 cuts."""
+    from rsyslog_spark.datapipe.curation import url_filter
+
+    d = _docs(spark, sf).select(F.col("doc_id").cast("long").alias("doc_id"))
+    sub = F.concat(
+        F.lit("s"), (F.col("doc_id") % 4).cast("string")
+    )
+    apex = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("example.com"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("sample.co.uk"))
+        .otherwise(F.lit("tracker.org"))
+    )
+    d = d.withColumn(
+        "_url",
+        F.concat(F.lit("https://"), sub, F.lit("."), apex,
+                 F.lit("/p/"), F.col("doc_id").cast("string")),
+    )
+    out = url_filter(
+        d, blocked_domains=["tracker.org", "sample.co.uk"], url_col="_url"
+    )
+    return out.select("doc_id", "url_domain", "url_blocked")
+
+
+def q_curation_pipeline(spark, sf):
+    """Composite curation pipeline — quality gate → exact dedup
+    (first-win per fingerprint among survivors) → benchmark
+    decontamination — composed in ONE job: per-doc keep flags are
+    plain Columns, so the whole pipeline is a single scan + one
+    contamination semi-join + one final aggregate (no intermediate
+    materialization). Output is the per-stage survivor funnel."""
+    from pyspark.sql import Window
+    from rsyslog_spark.datapipe.dedup import _norm_text, contamination_flags
+    from rsyslog_spark.datapipe.textstats import corpus_filter
+
+    d = _docs(spark, sf).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    # three planted English duplicate pairs (negative ids) so the
+    # exact-dedup stage provably removes rows: natural sf corpora have
+    # no full-text duplicates after normalization
+    pairs = [
+        "the data and the table are in the same group for the test run",
+        "the fast scan and the slow merge share the same key in the plan",
+        "the batch and the stream write to the same sink for the query",
+    ]
+    planted = spark.createDataFrame(
+        [(-(2 * i + 1), t) for i, t in enumerate(pairs)]
+        + [(-(2 * i + 2), t) for i, t in enumerate(pairs)],
+        "doc_id long, text string",
+    )
+    d = d.unionByName(planted)
+    q = corpus_filter(
+        d, min_words=8, max_words=5000,
+        min_alpha_ratio=0.6, max_punct_ratio=0.1,
+    ).select("doc_id", "text", F.col("keep").alias("keep_q"))
+    first_kept = F.min(
+        F.when(F.col("keep_q"), F.col("doc_id"))
+    ).over(Window.partitionBy(F.md5(_norm_text(F.col("text")))))
+    q = q.withColumn(
+        "keep_d", F.col("keep_q") & (F.col("doc_id") == first_kept)
+    )
+    cont = contamination_flags(
+        d, d.where((F.col("doc_id") >= 0) & (F.col("doc_id") < 5)),
+        hashed=False,
+    )
+    return q.join(cont, "doc_id").agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(F.col("keep_q").cast("long")).alias("n_quality"),
+        F.sum(F.col("keep_d").cast("long")).alias("n_dedup"),
+        F.sum(
+            (F.col("keep_d") & ~F.col("contaminated")).cast("long")
+        ).alias("n_final"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_headers": q_parse_headers,
@@ -1591,6 +1674,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "global_vars": q_global_vars,
         "dup_spans": q_dup_spans,
+        "url_filter": q_url_filter,
+        "curation_pipeline": q_curation_pipeline,
     }
 
 
@@ -2605,6 +2690,91 @@ def oracle_sql() -> dict[str, str]:
                    md5(coalesce(array_to_string(kept, ' '), ''))
                        AS cleaned_fp
             FROM outp
+        """,
+        "curation_pipeline": f"""
+            WITH corpus AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+                FROM documents
+                UNION ALL
+                SELECT CAST(-(2*i + j) AS BIGINT),
+                       CASE i WHEN 0 THEN 'the data and the table are in '
+                            || 'the same group for the test run'
+                          WHEN 1 THEN 'the fast scan and the slow merge '
+                            || 'share the same key in the plan'
+                          ELSE 'the batch and the stream write to '
+                            || 'the same sink for the query' END
+                FROM generate_series(0, 2) t(i),
+                     generate_series(1, 2) u(j)
+            ), scored AS (
+                SELECT doc_id, text,
+                       {_lang_score('en')} AS s_en, {_lang_score('es')} AS s_es,
+                       {_lang_score('de')} AS s_de, {_lang_score('fr')} AS s_fr,
+                       len(string_split_regex(trim(text), '\\s+')) AS n_words,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                           * 1.0 / greatest(length(text), 1) AS alpha_ratio,
+                       length(regexp_replace(text,
+                           '[^!-/:-@\\[-`{{-~]', '', 'g'))
+                           * 1.0 / greatest(length(text), 1) AS punct_ratio
+                FROM corpus
+            ), lang AS (
+                SELECT *,
+                    CASE
+                        WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
+                             AND s_en > 0 THEN 'en'
+                        WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0
+                            THEN 'es'
+                        WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+                        WHEN s_fr > 0 THEN 'fr'
+                        ELSE 'und' END AS lang_pred
+                FROM scored
+            ), keepq AS (
+                SELECT doc_id, text,
+                       CASE WHEN lang_pred = 'en' AND n_words >= 8
+                                 AND n_words <= 5000
+                                 AND alpha_ratio >= 0.6
+                                 AND punct_ratio <= 0.1
+                            THEN 1 ELSE 0 END AS keep_q
+                FROM lang
+            ), dd AS (
+                SELECT doc_id, keep_q,
+                       CASE WHEN keep_q = 1 AND doc_id = min(
+                                CASE WHEN keep_q = 1 THEN doc_id END)
+                                OVER (PARTITION BY md5(trim(
+                                    regexp_replace(lower(text),
+                                                   '\\s+', ' ', 'g'))))
+                            THEN 1 ELSE 0 END AS keep_d
+                FROM keepq
+            ), norm AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text),
+                           '\\s+', ' ', 'g')), ' ') AS w
+                FROM corpus
+            ), g AS (
+                SELECT doc_id, array_to_string(w[i:i+12], ' ') AS sh
+                FROM norm, LATERAL unnest(generate_series(
+                    1, greatest(len(w) - 12, 1))) AS t(i)
+            ), bench AS (SELECT DISTINCT sh FROM g
+                         WHERE doc_id >= 0 AND doc_id < 5),
+            cont AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (sh))
+            SELECT CAST(count(*) AS BIGINT) AS n_input,
+                   CAST(sum(keep_q) AS BIGINT) AS n_quality,
+                   CAST(sum(keep_d) AS BIGINT) AS n_dedup,
+                   CAST(sum(CASE WHEN keep_d = 1 AND doc_id NOT IN
+                                 (SELECT doc_id FROM cont)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+            FROM dd
+        """,
+        "url_filter": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   -- PSL eTLD+1 of 's<k>.<apex>': example.com -> apex
+                   -- itself (suffix 'com'); sample.co.uk -> apex
+                   -- (suffix 'co.uk'); tracker.org -> apex
+                   CASE doc_id % 3
+                        WHEN 0 THEN 'example.com'
+                        WHEN 1 THEN 'sample.co.uk'
+                        ELSE 'tracker.org' END AS url_domain,
+                   (doc_id % 3) IN (1, 2) AS url_blocked
+            FROM documents
         """,
         "global_vars": """
             SELECT CAST(event_id AS BIGINT) AS event_id,

@@ -324,3 +324,46 @@ def corpus_mix(
             .drop("_rn")
         )
     return out
+
+
+def url_filter(
+    df: DataFrame,
+    blocked_domains: list[str] | set[str],
+    url_col: str | None = None,
+    text_col: str = "text",
+    keep_unmatched: bool = True,
+) -> DataFrame:
+    """C4-style URL/domain blocklist filtering (Raffel et al. 2020
+    §2.2 drop pages from a curated blocklist; RefinedWeb/FineWeb use
+    the same registered-domain gate).
+
+    The page URL comes from ``url_col`` when given, else the FIRST
+    http(s) URL found in ``text_col``. The REGISTERED domain (PSL
+    eTLD+1 — ``functions.faup_domain``, same public-suffix logic the
+    reference's fmfaup exposes) is matched against
+    ``blocked_domains``; subdomains of a blocked domain are blocked
+    with it (that is the point of the eTLD+1 cut).
+
+    Appends ``url_domain`` (registered domain, '' when no URL) and
+    ``url_blocked``. 100 TB shape: the blocklist rides ``isin`` for
+    small lists — a literal in-filter inside codegen, no join, no
+    shuffle; split it out into a broadcast join at millions of
+    entries. ``keep_unmatched`` keeps docs with no URL at all
+    (blocked=False), matching C4 (the blocklist gates known-bad pages,
+    it does not require a URL).
+    """
+    from rsyslog_spark.functions import faup_domain
+
+    url = (
+        F.col(url_col)
+        if url_col
+        else F.regexp_extract(F.col(text_col), r"https?://[^\s]+", 0)
+    )
+    dom = F.coalesce(faup_domain(F.lower(url)), F.lit(""))
+    out = df.withColumn("url_domain", dom).withColumn(
+        "url_blocked", dom.isin(*[d.lower() for d in blocked_domains])
+        if blocked_domains else F.lit(False),
+    )
+    if not keep_unmatched:
+        out = out.filter(F.col("url_domain") != "")
+    return out

@@ -1277,3 +1277,40 @@ def test_duplicate_span_stats_self_repetition(spark):
     import hashlib
 
     assert r["cleaned_fp"] == hashlib.md5(b"a b c").hexdigest()
+
+
+def test_url_filter_text_extraction_and_blocklist(spark):
+    from rsyslog_spark.datapipe.curation import url_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "see https://a.b.tracker.org/x for details"),
+            (2, "plain text no url at all"),
+            (3, "ok site http://news.example.com/story?id=4 linked"),
+            (4, "deep https://x.y.sample.co.uk/ multi-label suffix"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in url_filter(
+            df, blocked_domains=["tracker.org", "sample.co.uk"]
+        ).collect()
+    }
+    # subdomains of a blocked registered domain are blocked with it
+    assert out[1]["url_domain"] == "tracker.org" and out[1]["url_blocked"]
+    assert out[2]["url_domain"] == "" and not out[2]["url_blocked"]
+    assert out[3]["url_domain"] == "example.com" and not out[3]["url_blocked"]
+    assert out[4]["url_domain"] == "sample.co.uk" and out[4]["url_blocked"]
+
+
+def test_url_filter_drop_unmatched(spark):
+    from rsyslog_spark.datapipe.curation import url_filter
+
+    df = spark.createDataFrame(
+        [(1, "no url"), (2, "go https://example.com/")],
+        "doc_id long, text string",
+    )
+    out = url_filter(df, [], keep_unmatched=False).collect()
+    assert [r["doc_id"] for r in out] == [2]
+    assert not out[0]["url_blocked"]  # empty blocklist blocks nothing
