@@ -240,6 +240,10 @@ def _bench_queries(spark, tokens_path: str) -> tuple[dict[str, float], dict]:
         # applyInPandas greedy packer
         "line_dedup",
         "seq_pack",
+        # r5 late adds: Arrow-UDF BPE tokenization (per-batch word
+        # memo) and the explode+groupBy exact-substring span dedup
+        "bpe_tokens",
+        "dup_spans",
     ):
         jobs[name] = lambda n=name: qs[n](spark, SF_DIR).count()
 

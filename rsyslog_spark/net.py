@@ -343,3 +343,54 @@ def omfwd_send(
     return int(
         out.agg({"n_sent": "sum"}).first()[0] or 0
     )
+
+
+def omuxsock_send(
+    df: DataFrame,
+    path: str,
+    value_col: str = "value",
+    dgram: bool = True,
+    abstract: bool = False,
+) -> int:
+    """omuxsock (plugins/omuxsock/omuxsock.c): ship each rendered
+    message as one AF_UNIX datagram (sendMsg :441 — sendto per
+    message, SOCK_DGRAM default :178; dgram=False uses a connected
+    SOCK_STREAM like the module's STREAM option). ``abstract=True``
+    maps the Linux abstract-namespace form (leading NUL, :389).
+    One socket per partition; returns messages sent."""
+    import pyspark.sql.types as T
+
+    addr = ("\0" + path) if abstract else path
+
+    def send(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import socket as socketlib
+
+        sock = None
+        n = 0
+        try:
+            for pdf in batches:
+                vals = pdf[value_col].tolist()
+                if vals and sock is None:
+                    kind = (
+                        socketlib.SOCK_DGRAM if dgram
+                        else socketlib.SOCK_STREAM
+                    )
+                    sock = socketlib.socket(socketlib.AF_UNIX, kind)
+                    if not dgram:
+                        sock.connect(addr)
+                for v in vals:
+                    b = v.encode("utf-8") if isinstance(v, str) else v
+                    if dgram:
+                        sock.sendto(b, addr)
+                    else:
+                        sock.sendall(b)
+                    n += 1
+            yield pd.DataFrame({"n_sent": [n]})
+        finally:
+            if sock is not None:
+                sock.close()
+
+    out = df.select(value_col).mapInPandas(
+        send, T.StructType([T.StructField("n_sent", T.LongType())])
+    )
+    return int(out.agg({"n_sent": "sum"}).first()[0] or 0)
