@@ -635,6 +635,50 @@ def q_dedup_clusters(spark, sf):
     )
 
 
+def q_ngram_repetition(spark, sf):
+    """Gopher top-{2,3,4}-gram / dup-{5..10}-gram character fractions
+    (Rae et al. 2021, Table A1) over documents rebuilt as pages with a
+    doc_id-controlled amount of phrase repetition: the 5-word phrase
+    repeats (doc_id % 4) times followed by 10 unique filler words. The
+    oracle builds the SAME string in DuckDB and recomputes every
+    n-gram count itself (group-by gram + window top-1 + dup sum) — a
+    genuine SQL-logic mirror, not a planted expectation."""
+    from rsyslog_spark.datapipe.textstats import ngram_repetition_stats
+
+    d = _docs(spark, sf).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    r = (F.col("doc_id") % 4).cast("int")
+    phrase = F.split(F.lit("the quick brown fox jumps"), " ")
+    rep = F.when(
+        r > 0,
+        F.flatten(
+            F.transform(F.sequence(F.lit(1), r), _const_fn(phrase))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    filler = F.transform(
+        F.sequence(F.lit(0), F.lit(9)),
+        lambda j: F.concat(
+            F.lit("u"), F.col("doc_id").cast("string"),
+            F.lit("w"), j.cast("string"),
+        ),
+    )
+    text = F.array_join(F.concat(rep, filler), " ")
+    out = ngram_repetition_stats(d.withColumn("text", text))
+    return out.select(
+        "doc_id",
+        *[f"top_{n}gram_permille" for n in (2, 3, 4)],
+        *[f"dup_{n}gram_permille" for n in (5, 6, 7, 8, 9, 10)],
+    )
+
+
+def _const_fn(col):
+    """Single-arg lambda returning a constant Column (a plain
+    ``lambda _: col`` default-capture is safe here, but the factory
+    keeps the 2-arg (element, index) HOF gotcha impossible)."""
+    return lambda _elem: col
+
+
 def q_repetition(spark, sf):
     """Gopher repetition signals over documents rebuilt as multi-line
     pages with an arithmetically-controlled duplicate-line rate (line
@@ -1646,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
         "repetition": q_repetition,
+        "ngram_repetition": q_ngram_repetition,
         "c4_filter": q_c4_filter,
         "line_dedup": q_line_dedup,
         "seq_pack": q_seq_pack,
@@ -2347,6 +2392,85 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round((36 - (2 + p)) * 1000.0 / 36) AS BIGINT)
                        AS dup_word_permille
             FROM (SELECT doc_id, (doc_id % 4) + 2 AS p FROM documents)
+        """,
+        "ngram_repetition": r"""
+            WITH src AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       trim(repeat('the quick brown fox jumps ',
+                                   CAST(doc_id % 4 AS INTEGER))
+                            || array_to_string(list_transform(
+                                   generate_series(0, 9),
+                                   j -> 'u' || CAST(doc_id AS VARCHAR)
+                                        || 'w' || CAST(j AS VARCHAR)),
+                                   ' ')) AS text
+                FROM documents
+            ),
+            w AS (
+                SELECT doc_id, string_split(text, ' ') AS words,
+                       length(text) AS d
+                FROM src
+            ),
+            g AS (
+                SELECT doc_id, n,
+                       array_to_string(words[i:i+n-1], ' ') AS gram, d
+                FROM w,
+                     LATERAL unnest(generate_series(2, 10)) AS tn(n),
+                     LATERAL unnest(generate_series(
+                         1, len(words) - n + 1)) AS ti(i)
+                WHERE len(words) >= n
+            ),
+            c AS (
+                SELECT doc_id, n, gram, count(*) AS cnt,
+                       length(gram) AS glen, any_value(d) AS d
+                FROM g GROUP BY doc_id, n, gram
+            ),
+            top AS (
+                SELECT doc_id, n,
+                       CAST(floor(cnt * glen * 1000.0 / d) AS BIGINT)
+                           AS pm,
+                       row_number() OVER (
+                           PARTITION BY doc_id, n
+                           ORDER BY cnt DESC, glen DESC, gram ASC
+                       ) AS rn
+                FROM c
+            ),
+            dup AS (
+                SELECT doc_id, n,
+                       CAST(floor(sum(CASE WHEN cnt > 1
+                                      THEN cnt * glen ELSE 0 END)
+                                  * 1000.0 / any_value(d)) AS BIGINT)
+                           AS pm
+                FROM c GROUP BY doc_id, n
+            ),
+            tp AS (
+                SELECT doc_id,
+                       max(CASE WHEN n = 2 THEN pm END) AS t2,
+                       max(CASE WHEN n = 3 THEN pm END) AS t3,
+                       max(CASE WHEN n = 4 THEN pm END) AS t4
+                FROM top WHERE rn = 1 GROUP BY doc_id
+            ),
+            dp AS (
+                SELECT doc_id,
+                       max(CASE WHEN n = 5 THEN pm END) AS d5,
+                       max(CASE WHEN n = 6 THEN pm END) AS d6,
+                       max(CASE WHEN n = 7 THEN pm END) AS d7,
+                       max(CASE WHEN n = 8 THEN pm END) AS d8,
+                       max(CASE WHEN n = 9 THEN pm END) AS d9,
+                       max(CASE WHEN n = 10 THEN pm END) AS d10
+                FROM dup GROUP BY doc_id
+            )
+            SELECT s.doc_id,
+                   coalesce(t2, 0) AS top_2gram_permille,
+                   coalesce(t3, 0) AS top_3gram_permille,
+                   coalesce(t4, 0) AS top_4gram_permille,
+                   coalesce(d5, 0) AS dup_5gram_permille,
+                   coalesce(d6, 0) AS dup_6gram_permille,
+                   coalesce(d7, 0) AS dup_7gram_permille,
+                   coalesce(d8, 0) AS dup_8gram_permille,
+                   coalesce(d9, 0) AS dup_9gram_permille,
+                   coalesce(d10, 0) AS dup_10gram_permille
+            FROM src s
+            LEFT JOIN tp USING (doc_id) LEFT JOIN dp USING (doc_id)
         """,
         "pii_scrub": r"""
             WITH src AS (

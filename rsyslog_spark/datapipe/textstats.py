@@ -245,6 +245,148 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _run_fold(sorted_grams: Column) -> Column:
+    """Fold a SORTED array of n-gram strings into
+    struct(top_chars, dup_chars):
+
+    - ``top_chars`` = occurrences x characters of the single most
+      frequent gram (ties: longer gram, then lexicographically
+      smallest — fully deterministic so a SQL mirror can reproduce
+      it with ORDER BY cnt DESC, len DESC, gram ASC).
+    - ``dup_chars`` = sum over grams occurring >1 time of
+      occurrences x characters (all occurrences counted; overlap
+      between different duplicated grams is NOT deduplicated — the
+      coarse form of Gopher's dup-n-gram signal).
+
+    Sorting groups equal grams into adjacent runs, so one O(L)
+    aggregate() pass with a 5-field accumulator (current run +
+    best-so-far + dup sum) computes both — no shuffle, no UDF."""
+    zero = F.lit(0).cast("long")
+
+    def acc(prev, run, bc, bl, dup):
+        return F.struct(
+            prev.alias("prev"), run.cast("long").alias("run"),
+            bc.cast("long").alias("bc"), bl.cast("long").alias("bl"),
+            dup.cast("long").alias("dup"),
+        )
+
+    def close_run(a):
+        """Fold the open run into best/dup (run==0 → no-op)."""
+        clen = F.length(a["prev"]).cast("long")
+        better = (a["run"] > a["bc"]) | (
+            (a["run"] == a["bc"]) & (clen > a["bl"])
+        )
+        has = a["run"] > 0
+        return (
+            F.when(has & better, a["run"]).otherwise(a["bc"]),
+            F.when(has & better, clen).otherwise(a["bl"]),
+            a["dup"]
+            + F.when(a["run"] > 1, a["run"] * clen).otherwise(zero),
+        )
+
+    def merge(a, g):
+        same = (a["run"] > 0) & (a["prev"] == g)
+        bc, bl, dup = close_run(a)
+        return F.when(
+            same, acc(g, a["run"] + 1, a["bc"], a["bl"], a["dup"])
+        ).otherwise(acc(g, F.lit(1), bc, bl, dup))
+
+    def finish(a):
+        bc, bl, dup = close_run(a)
+        return F.struct(
+            (bc * bl).alias("top_chars"), dup.alias("dup_chars")
+        )
+
+    return F.aggregate(
+        sorted_grams, acc(F.lit(""), zero, zero, zero, zero),
+        merge, finish,
+    )
+
+
+def ngram_repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """The rest of the Gopher repetition rule set (Rae et al. 2021,
+    Table A1), complementing :func:`repetition_stats`' dup-line/word
+    fractions: per document,
+
+    - ``top_{n}gram_permille`` (n in ``top_ns``): fraction of
+      normalized characters covered by the most frequent word
+      n-gram (count x gram length / total chars) — even a
+      once-occurring gram counts, per the paper.
+    - ``dup_{n}gram_permille`` (n in ``dup_ns``): fraction covered
+      by word n-grams occurring more than once.
+
+    Fractions are permille LONGS via floor() (coarse thresholds;
+    integer output is exactly comparable across engines, and floor
+    dodges round()-dialect differences). Gram characters include the
+    single joining spaces; the denominator is the single-spaced
+    normalized text length.
+
+    Scale shape: ZERO exchanges and zero Python — per-doc stats need
+    no cross-row grouping, so each n is sort_array + one O(L)
+    aggregate() fold (see :func:`_run_fold`) inside one projection;
+    the whole stack is embarrassingly parallel over input splits.
+    The per-n folds live in ONE struct column whose field
+    extractions are unconditional copies → codegen CSE evaluates the
+    struct once (see functions._bind's notes on CSE scope)."""
+    t = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    words = F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, " ")
+    )
+
+    def stats_struct(w: Column) -> Column:
+        total = F.length(F.array_join(w, " ")).cast("long")
+
+        def grams(n: int) -> Column:
+            return F.when(
+                F.size(w) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - n + 1),
+                    lambda i: F.array_join(F.slice(w, i, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+
+        def permille(chars: Column) -> Column:
+            return F.when(
+                total > 0, F.floor(chars * 1000 / total)
+            ).otherwise(F.lit(0)).cast("long")
+
+        fields = []
+        for n in top_ns:
+            fields.append(
+                permille(
+                    _run_fold(F.sort_array(grams(n)))["top_chars"]
+                ).alias(f"top_{n}gram_permille")
+            )
+        for n in dup_ns:
+            fields.append(
+                permille(
+                    _run_fold(F.sort_array(grams(n)))["dup_chars"]
+                ).alias(f"dup_{n}gram_permille")
+            )
+        return F.struct(*fields)
+
+    from rsyslog_spark.functions import _bind
+
+    st = _bind(words, stats_struct)
+    out = df.withColumn("_ngram_stats", st)
+    for n in top_ns:
+        out = out.withColumn(
+            f"top_{n}gram_permille",
+            F.col("_ngram_stats")[f"top_{n}gram_permille"],
+        )
+    for n in dup_ns:
+        out = out.withColumn(
+            f"dup_{n}gram_permille",
+            F.col("_ngram_stats")[f"dup_{n}gram_permille"],
+        )
+    return out.drop("_ngram_stats")
+
+
 def drain_templates(
     df: DataFrame,
     msg_col: str = "msg",

@@ -827,6 +827,50 @@ def test_repetition_stats(spark):
     assert rows[3].dup_word_permille == 0
 
 
+def test_ngram_repetition_stats(spark):
+    """Gopher top-/dup-n-gram character fractions: hand-computed
+    values, tie-break (max count, then max length, then first in
+    sorted order), overlap double-count artifact (>1000 possible for
+    top-grams of self-overlapping text — inherent to the count x
+    length definition), empty text -> all zero, and a zero-Exchange
+    plan (per-doc folds need no shuffle)."""
+    from rsyslog_spark.datapipe.textstats import ngram_repetition_stats
+
+    out = ngram_repetition_stats(spark.createDataFrame(
+        [
+            (1, "a b a b a b"),
+            (2, "x y z w v"),
+            (3, ""),
+            (4, "the quick brown fox jumps the quick brown fox"
+                " jumps tail0 tail1"),
+        ],
+        "id long, text string",
+    ))
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
+    rows = {r.id: r for r in out.collect()}
+    # doc1 total chars = 11; top bigram 'a b' x3 (9 chars) -> 818;
+    # top trigram tie 'a b a'/'b a b' both x2 len 5 -> first sorted
+    # -> 909; top 4-gram 'a b a b' x2 len 7 = 14 chars -> 1272 (>1000
+    # via overlapping occurrences); no duplicate 5-grams.
+    assert rows[1].top_2gram_permille == 818
+    assert rows[1].top_3gram_permille == 909
+    assert rows[1].top_4gram_permille == 1272
+    assert rows[1].dup_5gram_permille == 0
+    # doc2: all unique; top bigram = any len-3 gram once -> 333
+    assert rows[2].top_2gram_permille == 333
+    assert rows[2].dup_5gram_permille == 0
+    assert all(
+        v == 0 for k, v in rows[3].asDict().items() if "permille" in k
+    )
+    # doc4 total = 63; count-tie at 2 -> longest wins: 'quick brown'
+    # (11 chars) x2 = 22 -> 349; dup 5-gram = the repeated phrase
+    # (25 chars) x2 = 50 -> 793
+    assert rows[4].top_2gram_permille == 22 * 1000 // 63
+    assert rows[4].dup_5gram_permille == 50 * 1000 // 63
+    assert rows[4].dup_6gram_permille == 0
+
+
 def test_pii_scrub(spark):
     """PII masking order: SSN/card masked before the greedy phone
     pattern can swallow their digit runs; dots keep IPs out of the
