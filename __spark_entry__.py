@@ -942,6 +942,30 @@ action(name="all")
     )
 
 
+def q_foreach_fold(spark, sf):
+    """`set` of outer locals inside foreach — the accumulator fold
+    (ruleset.c:310-401 shared mutable vars, compiled to aggregate();
+    rules/router._compile_foreach_fold): per message, count the
+    ':'-fields and those containing '7', then route on the POST-LOOP
+    values. The oracle derives both counts per event arithmetically
+    and aggregates — it never runs a fold."""
+    from rsyslog_spark.rules import Router
+
+    script = """
+foreach ($.f in split($msg, ":")) do {
+    if $.f contains "7" then { set $.sevens = $.sevens + 1; }
+    set $.parts = $.parts + 1;
+}
+if $.sevens > 0 then { action(name="has7") }
+if $.parts >= 3 then { action(name="wide") }
+action(name="all")
+"""
+    p = flagship.build_parsed(spark, sf)
+    return Router(script).route_counts(p).select(
+        "sink", F.col("n").cast("long").alias("n")
+    )
+
+
 def q_window_counts(spark, sf):
     """Tumbling event-time window × event_type counts (the streaming
     windowed_dynstats shape, run in batch)."""
@@ -1700,6 +1724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "media_decode": q_media_decode,
         "foreach_sevens": q_foreach_sevens,
+        "foreach_fold": q_foreach_fold,
         "window_counts": q_window_counts,
         "ngram_jaccard": q_ngram_jaccard,
         "legacy_conf": q_legacy_conf,
@@ -2098,6 +2123,22 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             UNION ALL
             SELECT 'all', CAST(count(*) AS BIGINT) FROM events
+        """,
+        "foreach_fold": f"""
+            WITH per AS (
+                SELECT len(string_split({O['msg']}, ':')) AS parts,
+                       len(list_filter(string_split({O['msg']}, ':'),
+                           x -> contains(x, '7'))) AS sevens
+                FROM events
+            )
+            SELECT 'has7' AS sink,
+                   CAST(count(*) FILTER (sevens > 0) AS BIGINT) AS n
+            FROM per
+            UNION ALL
+            SELECT 'wide', CAST(count(*) FILTER (parts >= 3) AS BIGINT)
+            FROM per
+            UNION ALL
+            SELECT 'all', CAST(count(*) AS BIGINT) FROM per
         """,
         "window_counts": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')

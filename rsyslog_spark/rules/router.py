@@ -290,15 +290,145 @@ def _walk(stmts: list, pc: Column, state: _State, depth: int = 0) -> None:
             raise ValueError(f"unsupported statement {kind}")
 
 
+def _leaf_stmts(stmts):
+    """Yield non-`if` statements of a foreach body, recursing through
+    if/else arms."""
+    for s in stmts:
+        if s[0] == "if":
+            yield from _leaf_stmts(s[2])
+            if s[3]:
+                yield from _leaf_stmts(s[3])
+        else:
+            yield s
+
+
+def _compile_foreach_fold(
+    vname: str, coll_tag: str, arr_col: Column, body, pc: Column,
+    state: _State,
+) -> None:
+    """`set` of outer `$.` locals inside foreach — the reference's
+    accumulator pattern (scriptExec re-runs the body per element with
+    shared mutable vars, ruleset.c:310-401):
+
+        foreach ($.x in $!items) do { set $.sum = $.sum + $.x; }
+
+    Compiled as ONE aggregate() fold over the collection: the
+    accumulator struct carries every mutated local (stringly, tag
+    'S' — RainerScript locals round-trip through var2String/var2Number
+    exactly like a chain of top-level sets, and numbers are int64 so
+    the round-trip is lossless), and the body is symbolically executed
+    inside the merge lambda with the loop var + accumulators bound.
+    `if` arms become per-element path conditions; sequential sets in
+    one iteration see earlier sets' values (cur updates in place).
+    After the loop each mutated local rebinds SSA-style under
+    pc & live, so rows the foreach didn't reach keep their old value —
+    and a NULL/non-array collection folds zero elements (coalesce to
+    the init struct), matching the reference's silent no-op.
+
+    Bodies mixing `set` with actions raise (see _compile_foreach):
+    mid-iteration accumulator observation needs a prefix scan, which
+    is O(L^2) as a Column expression. Each mutated local extracts one
+    field from the fold; the fold expression is copied per local
+    inside its CASE rebinding (codegen CSE does not dedupe CASE-branch
+    copies), so keep the accumulator set small — in practice 1-3."""
+    from rsyslog_spark.rules.compiler import _to_str
+
+    names: list[str] = []
+    for s in _leaf_stmts(body):
+        if s[0] == "nop":
+            continue
+        v = s[1]
+        if not v.startswith("$."):
+            raise ValueError(
+                f"only $. locals may be set inside foreach, got {v}"
+            )
+        n = v[2:]
+        if n == vname or n.startswith(vname + "!"):
+            raise ValueError(f"cannot set the loop variable {v}")
+        if n not in names:
+            names.append(n)
+
+    env = state.env
+    init = F.struct(*[
+        (
+            _to_str(*env.locals[n]) if n in env.locals
+            else F.lit(None).cast("string")
+        ).alias(n)
+        for n in names
+    ])
+
+    def bind_loop_var(elem) -> dict:
+        if coll_tag == "M":
+            return {
+                vname: (F.to_json(elem), "S"),
+                vname + "!key": (elem["key"], "S"),
+                vname + "!value": (elem["value"], "S"),
+            }
+        return {vname: (elem, "S")}
+
+    def merge(acc, elem):
+        cur = {n: acc[n] for n in names}
+        binds = bind_loop_var(elem)
+        saved = {
+            k: env.locals.get(k) for k in set(binds) | set(names)
+        }
+
+        def rebind():
+            env.locals.update(binds)
+            for n in names:
+                env.locals[n] = (cur[n], "S")
+
+        def run(stmts, epc):
+            for s in stmts:
+                if s[0] == "nop":
+                    continue
+                if s[0] == "if":
+                    rebind()
+                    cond, _ = _compile(_scalarize(s[1]), env)
+                    cond = F.coalesce(
+                        cond.cast("boolean"), F.lit(False)
+                    )
+                    run(s[2], epc & cond)
+                    if s[3]:
+                        run(s[3], epc & ~cond)
+                else:  # set
+                    n = s[1][2:]
+                    rebind()
+                    new, tag = _compile(_scalarize(s[2]), env)
+                    cur[n] = F.when(
+                        epc, _to_str(new, tag)
+                    ).otherwise(cur[n])
+
+        try:
+            run(body, F.lit(True))
+        finally:
+            for k, old in saved.items():
+                if old is None:
+                    env.locals.pop(k, None)
+                else:
+                    env.locals[k] = old
+        return F.struct(*[cur[n].alias(n) for n in names])
+
+    folded = F.coalesce(F.aggregate(arr_col, init, merge), init)
+    eff = pc & state.live
+    for n in names:
+        old = env.locals.get(n)
+        col = F.when(eff, folded[n])
+        if old is not None:
+            col = col.otherwise(_to_str(*old))
+        env.locals[n] = (col, "S")
+
+
 def _compile_foreach(st, pc: Column, state: _State) -> None:
     """foreach ($.x in expr) do BODY — body actions fire per element.
 
     The loop variable is bound lazily: each body action's element
     predicate is a *function* of the lambda variable, evaluated inside
     size(filter(arr, ...)) (counting) or on the exploded element
-    (writing). Body subset: if / action / nop — `set` of outer locals
-    inside foreach is not supported (would need per-element state
-    folding; the reference mutates a shared var which is rarely sane).
+    (writing). Body subset: if / action / nop — or if / set / nop,
+    which compiles to an aggregate() fold instead (the reference's
+    shared-mutable-accumulator pattern; see _compile_foreach_fold).
+    Bodies mixing actions with sets raise.
 
     OBJECT iteration (callForeachObject, ruleset.c:334-372): when the
     collection compiles map-typed (tag 'M' — the whole ``$!`` tree,
@@ -315,6 +445,23 @@ def _compile_foreach(st, pc: Column, state: _State) -> None:
     vname = var[2:]
     if coll_tag == "M":
         arr_col = F.map_entries(arr_col)
+
+    kinds = {s[0] for s in _leaf_stmts(body)}
+    if "set" in kinds:
+        if not kinds <= {"set", "nop"}:
+            raise ValueError(
+                "foreach bodies may contain either actions or `set` "
+                "statements, not both: a body action observes the "
+                "accumulator mid-iteration, which a single fold "
+                "cannot express (split the script: fold first, then "
+                "a second foreach over the same collection)"
+            )
+        _compile_foreach_fold(
+            vname, coll_tag, arr_col, body, pc, state
+        )
+        return
+
+    if coll_tag == "M":
 
         def bind(elem) -> dict:
             return {

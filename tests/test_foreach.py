@@ -105,3 +105,105 @@ foreach ($.kv in parse_json($msg)) do {
     )
     counts = dict(Router(script).route_counts(df).collect())
     assert counts["up"] == 1
+
+
+def test_foreach_set_accumulator(spark):
+    """`set` of outer locals inside foreach folds across elements
+    (scriptExec's shared mutable vars, ruleset.c:310-401): counters
+    and conditional counters accumulate; post-loop reads see the
+    fold result."""
+    script = """
+foreach ($.w in split($msg, " ")) do {
+    if $.w contains "=" then { set $.kv = $.kv + 1; }
+    set $.n = $.n + 1;
+}
+if $.kv >= 2 then { action(name="many_kv") }
+if $.n == 3 then { action(name="three") }
+action(name="all")
+"""
+    from rsyslog_spark.rules import Router
+
+    df = spark.createDataFrame(
+        [("a=1 b=2 plain",), ("nothing here",), ("x=9 y=8",)],
+        "msg string",
+    )
+    counts = dict(Router(script).route_counts(df).collect())
+    assert counts["many_kv"] == 2  # rows 1 and 3
+    assert counts["three"] == 1    # row 1 only
+    assert counts["all"] == 3
+
+
+def test_foreach_set_pc_gated_keeps_old_value(spark):
+    """A foreach under an if only folds on matching rows; others keep
+    the pre-loop value (SSA rebinding under pc). A NULL collection
+    (null msg) folds zero elements."""
+    script = """
+set $.n = 0;
+if $msg startswith "go" then {
+    foreach ($.w in split($msg, " ")) do { set $.n = $.n + 1; }
+}
+if $.n == 0 then { action(name="zero") }
+if $.n > 0 then { action(name="counted") }
+"""
+    from rsyslog_spark.rules import Router
+
+    df = spark.createDataFrame(
+        [("go a b",), ("stay a",), (None,)], "msg string"
+    )
+    counts = dict(Router(script).route_counts(df).collect())
+    assert counts["counted"] == 1  # "go a b" -> n=3
+    assert counts["zero"] == 2     # "stay a" keeps 0; null msg too
+
+
+def test_foreach_set_string_concat_and_order(spark):
+    """String accumulation preserves element order, and a set later
+    in the body sees an earlier set's value within the SAME
+    iteration (sequential semantics)."""
+    script = """
+foreach ($.w in split($msg, " ")) do {
+    set $.acc = $.acc & $.w & ";";
+    set $.last = $.acc;
+}
+if $.acc == "a;b;c;" then { action(name="ordered") }
+if $.last == $.acc then { action(name="sequential") }
+"""
+    from rsyslog_spark.rules import Router
+
+    df = spark.createDataFrame([("a b c",)], "msg string")
+    counts = dict(Router(script).route_counts(df).collect())
+    assert counts["ordered"] == 1
+    assert counts["sequential"] == 1
+
+
+def test_foreach_set_over_object_values(spark):
+    """Folding over a map collection: $.e!value feeds the
+    accumulator (order-insensitive sum)."""
+    script = """
+foreach ($.e in $!) do { set $.sum = $.sum + $.e!value; }
+if $.sum == 5 then { action(name="five") }
+action(name="all")
+"""
+    from rsyslog_spark.rules import Router
+
+    df = spark.createDataFrame(
+        [({"a": "2", "b": "3"},), ({"a": "1"},), (None,)],
+        "cee map<string,string>",
+    )
+    counts = dict(Router(script).route_counts(df).collect())
+    assert counts["five"] == 1
+    assert counts["all"] == 3
+
+
+def test_foreach_mixed_set_and_action_raises(spark):
+    import pytest
+
+    from rsyslog_spark.rules import Router
+
+    script = """
+foreach ($.w in split($msg, " ")) do {
+    set $.n = $.n + 1;
+    action(name="boom")
+}
+"""
+    with pytest.raises(ValueError, match="actions or `set`"):
+        Router(script)
