@@ -869,6 +869,45 @@ def q_media_frames(spark, sf):
     )
 
 
+def q_semdedup(spark, sf):
+    """SemDeDup (Abbas et al. 2023) per-item keep decisions over
+    constructed 8-dim vectors with a FIXED one-hot codebook, so the
+    oracle can mirror the whole pipeline in SQL: cluster = the
+    one-hot axis (vec_id % 4), perturbation magnitude (vec_id % 5)
+    * 0.15 on a paired axis makes exact duplicate groups (same
+    (axis, magnitude)) with ~0.99 cosine separation from neighbors;
+    DuckDB recomputes every pairwise cosine itself
+    (list_cosine_similarity self-join + the same farthest-from-
+    centroid-first, id-tie-break ordering)."""
+    from rsyslog_spark.datapipe.simsearch import semdedup
+
+    e = _emb(spark, sf).select(
+        F.col("vec_id").cast("long").alias("vec_id")
+    )
+    a = F.col("vec_id") % 4
+    p = (F.col("vec_id") % 5).cast("double") * 0.15
+    dims = []
+    for d in range(8):
+        dims.append(
+            F.when(a == d, F.lit(1.0))
+            .when(a + 4 == d, p)
+            .otherwise(F.lit(0.0))
+        )
+    e = e.withColumn("emb", F.array(*dims))
+    centroids = [
+        [1.0 if d == ax else 0.0 for d in range(8)] for ax in range(4)
+    ]
+    out = semdedup(
+        e, centroids=centroids, threshold=0.99,
+        id_col="vec_id", vec_col="emb",
+    )
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("cluster").cast("long").alias("cluster"),
+        "keep", "capped",
+    )
+
+
 def q_embedding_dup_pairs(spark, sf):
     """Embedding near-dup pairs via hyperplane LSH + verify-in-bucket.
     The synthetic corpus has NO natural near-dups (max pairwise cosine
@@ -1722,6 +1761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "media_frames": q_media_frames,
         "embedding_dup_pairs": q_embedding_dup_pairs,
+        "semdedup": q_semdedup,
         "media_decode": q_media_decode,
         "foreach_sevens": q_foreach_sevens,
         "foreach_fold": q_foreach_fold,
@@ -2414,6 +2454,43 @@ def oracle_sql() -> dict[str, str]:
                    '!p-b-' || lpad(CAST(i AS VARCHAR), 2, '0') AS id_b,
                    CAST(64 AS BIGINT) AS sig_matches
             FROM generate_series(0, 9) t(i)
+        """,
+        "semdedup": """
+            WITH v AS (
+                SELECT CAST(vec_id AS BIGINT) AS id,
+                       CAST(vec_id % 4 AS BIGINT) AS a,
+                       (vec_id % 5) * 0.15 AS p
+                FROM embeddings
+            ),
+            cc AS (
+                SELECT id, a AS cluster,
+                       list_transform(generate_series(0, 7),
+                           d -> CASE WHEN d = a THEN 1.0
+                                     WHEN d = a + 4 THEN p
+                                     ELSE 0.0 END) AS emb,
+                       list_cosine_similarity(
+                           list_transform(generate_series(0, 7),
+                               d -> CASE WHEN d = a THEN 1.0
+                                         WHEN d = a + 4 THEN p
+                                         ELSE 0.0 END),
+                           list_transform(generate_series(0, 7),
+                               d -> CASE WHEN d = a THEN 1.0
+                                         ELSE 0.0 END)) AS cent_cos
+                FROM v
+            ),
+            pm AS (
+                SELECT x.id AS id,
+                       max(list_cosine_similarity(x.emb, y.emb))
+                           AS prev_max
+                FROM cc x JOIN cc y ON x.cluster = y.cluster
+                 AND (y.cent_cos < x.cent_cos
+                      OR (y.cent_cos = x.cent_cos AND y.id < x.id))
+                GROUP BY x.id
+            )
+            SELECT c.id, c.cluster,
+                   coalesce(pm.prev_max, -1.0) <= 0.99 AS keep,
+                   FALSE AS capped
+            FROM cc c LEFT JOIN pm USING (id)
         """,
         "embedding_dup_pairs": """
             SELECT CAST(-(i + 1) AS BIGINT) AS id_a,

@@ -196,6 +196,92 @@ def embedding_dedup_pairs(
     ).filter(F.col("cos") >= threshold)
 
 
+def semdedup(
+    corpus: DataFrame,
+    centroids: list[list[float]] | None = None,
+    n_centroids: int = 16,
+    iters: int = 3,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_cap: int = 8192,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering + within-cluster pairwise
+    cosine — the embedding-space pruning step of a pretraining
+    pipeline (complements embedding_dedup_pairs' LSH pair mining:
+    this one makes per-item KEEP decisions).
+
+    Per cluster, items are ordered by (cosine-to-centroid ASC, id
+    ASC) and an item is a duplicate iff its cosine to ANY earlier
+    item exceeds ``threshold`` (the paper's triangular-max rule, not
+    transitive chaining) — so each duplicate group's survivor is its
+    member FARTHEST from the centroid, the paper's keep choice, with
+    a deterministic id tie-break a SQL mirror can reproduce.
+
+    Returns (id, cluster, keep, capped).
+
+    Scale shape: one shuffle on the cluster id, then per-cluster
+    numpy pairwise matmul via applyInPandas — exactly the paper's
+    per-cluster computation; size n_centroids so N/k fits memory
+    (they use k=50k for LAION). ``cluster_cap`` guards the m² blowup
+    on degenerate clustering: an over-full cluster is returned
+    keep=true/capped=true (flagged, never silently pruned) — raise
+    n_centroids or pre-split with exact_dedup when you see capped
+    rows."""
+    import numpy as np
+    import pandas as pd
+
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            corpus, n_centroids, iters, id_col, vec_col
+        )
+    c = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+    best = F.element_at(_nearest_centroids(F.col("v"), centroids), -1)
+    c = c.withColumn(
+        "cluster", best.getField("i").cast("long")
+    ).withColumn("cent_cos", best.getField("s"))
+
+    id_type = dict(c.dtypes)["id"]
+    out_schema = (
+        f"id {id_type}, cluster long, keep boolean, capped boolean"
+    )
+    thr, cap = float(threshold), int(cluster_cap)
+    if thr <= 0:
+        # np.tril zero-fill makes prev_max >= 0 for non-first rows,
+        # so only positive thresholds decide correctly (SemDeDup's
+        # eps is ~0.01-0.05, i.e. thr ~0.95-0.99)
+        raise ValueError("semdedup threshold must be > 0")
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m > cap:
+            return pd.DataFrame({
+                "id": pdf["id"], "cluster": pdf["cluster"],
+                "keep": True, "capped": True,
+            })
+        pdf = pdf.sort_values(["cent_cos", "id"], kind="mergesort")
+        vecs = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0.0] = 1.0
+        vecs = vecs / norms[:, None]
+        sims = vecs @ vecs.T
+        # row i's max similarity to any EARLIER item (strict lower
+        # triangle); initial=-1 keeps the first row (and any
+        # negative-only rows) below every sane threshold
+        prev_max = np.tril(sims, -1).max(axis=1, initial=-1.0)
+        return pd.DataFrame({
+            "id": pdf["id"].to_numpy(),
+            "cluster": pdf["cluster"].to_numpy(),
+            "keep": prev_max <= thr,
+            "capped": False,
+        })
+
+    return c.groupBy("cluster").applyInPandas(prune, out_schema)
+
+
 # --- IVF (inverted-file) ANN --------------------------------------------------
 
 def _centroid_lits(centroids: list[list[float]]) -> list[Column]:

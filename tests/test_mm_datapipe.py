@@ -553,6 +553,73 @@ def test_embedding_dedup_pairs_finds_near_dups(spark):
     assert all((a < 10) == (b < 10) and a != 99 and b != 99 for a, b in got)
 
 
+def test_semdedup_keeps_farthest_from_centroid(spark):
+    """SemDeDup keep rule: within a duplicate group the survivor is
+    the member with LOWEST centroid cosine (farthest first in the
+    scan order); non-dup items all stay; clusters are independent."""
+    from rsyslog_spark.datapipe.simsearch import semdedup
+
+    # cluster 0 (axis 0): a dup pair at perturbation 0.3 (ids 1, 2 —
+    # cosine 1.0) plus a distinct loner at the centroid (id 0);
+    # cluster 1 (axis 1): singletons only
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.3, 0.0]),
+        (2, [1.0, 0.0, 0.3, 0.0]),
+        (10, [0.0, 1.0, 0.0, 0.0]),
+        (11, [0.0, 1.0, 0.0, 0.9]),
+    ]
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    out = {
+        r.id: r
+        for r in semdedup(
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<float>"
+            ),
+            centroids=cents, threshold=0.99,
+        ).collect()
+    }
+    assert [out[i].cluster for i in (0, 1, 2)] == [0, 0, 0]
+    assert [out[i].cluster for i in (10, 11)] == [1, 1]
+    # dup group {1,2}: same cent_cos -> id tie-break keeps 1, drops 2
+    assert out[1].keep and not out[2].keep
+    assert out[0].keep and out[10].keep and out[11].keep
+    assert not any(r.capped for r in out.values())
+
+
+def test_semdedup_cluster_cap_flags_not_prunes(spark):
+    """An over-full cluster is returned keep=true/capped=true — the
+    m² pairwise is skipped, nothing is silently dropped."""
+    from rsyslog_spark.datapipe.simsearch import semdedup
+
+    rows = [(i, [1.0, float(i % 3) * 0.3, 0.0, 0.0]) for i in range(40)]
+    rows += [(100, [0.0, 0.0, 0.0, 1.0]), (101, [0.0, 0.0, 0.0, 1.0])]
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 0.0, 1.0]]
+    out = {
+        r.id: r
+        for r in semdedup(
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<float>"
+            ),
+            centroids=cents, threshold=0.99, cluster_cap=10,
+        ).collect()
+    }
+    assert all(out[i].capped and out[i].keep for i in range(40))
+    # the small cluster still dedups normally
+    assert out[100].keep and not out[101].keep
+    assert not out[100].capped
+
+    import pytest
+
+    with pytest.raises(ValueError, match="threshold"):
+        semdedup(
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<float>"
+            ),
+            centroids=cents, threshold=0.0,
+        )
+
+
 def test_embedding_dedup_bucket_cap_bounds_candidates(spark):
     # adversarial: one mass-duplicate vector cluster (all land in ONE
     # LSH bucket → uncapped would be n²/2 candidates) + a distinct tail
