@@ -1714,6 +1714,152 @@ def q_curation_pipeline(spark, sf):
     )
 
 
+def q_device_parse(spark, sf):
+    """pmciscoios + pmlastmsg parser chain end-to-end: three message
+    dialects are rendered per event (Cisco IOS sequenced frame,
+    'last message repeated n times', plain base row) and the chain
+    must rewrite exactly the rows whose dialect matches
+    (plugins/pmciscoios/pmciscoios.c, plugins/pmlastmsg/pmlastmsg.c).
+    The oracle re-derives every output column arithmetically."""
+    from rsyslog_spark.parsing import devices as dev
+
+    ev = _events(spark, sf)
+    eid = F.col("event_id")
+    sev = F.expr(corpus._SEV_CASE)
+    pri = (F.col("user_id") % 24) * 8 + sev
+    kval = F.get_json_object("props", "$.k")
+    ts_cisco = F.concat(
+        F.date_format("ts", "MMM"),
+        F.format_string("%3d", F.dayofmonth("ts")),
+        F.lit(" "),
+        F.date_format("ts", "HH:mm:ss"),
+    )
+    mnem = F.concat(
+        F.lit("%SYS-"), sev.cast("string"), F.lit("-"),
+        F.upper("event_type"),
+    )
+    cisco_line = F.concat(
+        F.lit("<"), pri.cast("string"), F.lit(">"),
+        eid.cast("string"), F.lit(": host"),
+        (F.col("user_id") % 32).cast("string"), F.lit(": *"),
+        ts_cisco, F.lit(": "), mnem, F.lit(": cfg k="), kval,
+    )
+    lastmsg_line = F.concat(
+        F.lit("<"), pri.cast("string"), F.lit(">last message repeated "),
+        (eid % 50 + 1).cast("string"), F.lit(" times"),
+    )
+    plain_line = F.concat(
+        F.lit("<"), pri.cast("string"), F.lit(">plain k="), kval
+    )
+    raw = (
+        F.when(eid % 3 == 0, cisco_line)
+        .when(eid % 3 == 1, lastmsg_line)
+        .otherwise(plain_line)
+    )
+    base = ev.select(
+        F.concat(
+            F.lit("doc-"), F.lpad(eid.cast("string"), 12, "0")
+        ).alias("doc_id"),
+        (eid % 3).cast("long").alias("variant"),
+        raw.alias("rawmsg"),
+        F.lit("basehost").alias("hostname"),
+        F.lit("basetag:").alias("syslogtag"),
+        F.lit("base").alias("programname"),
+        F.lit("basemsg").alias("msg"),
+        F.lit("-").alias("timereported_str"),
+        F.lit(False).alias("parse_success"),
+    )
+    out = dev.parser_chain(base, [dev.pmciscoios, dev.pmlastmsg])
+    return out.select(
+        "doc_id",
+        "variant",
+        F.coalesce(F.col("cisco_seq"), F.lit(-1)).cast("long").alias(
+            "cisco_seq"
+        ),
+        F.coalesce(F.col("repeat_count"), F.lit(-1)).cast("long").alias(
+            "repeat_count"
+        ),
+        F.coalesce(F.col("hostname"), F.lit("")).alias("hostname"),
+        F.coalesce(F.col("programname"), F.lit("")).alias("programname"),
+        F.coalesce(F.col("syslogtag"), F.lit("")).alias("syslogtag"),
+        F.coalesce(F.col("timereported_str"), F.lit("")).alias("tsr"),
+        F.coalesce(F.col("msg"), F.lit("")).alias("msg"),
+        F.col("parse_success").cast("long").alias("ok"),
+    )
+
+
+def q_cee_json(spark, sf):
+    """mmjsonparse @cee-cookie path (plugins/mmjsonparse): rows carry
+    either a '@cee: {json}' MSG (parsed into the message tree) or a
+    plain MSG (parse failure, fields stay empty)."""
+    ev = _events(spark, sf)
+    eid = F.col("event_id")
+    kval = F.get_json_object("props", "$.k")
+    cee_msg = F.concat(
+        F.lit('@cee: {"k": '), kval,
+        F.lit(', "ev": "'), F.col("event_type"),
+        F.lit('", "id": '), eid.cast("string"), F.lit("}"),
+    )
+    plain_msg = F.concat(F.lit("plain k="), kval)
+    df = ev.withColumn(
+        "msg", F.when(eid % 5 == 0, plain_msg).otherwise(cee_msg)
+    )
+    out = mm.mmjsonparse(df)
+    return out.select(
+        F.concat(
+            F.lit("doc-"), F.lpad(eid.cast("string"), 12, "0")
+        ).alias("doc_id"),
+        F.coalesce(F.try_element_at("cee", F.lit("k")), F.lit("")).alias(
+            "cee_k"
+        ),
+        F.coalesce(F.try_element_at("cee", F.lit("ev")), F.lit("")).alias(
+            "cee_ev"
+        ),
+        F.coalesce(F.try_element_at("cee", F.lit("id")), F.lit("")).alias(
+            "cee_id"
+        ),
+        F.col("parse_json_success").cast("long").alias("ok"),
+    )
+
+
+def q_msg_fixups(spark, sf):
+    """mmrm1stspace + mmutf8fix + mmtaghostname + mmsequence in one
+    chain: MSGs are rendered with a deterministic leading space
+    (event_id%2=0) and an embedded 0x01 control byte (event_id%3=0);
+    rows with event_id%5=0 simulate the 3164 tag-stolen-as-hostname
+    shape that mmtaghostname repairs; mmsequence numbers the corpus
+    by doc_id. Every fixup's effect is arithmetically derivable."""
+    ev = _events(spark, sf)
+    eid = F.col("event_id")
+    kval = F.get_json_object("props", "$.k")
+    body = F.concat(
+        F.lit("msgnum:"), F.lpad(eid.cast("string"), 8, "0"),
+        F.when(eid % 3 == 0, F.lit("\x01")).otherwise(F.lit(" ")),
+        F.lit("k="), kval,
+    )
+    msg = F.when(eid % 2 == 0, F.concat(F.lit(" "), body)).otherwise(body)
+    df = ev.select(
+        F.concat(
+            F.lit("doc-"), F.lpad(eid.cast("string"), 12, "0")
+        ).alias("doc_id"),
+        msg.alias("msg"),
+        F.when(eid % 5 == 0, F.concat(F.lit("stolen"), F.col("event_type")))
+        .otherwise(F.lit("h1")).alias("hostname"),
+        F.when(eid % 5 != 0, F.lit("t:")).alias("syslogtag"),
+    )
+    df = mm.mmrm1stspace(df)
+    df = mm.mmutf8fix(df)
+    df = mm.mmtaghostname(df)
+    df = agg.mm_sequence(df, ["doc_id"])
+    return df.select(
+        "doc_id",
+        "msg",
+        F.coalesce(F.col("hostname"), F.lit("")).alias("hostname"),
+        F.coalesce(F.col("syslogtag"), F.lit("")).alias("syslogtag"),
+        F.col("seq").cast("long").alias("seq"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_headers": q_parse_headers,
@@ -1769,6 +1915,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "legacy_conf": q_legacy_conf,
         "bound_rulesets": q_bound_rulesets,
+        "device_parse": q_device_parse,
+        "cee_json": q_cee_json,
+        "msg_fixups": q_msg_fixups,
         "mmnormalize": q_mmnormalize,
         "rulebase_grok": q_rulebase_grok,
         "rulebase_v2": q_rulebase_v2,
@@ -3032,6 +3181,69 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (ORDER BY event_id
                          ROWS UNBOUNDED PRECEDING)
+        """,
+        "device_parse": f"""
+            SELECT {O['doc_id']} AS doc_id,
+                   CAST(event_id % 3 AS BIGINT) AS variant,
+                   CAST(CASE WHEN event_id % 3 = 0 THEN event_id
+                             ELSE -1 END AS BIGINT) AS cisco_seq,
+                   CAST(CASE WHEN event_id % 3 = 1 THEN event_id % 50 + 1
+                             ELSE -1 END AS BIGINT) AS repeat_count,
+                   CASE WHEN event_id % 3 = 0
+                        THEN 'host' || CAST(user_id % 32 AS VARCHAR)
+                        ELSE 'basehost' END AS hostname,
+                   CASE WHEN event_id % 3 = 0
+                        THEN '%SYS-' || CAST({sev} AS VARCHAR) || '-'
+                             || upper(event_type)
+                        ELSE 'base' END AS programname,
+                   CASE WHEN event_id % 3 = 0
+                        THEN '%SYS-' || CAST({sev} AS VARCHAR) || '-'
+                             || upper(event_type) || ':'
+                        WHEN event_id % 3 = 1 THEN ''
+                        ELSE 'basetag:' END AS syslogtag,
+                   CASE WHEN event_id % 3 = 0
+                        THEN strftime(ts, '%b')
+                             || printf('%3d', CAST(day(ts) AS INT))
+                             || ' ' || strftime(ts, '%H:%M:%S')
+                        ELSE '-' END AS tsr,
+                   CASE WHEN event_id % 3 = 0
+                        THEN 'cfg k='
+                             || CAST(json_extract(props, '$.k') AS VARCHAR)
+                        WHEN event_id % 3 = 1
+                        THEN 'last message repeated '
+                             || CAST(event_id % 50 + 1 AS VARCHAR)
+                             || ' times'
+                        ELSE 'basemsg' END AS msg,
+                   CAST(CASE WHEN event_id % 3 IN (0, 1) THEN 1
+                             ELSE 0 END AS BIGINT) AS ok
+            FROM events
+        """,
+        "cee_json": f"""
+            SELECT {O['doc_id']} AS doc_id,
+                   CASE WHEN event_id % 5 = 0 THEN ''
+                        ELSE CAST(json_extract(props, '$.k') AS VARCHAR)
+                        END AS cee_k,
+                   CASE WHEN event_id % 5 = 0 THEN ''
+                        ELSE event_type END AS cee_ev,
+                   CASE WHEN event_id % 5 = 0 THEN ''
+                        ELSE CAST(event_id AS VARCHAR) END AS cee_id,
+                   CAST(CASE WHEN event_id % 5 = 0 THEN 0
+                             ELSE 1 END AS BIGINT) AS ok
+            FROM events
+        """,
+        "msg_fixups": f"""
+            SELECT {O['doc_id']} AS doc_id,
+                   'msgnum:' || lpad(CAST(event_id AS VARCHAR), 8, '0')
+                       || ' k='
+                       || CAST(json_extract(props, '$.k') AS VARCHAR)
+                       AS msg,
+                   CASE WHEN event_id % 5 = 0 THEN ''
+                        ELSE 'h1' END AS hostname,
+                   CASE WHEN event_id % 5 = 0 THEN 'stolen' || event_type
+                        ELSE 't:' END AS syslogtag,
+                   CAST(row_number() OVER (ORDER BY event_id) AS BIGINT)
+                       AS seq
+            FROM events
         """,
     }
 
