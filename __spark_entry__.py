@@ -1860,6 +1860,115 @@ def q_msg_fixups(spark, sf):
     )
 
 
+def q_kmsg_parse(spark, sf):
+    """imkmsg /dev/kmsg structured-record parse (contrib/imkmsg/
+    kmsg.c:68-190): records are synthesized per event — including
+    continuation-property lines and a malformed 1-in-11 slice the
+    parser must reject — and every extracted field is arithmetically
+    derivable from the raw events row."""
+    from rsyslog_spark import sources_os as so
+
+    ev = _events(spark, sf)
+    eid = F.col("event_id")
+    sev = F.expr(corpus._SEV_CASE)
+    pri = (F.col("user_id") % 24) * 8 + sev
+    kval = F.get_json_object("props", "$.k")
+    props_tail = F.when(
+        eid % 2 == 0,
+        F.concat(
+            F.lit("\n SUBSYSTEM=sub"), (eid % 4).cast("string"),
+            F.lit("\n DEVICE=d"), (F.col("user_id") % 9).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    good = F.concat(
+        pri.cast("string"), F.lit(","),
+        eid.cast("string"), F.lit(","),
+        (eid * 997 + 13).cast("string"), F.lit(",-;kern k="),
+        kval, props_tail,
+    )
+    rec = F.when(eid % 11 == 0, F.lit("6,naked")).otherwise(good)
+    df = ev.select(
+        F.concat(
+            F.lit("doc-"), F.lpad(eid.cast("string"), 12, "0")
+        ).alias("doc_id"),
+        rec.alias("record"),
+    )
+    out = so.kmsg_parse(df).where("kmsg_valid")
+    return out.select(
+        "doc_id",
+        F.col("pri").cast("long").alias("pri"),
+        F.col("facility").cast("long").alias("facility"),
+        F.col("severity").cast("long").alias("severity"),
+        F.col("sequnum").cast("long").alias("sequnum"),
+        F.col("usec_since_boot").cast("long").alias("usec"),
+        "msg",
+        F.coalesce(
+            F.try_element_at("props", F.lit("SUBSYSTEM")), F.lit("")
+        ).alias("subsystem"),
+        F.coalesce(
+            F.try_element_at("props", F.lit("DEVICE")), F.lit("")
+        ).alias("device"),
+    )
+
+
+def q_ulog_parse(spark, sf):
+    """imtuxedoulog ULOG-line parse (contrib/imtuxedoulog/
+    imtuxedoulog.c parseMsg): four line dialects per event — plain,
+    ECID, gtrid+ECID, and a Java stack-trace line the module must
+    ignore — with 2- vs 3-digit second fractions alternating."""
+    from rsyslog_spark import sources_os as so
+
+    ev = _events(spark, sf)
+    eid = F.col("event_id")
+    kval = F.get_json_object("props", "$.k")
+    frac = F.when(
+        eid % 2 == 0, F.lpad((eid % 100).cast("string"), 2, "0")
+    ).otherwise(F.lpad((eid % 1000).cast("string"), 3, "0"))
+    head = F.concat(
+        F.date_format("ts", "HHmmss"), F.lit("."), frac, F.lit("."),
+        F.lit("sic"), (F.col("user_id") % 5).cast("string"),
+        F.lit("!"), F.col("event_type"), F.lit("."),
+        (eid % 9000).cast("string"), F.lit(".1."),
+        (eid % 4).cast("string"), F.lit(": "),
+    )
+    plain = F.concat(head, F.lit("TSAM:305: k="), kval)
+    ecid = F.concat(
+        head, F.lit("ECID <E"), eid.cast("string"), F.lit(">: k="), kval
+    )
+    gtrid = F.concat(
+        head, F.lit("gtrid x0 xa: ECID <G"), eid.cast("string"),
+        F.lit(">: trace k="), kval,
+    )
+    java = F.concat(
+        F.lit("\tat com.example.Foo.bar(Foo.java:"),
+        eid.cast("string"), F.lit(")"),
+    )
+    line = (
+        F.when(eid % 4 == 0, plain)
+        .when(eid % 4 == 1, ecid)
+        .when(eid % 4 == 2, gtrid)
+        .otherwise(java)
+    )
+    df = ev.select(
+        F.concat(
+            F.lit("doc-"), F.lpad(eid.cast("string"), 12, "0")
+        ).alias("doc_id"),
+        line.alias("line"),
+    )
+    out = so.ulog_parse(df, tag="tux").where("ulog_valid")
+    return out.select(
+        "doc_id",
+        "hostname",
+        F.coalesce(F.col("procid"), F.lit("")).alias("procid"),
+        F.col("timereported_str").alias("tsr"),
+        F.col("secfrac_precision").cast("long").alias("precision"),
+        "structured_data",
+        "msg",
+        "syslogtag",
+        F.col("pri").cast("long").alias("pri"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_headers": q_parse_headers,
@@ -1916,6 +2025,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "legacy_conf": q_legacy_conf,
         "bound_rulesets": q_bound_rulesets,
         "device_parse": q_device_parse,
+        "kmsg_parse": q_kmsg_parse,
+        "ulog_parse": q_ulog_parse,
         "cee_json": q_cee_json,
         "msg_fixups": q_msg_fixups,
         "mmnormalize": q_mmnormalize,
@@ -3230,6 +3341,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN event_id % 5 = 0 THEN 0
                              ELSE 1 END AS BIGINT) AS ok
             FROM events
+        """,
+        "kmsg_parse": f"""
+            SELECT {O['doc_id']} AS doc_id,
+                   CAST({O['pri']} AS BIGINT) AS pri,
+                   CAST({O['pri']} // 8 AS BIGINT) AS facility,
+                   CAST({O['pri']} % 8 AS BIGINT) AS severity,
+                   CAST(event_id AS BIGINT) AS sequnum,
+                   CAST(event_id * 997 + 13 AS BIGINT) AS usec,
+                   'kern k=' || CAST(json_extract(props, '$.k') AS VARCHAR)
+                       AS msg,
+                   CASE WHEN event_id % 2 = 0
+                        THEN 'sub' || CAST(event_id % 4 AS VARCHAR)
+                        ELSE '' END AS subsystem,
+                   CASE WHEN event_id % 2 = 0
+                        THEN 'd' || CAST(user_id % 9 AS VARCHAR)
+                        ELSE '' END AS device
+            FROM events
+            WHERE event_id % 11 <> 0
+        """,
+        "ulog_parse": f"""
+            SELECT {O['doc_id']} AS doc_id,
+                   'sic' || CAST(user_id % 5 AS VARCHAR) AS hostname,
+                   event_type || '.'
+                       || CAST(event_id % 9000 AS VARCHAR) || '.1'
+                       AS procid,
+                   strftime(ts, '%H:%M:%S') || '.' ||
+                       CASE WHEN event_id % 2 = 0
+                            THEN lpad(CAST(event_id % 100 AS VARCHAR),
+                                      2, '0')
+                            ELSE lpad(CAST(event_id % 1000 AS VARCHAR),
+                                      3, '0') END AS tsr,
+                   CAST(CASE WHEN event_id % 2 = 0 THEN 2 ELSE 3 END
+                        AS BIGINT) AS precision,
+                   CASE WHEN event_id % 4 = 1
+                        THEN '[ECID="E' || CAST(event_id AS VARCHAR)
+                             || '"]'
+                        WHEN event_id % 4 = 2
+                        THEN '[ECID="G' || CAST(event_id AS VARCHAR)
+                             || '"]'
+                        ELSE '-' END AS structured_data,
+                   CASE WHEN event_id % 4 = 0
+                        THEN 'TSAM:305: k='
+                             || CAST(json_extract(props, '$.k') AS VARCHAR)
+                        WHEN event_id % 4 = 1
+                        THEN 'k='
+                             || CAST(json_extract(props, '$.k') AS VARCHAR)
+                        ELSE 'trace k='
+                             || CAST(json_extract(props, '$.k') AS VARCHAR)
+                        END AS msg,
+                   'tux' AS syslogtag,
+                   CAST(14 AS BIGINT) AS pri
+            FROM events
+            WHERE event_id % 4 <> 3
         """,
         "msg_fixups": f"""
             SELECT {O['doc_id']} AS doc_id,

@@ -1,0 +1,336 @@
+"""OS/file-shaped input modules: imkmsg, imtuxedoulog, imbatchreport.
+
+Each is re-expressed as a distributed parse over a DataFrame of raw
+records (pure Column expressions — whole-stage codegen, no Python on
+the hot path); imbatchreport additionally ships the Spark-native
+whole-file reader plus the driver-side post-send rename/delete step
+the reference performs after a successful enqueue.
+
+Reference semantics:
+  contrib/imkmsg/kmsg.c:68-190          (submitSyslog record parse)
+  contrib/imtuxedoulog/imtuxedoulog.c   (parseMsg, ULOG line grammar)
+  contrib/imbatchreport/imbatchreport.c (readAndSendFile, pollFile)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# imkmsg — /dev/kmsg structured records
+# ---------------------------------------------------------------------------
+
+def kmsg_parse(df: DataFrame, rec_col: str = "record") -> DataFrame:
+    """Parse /dev/kmsg records: ``pri,seq,usec[,flags...];msg`` with
+    optional ``\\n KEY=value`` continuation lines (one leading space
+    each, kmsg.c:68-160).
+
+    Adds pri/facility/severity, sequnum, usec_since_boot, msg and a
+    ``props`` map from the continuation lines. Records the reference
+    rejects (non-digit PRI, missing ',' separators, missing ';') get
+    ``kmsg_valid = false`` — the caller drops them, mirroring the
+    reference's silent ``return``.
+    """
+    rec = F.col(rec_col)
+    first = F.substring_index(rec, "\n", 1)
+    header = F.substring_index(first, ";", 1)
+    semi_at = F.instr(first, ";")
+    msg = F.when(semi_at > 0, F.substr(first, semi_at + 1, F.length(first)))
+
+    parts = F.split(header, ",")
+    pri_s = F.try_element_at(parts, F.lit(1))
+    seq_s = F.try_element_at(parts, F.lit(2))
+    ts_s = F.try_element_at(parts, F.lit(3))
+    digits = lambda c: c.rlike(r"^\d+$")  # noqa: E731
+    # the timestamp field only needs a digit PREFIX in the reference
+    # (it stops at the first non-digit and skips to ';')
+    ts_digits = F.regexp_extract(ts_s, r"^(\d+)", 1)
+    valid = (
+        (semi_at > 0)
+        & pri_s.isNotNull() & digits(pri_s)
+        & seq_s.isNotNull() & digits(seq_s)
+        & ts_s.isNotNull()
+        & (F.size(parts) >= 3)
+    )
+
+    # continuation lines: ' KEY=value' (exactly one leading space)
+    cont = F.filter(
+        F.slice(F.split(rec, "\n"), 2, 2147483646),
+        lambda ln: ln.startswith(" ") & (F.instr(ln, "=") > 0),
+    )
+    props = F.map_from_entries(
+        F.transform(
+            cont,
+            lambda ln: F.struct(
+                F.substring_index(F.substr(ln, F.lit(2)), "=", 1).alias(
+                    "key"
+                ),
+                F.substr(
+                    ln, F.instr(ln, "=") + 1, F.length(ln)
+                ).alias("value"),
+            ),
+        )
+    )
+
+    pri = F.when(valid, pri_s.cast("long"))
+    return (
+        df.withColumn("kmsg_valid", valid)
+        .withColumn("pri", pri)
+        .withColumn("facility", F.floor(pri / 8))
+        .withColumn("severity", pri % 8)
+        .withColumn("sequnum", F.when(valid, seq_s.cast("long")))
+        .withColumn(
+            "usec_since_boot",
+            F.when(valid & (ts_digits != ""), ts_digits.cast("long"))
+            .when(valid, F.lit(0)),
+        )
+        .withColumn("msg", F.when(valid, msg))
+        .withColumn("props", F.when(valid, props))
+    )
+
+
+def kmsg_timestamp(
+    df: DataFrame, boot_time_col: str = "boot_time"
+) -> DataFrame:
+    """kmsg.c:165-182: record time = boot time + usec_since_boot
+    (normalized). The reference derives boot time from
+    sysinfo()/gettimeofday on the host; here it arrives as a column
+    so the arithmetic is testable and cluster-safe."""
+    return df.withColumn(
+        "ts",
+        F.timestamp_micros(
+            F.unix_micros(F.col(boot_time_col))
+            + F.col("usec_since_boot")
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# imtuxedoulog — Tuxedo ULOG lines
+# ---------------------------------------------------------------------------
+
+# HHMMSS.ff[f].host!prog: text   (imtuxedoulog.c parseMsg)
+_ULOG_RE = r"^(\d{6})\.(\d{2,3})\.([^!]+)!([^:]*): (.*)$"
+_ECID_RE = r"^ECID <([^>]*)>: "
+
+
+def ulog_parse(
+    df: DataFrame,
+    line_col: str = "line",
+    tag: str = "tuxedo",
+    facility: int = 1,
+    severity: int = 6,
+) -> DataFrame:
+    """Parse Tuxedo ULOG lines (imtuxedoulog.c parseMsg):
+
+    * ``HHMMSS.ff[f].host!prog.…: text`` — 2- vs 3-digit second
+      fraction decided by the char at offset 9 (``rawMsg[9]=='.'``);
+    * PROCID = prog with its LAST dot-component trimmed (the scan
+      from ':' back to the first '.');
+    * a leading ``gtrid …: `` run is skipped;
+    * ``ECID <…>: `` is lifted into structured data ``[ECID="…"]``
+      and removed from MSG;
+    * lines that don't parse (Java stack traces in the ULOG) are
+      flagged invalid and dropped by the caller;
+    * TAG/APPNAME and PRI come from the instance config, not the line.
+    """
+    line = F.col(line_col)
+    hh = F.regexp_extract(line, _ULOG_RE, 1)
+    frac = F.regexp_extract(line, _ULOG_RE, 2)
+    host = F.regexp_extract(line, _ULOG_RE, 3)
+    prog = F.regexp_extract(line, _ULOG_RE, 4)
+    rest = F.regexp_extract(line, _ULOG_RE, 5)
+
+    hour = F.substring(hh, 1, 2).cast("int")
+    minute = F.substring(hh, 3, 2).cast("int")
+    sec = F.substring(hh, 5, 2).cast("int")
+    valid = (
+        (hh != "")
+        & (hour <= 23) & (minute <= 59) & (sec <= 59)
+    )
+
+    # gtrid skip: 'gtrid …: ' prefix → everything after the first ': '
+    has_gtrid = rest.startswith("gtrid")
+    after_gtrid = F.when(
+        has_gtrid,
+        F.substr(rest, F.instr(rest, ":") + 2, F.length(rest)),
+    ).otherwise(rest)
+
+    ecid = F.regexp_extract(after_gtrid, _ECID_RE, 1)
+    has_ecid = after_gtrid.rlike(_ECID_RE)
+    msg = F.when(
+        has_ecid, F.regexp_replace(after_gtrid, _ECID_RE, "")
+    ).otherwise(after_gtrid)
+    sd = F.when(
+        has_ecid, F.concat(F.lit('[ECID="'), ecid, F.lit('"]'))
+    ).otherwise(F.lit("-"))
+
+    procid = F.when(
+        prog.rlike(r"\."), F.regexp_replace(prog, r"\.[^.]*$", "")
+    ).otherwise(prog)
+
+    ts = F.concat(
+        F.lpad(hour.cast("string"), 2, "0"), F.lit(":"),
+        F.lpad(minute.cast("string"), 2, "0"), F.lit(":"),
+        F.lpad(sec.cast("string"), 2, "0"), F.lit("."), frac,
+    )
+    return (
+        df.withColumn("ulog_valid", valid)
+        .withColumn("hostname", F.when(valid, host))
+        .withColumn("procid", F.when(valid & (procid != ""), procid))
+        .withColumn("timereported_str", F.when(valid, ts))
+        .withColumn(
+            "secfrac_precision", F.when(valid, F.length(frac))
+        )
+        .withColumn("structured_data", F.when(valid, sd))
+        .withColumn("msg", F.when(valid, msg))
+        .withColumn("syslogtag", F.when(valid, F.lit(tag)))
+        .withColumn("programname", F.when(valid, F.lit(tag)))
+        .withColumn(
+            "pri", F.when(valid, F.lit(facility * 8 + severity))
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# imbatchreport — one whole report file per message
+# ---------------------------------------------------------------------------
+
+_TOO_LARGE = "File too large : "
+
+
+def batch_report_transform(
+    df: DataFrame,
+    content_col: str = "value",
+    path_col: str = "fpath",
+    dedup_space: bool = True,
+    ts_key: str | None = None,
+    prog_key: str | None = None,
+    max_msg_size: int = 131072,
+) -> DataFrame:
+    """imbatchreport.c readAndSendFile as Column expressions over
+    (path, whole-file content) rows:
+
+    * a trailing ``[…]`` block (after right-trim) becomes structured
+      data, with embedded newlines removed (imbatchreport.c:266-276);
+    * ``ts_key`` digits inside the SD override the file mtime epoch;
+      ``prog_key`` value (until ``\"``) sets APPNAME;
+    * body whitespace: space/tab runs collapse to one space when
+      ``dedup_space`` (tabs become spaces either way), a collapsed
+      space immediately before a newline is dropped, and newlines are
+      escaped to the two chars ``\\n`` (imbatchreport.c:330-346);
+    * a body longer than ``max_msg_size`` is replaced by
+      ``'File too large : ' + path`` and flagged, so the caller can
+      route the file to the reject rename (imbatchreport.c:355-360).
+    """
+    raw = F.col(content_col)
+    # trailing \n/\t/space trim (Spark rtrim strips spaces only)
+    trimmed = F.regexp_replace(raw, r"[ \t\n]+$", "")
+    has_sd = trimmed.endswith("]") & (F.instr(trimmed, "[") > 0)
+    # last '[' … end  (the reference scans backwards from the ']')
+    sd_start = F.length(trimmed) - F.length(
+        F.substring_index(trimmed, "[", -1)
+    )
+    sd_raw = F.when(has_sd, F.substr(trimmed, sd_start, F.length(trimmed)))
+    sd = F.regexp_replace(sd_raw, "\n", "")
+    body = F.when(
+        has_sd,
+        F.regexp_replace(
+            F.substr(trimmed, F.lit(1), sd_start - 1), r"[ \t\n]+$", ""
+        ),
+    ).otherwise(trimmed)
+
+    if dedup_space:
+        body = F.regexp_replace(body, r"[ \t]+", " ")
+        body = F.regexp_replace(body, r" \n", "\n")
+    else:
+        body = F.translate(body, "\t", " ")
+    body = F.regexp_replace(body, r"\n", r"\\n")
+
+    too_large = F.length(body) > max_msg_size
+    msg = F.when(
+        too_large, F.concat(F.lit(_TOO_LARGE), F.col(path_col))
+    ).otherwise(body)
+
+    out = (
+        df.withColumn("structured_data", F.coalesce(sd, F.lit("-")))
+        .withColumn("msg", msg)
+        .withColumn("too_large", too_large)
+        .withColumn(
+            "filename", F.substring_index(F.col(path_col), "/", -1)
+        )
+    )
+    if ts_key is not None:
+        out = out.withColumn(
+            "ts_epoch",
+            F.regexp_extract(
+                F.coalesce(sd, F.lit("")),
+                re.escape(ts_key) + r"(\d+)", 1,
+            ).try_cast("long"),
+        )
+    if prog_key is not None:
+        out = out.withColumn(
+            "programname",
+            F.when(
+                F.coalesce(sd, F.lit("")).rlike(
+                    re.escape(prog_key) + r'[^"]*"'
+                ),
+                F.regexp_extract(
+                    F.coalesce(sd, F.lit("")),
+                    re.escape(prog_key) + r'([^"]*)"', 1,
+                ),
+            ),
+        )
+    return out
+
+
+def batch_reports(
+    spark: SparkSession,
+    glob: str,
+    **kwargs,
+) -> DataFrame:
+    """Poll a glob of finished report files — one row per file
+    (Spark-native ``wholetext`` read, distributed), transformed per
+    imbatchreport semantics."""
+    df = spark.read.text(glob, wholetext=True).withColumn(
+        "fpath", F.input_file_name()
+    )
+    return batch_report_transform(df, **kwargs)
+
+
+def finalize_batch_reports(
+    paths: list[str],
+    rename_suffix_re: str | None = None,
+    rename_to: str | None = None,
+    reject_to: str | None = None,
+    rejected: set[str] | frozenset[str] = frozenset(),
+    delete: bool = False,
+) -> list[tuple[str, str]]:
+    """Post-send step (imbatchreport.c pollFile:431-455): each sent
+    file is renamed (``rename_suffix_re`` match on the name replaced
+    by ``rename_to``; too-large/failed files get ``reject_to``) or
+    deleted. The reference stops polling on a failed rename to avoid
+    flooding — mirrored by raising. Returns (old, new) pairs."""
+    done: list[tuple[str, str]] = []
+    for p in paths:
+        if delete and p not in rejected:
+            os.unlink(p)
+            done.append((p, ""))
+            continue
+        suffix = reject_to if p in rejected else rename_to
+        if suffix is None or rename_suffix_re is None:
+            raise ValueError("rename action needs regex + replacement")
+        new = re.sub(rename_suffix_re, suffix, p)
+        if new == p:
+            raise RuntimeError(
+                f"imbatchreport: rename pattern did not change {p!r}; "
+                "stopping to avoid re-sending the same report"
+            )
+        os.rename(p, new)
+        done.append((p, new))
+    return done
