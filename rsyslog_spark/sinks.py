@@ -533,6 +533,7 @@ def omhttp_batch(
     loki_labels: dict[str, str] | None = None,
     order_by: str | list[str] | None = None,
     n_buckets: int | None = None,
+    otlp_resource: str | None = None,
 ) -> DataFrame:
     """contrib/omhttp/omhttp.c batch serialization: render each message
     with `template`, group into request bodies of ``batch_size`` and
@@ -573,14 +574,16 @@ def omhttp_batch(
     from rsyslog_spark.templates import compile_template
 
     if batch_format not in ("newline", "jsonarray", "kafkarest",
-                            "lokirest"):
+                            "lokirest", "clickhouse", "otlp"):
         raise ValueError(
             f"batch.format {batch_format!r} invalid; use one of "
-            "newline jsonarray kafkarest lokirest"
+            "newline jsonarray kafkarest lokirest clickhouse otlp"
         )
     if batch_size < 1:
         raise ValueError(f"batch_size must be >= 1, got {batch_size}")
-    line = compile_template(template)
+    line = template if isinstance(template, Column) else compile_template(
+        template
+    )
     if order_by is not None:
         from pyspark.sql import Window
 
@@ -678,6 +681,50 @@ def omhttp_batch(
             body = F.concat(
                 F.lit("["), F.array_join("items", ","), F.lit("]")
             )
+        elif batch_format == "clickhouse":
+            # omclickhouse bulkmode (computeBulkMessage,
+            # plugins/omclickhouse/omclickhouse.c:411-431): the first
+            # INSERT statement goes in whole; each further message
+            # contributes only from the '(' after its VALUES keyword,
+            # concatenated with no separator. Messages without a
+            # VALUES( section fall back to the whole statement — same
+            # as the reference's strstr/strchr miss path.
+            ch_rx = r"(?s)VALUES[^(]*(\(.*)$"
+            tail = F.transform(
+                F.slice(F.col("items"), 2, 2147483646),
+                lambda x: F.when(
+                    x.rlike(r"VALUES[^(]*\("),
+                    F.regexp_extract(x, ch_rx, 1),
+                ).otherwise(x),
+            )
+            body = F.concat(
+                F.coalesce(
+                    F.try_element_at("items", F.lit(1)), F.lit("")
+                ),
+                F.array_join(tail, ""),
+            )
+        elif batch_format == "otlp":
+            # omotel OTLP/HTTP JSON envelope (plugins/omotel/
+            # otlp_json.c:240-397): one resource entry with static
+            # resource attributes, one scope entry, the batch's
+            # records in logRecords. `template` must be the per-record
+            # JSON Column from omotel_record().
+            res = otlp_resource or (
+                '[{"key":"service.name","value":{"stringValue":'
+                '"rsyslog"}},{"key":"telemetry.sdk.name","value":'
+                '{"stringValue":"rsyslog-omotel"}},'
+                '{"key":"telemetry.sdk.language","value":'
+                '{"stringValue":"python"}}]'
+            )
+            body = F.concat(
+                F.lit('{"resourceLogs":[{"resource":{"attributes":'),
+                F.lit(res),
+                F.lit('},"scopeLogs":[{"scope":{"name":'
+                      '"rsyslog.omotel","version":"rsyslog-spark"},'
+                      '"logRecords":['),
+                F.array_join("items", ","),
+                F.lit("]}]}]}"),
+            )
         else:  # kafkarest
             body = F.concat(
                 F.lit('{"records":['),
@@ -705,6 +752,8 @@ _OMHTTP_CONTENT_TYPE = {
     "jsonarray": "application/json",
     "kafkarest": "application/vnd.kafka.json.v2+json",
     "lokirest": "application/json",
+    "clickhouse": "text/plain; charset=utf-8",
+    "otlp": "application/json",
 }
 
 
@@ -721,6 +770,8 @@ def omhttp_post(
     retries: int = 2,
     retry_codes: tuple[int, ...] = (429, 500, 502, 503, 504),
     timeout_secs: float = 10.0,
+    otlp_resource: str | None = None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """contrib/omhttp/omhttp.c delivery path: render → batch
     (:func:`omhttp_batch`) → POST each request body, with per-request
@@ -741,13 +792,150 @@ def omhttp_post(
     bodies = omhttp_batch(
         df, template=template, batch_format=batch_format,
         batch_size=batch_size, ts_col=ts_col, loki_labels=loki_labels,
-        order_by=order_by,
+        order_by=order_by, otlp_resource=otlp_resource,
+        n_buckets=n_buckets,
     )
     ctype = _OMHTTP_CONTENT_TYPE[batch_format]
     return http_post_bodies(
         bodies, url, headers={"Content-Type": ctype, **(headers or {})},
         retries=retries, retry_codes=retry_codes,
         timeout_secs=timeout_secs,
+    )
+
+
+def omclickhouse_post(
+    df: DataFrame,
+    url: str = "http://localhost:8123/",
+    template: str = "RSYSLOG_StdClickHouseFmt",
+    **kwargs,
+) -> DataFrame:
+    """plugins/omclickhouse: render each message to an INSERT
+    statement (StdClickHouseFmt default, runtime/rsconf.c:250) and
+    POST bulkmode-merged bodies to the ClickHouse HTTP endpoint.
+    Messages whose rendering is not an INSERT are dropped up front —
+    the reference logs 'Message is no Insert query' and errors out
+    (omclickhouse.c:468-473)."""
+    from rsyslog_spark.templates import compile_template
+
+    rendered = template if isinstance(template, Column) else (
+        compile_template(template)
+    )
+    df = df.where(F.instr(rendered, "INSERT INTO") > 0)
+    return omhttp_post(
+        df, url, template=template, batch_format="clickhouse", **kwargs
+    )
+
+
+# omotel default severity mapping (plugins/omotel/omotel.c:498-500),
+# indexed by syslog severity 0..7
+_OTEL_SEV = [
+    (24, "EMERGENCY"), (23, "ALERT"), (22, "CRITICAL"), (17, "ERROR"),
+    (13, "WARNING"), (11, "NOTICE"), (9, "INFO"), (5, "DEBUG"),
+]
+
+
+def omotel_record(
+    ts_col: str | None = "ts",
+    severity_col: str = "severity",
+    facility_col: str = "facility",
+    hostname_col: str = "hostname",
+    appname_col: str = "programname",
+    procid_col: str = "procid",
+    msgid_col: str = "msgid",
+    msg_col: str = "msg",
+    trace_id_col: str | None = None,
+    span_id_col: str | None = None,
+) -> Column:
+    """One OTLP logRecord JSON per message (plugins/omotel/
+    otlp_json.c:399-500): timeUnixNano/observedTimeUnixNano,
+    severityNumber + severityText via the default syslog→OTel table
+    (omotel.c:498-500, unmapped severities fall back to 0 like
+    omotel.c:1244), a stringValue body wrapper, and the
+    log.syslog.{hostname,appname,procid,msgid,facility} attributes —
+    null properties are omitted exactly like the reference's NULL
+    checks. Pure Column (to_json drops null fields)."""
+    sev = F.col(severity_col).cast("int")
+    nums = F.array(*[F.lit(n) for n, _ in _OTEL_SEV])
+    texts = F.array(*[F.lit(t) for _, t in _OTEL_SEV])
+    sev_num = F.coalesce(
+        F.try_element_at(nums, sev + 1), F.lit(0)
+    ).cast("long")
+    sev_text = F.try_element_at(texts, sev + 1)
+
+    def sattr(key: str, col: Column) -> Column:
+        return F.struct(
+            F.lit(key).alias("key"),
+            F.struct(
+                col.cast("string").alias("stringValue"),
+                F.lit(None).cast("long").alias("intValue"),
+            ).alias("value"),
+        )
+
+    fattr = F.struct(
+        F.lit("log.syslog.facility").alias("key"),
+        F.struct(
+            F.lit(None).cast("string").alias("stringValue"),
+            F.col(facility_col).cast("long").alias("intValue"),
+        ).alias("value"),
+    )
+    attrs = F.filter(
+        F.array(
+            sattr("log.syslog.hostname", F.col(hostname_col)),
+            sattr("log.syslog.appname", F.col(appname_col)),
+            sattr("log.syslog.procid", F.col(procid_col)),
+            sattr("log.syslog.msgid", F.col(msgid_col)),
+            fattr,
+        ),
+        lambda a: a["value"]["stringValue"].isNotNull()
+        | a["value"]["intValue"].isNotNull(),
+    )
+    ns = (
+        (F.unix_micros(F.col(ts_col)) * 1000).cast("string")
+        if ts_col is not None else F.lit(None).cast("string")
+    )
+    fields = [
+        ns.alias("timeUnixNano"),
+        ns.alias("observedTimeUnixNano"),
+        sev_num.alias("severityNumber"),
+        sev_text.alias("severityText"),
+        F.struct(
+            F.coalesce(F.col(msg_col), F.lit("")).alias("stringValue")
+        ).alias("body"),
+    ]
+    if trace_id_col is not None:
+        fields.append(F.col(trace_id_col).alias("traceId"))
+    if span_id_col is not None:
+        fields.append(F.col(span_id_col).alias("spanId"))
+    fields.append(attrs.alias("attributes"))
+    return F.to_json(F.struct(*fields))
+
+
+def omotel_post(
+    df: DataFrame,
+    url: str,
+    record: Column | None = None,
+    resource_attrs: dict[str, str] | None = None,
+    **kwargs,
+) -> DataFrame:
+    """plugins/omotel OTLP/HTTP JSON delivery: batch logRecords into
+    the resourceLogs/scopeLogs envelope and POST to the collector's
+    /v1/logs endpoint; retries ride the shared omhttp engine (the
+    reference has its own retry/backoff loop, omotel.c:505-508)."""
+    import json as _json
+
+    res = None
+    if resource_attrs is not None:
+        res = _json.dumps(
+            [
+                {"key": k, "value": {"stringValue": v}}
+                for k, v in resource_attrs.items()
+            ],
+            separators=(",", ":"),
+        )
+    return omhttp_post(
+        df, url,
+        template=record if record is not None else omotel_record(),
+        batch_format="otlp", otlp_resource=res, **kwargs,
     )
 
 
