@@ -1911,6 +1911,63 @@ def q_kmsg_parse(spark, sf):
     )
 
 
+def q_journal_parse(spark, sf):
+    """imjournal journal-entry parse (plugins/imjournal/imjournal.c):
+    export-format records synthesized per event cover the PRIORITY
+    bounds fallback, the digit-wise SYSLOG_FACILITY math with its
+    0..23 bounds default, SYSLOG_IDENTIFIER vs _COMM tag derivation,
+    optional PID bracketing, and the µs realtime timestamp."""
+    from rsyslog_spark import sources_os as so
+
+    ev = _events(spark, sf)
+    eid = F.col("event_id")
+    kval = F.get_json_object("props", "$.k")
+    prio = F.when(eid % 13 == 0, F.lit("9")).otherwise(
+        (eid % 8).cast("string")
+    )
+    fac = (F.col("user_id") % 30).cast("string")
+    iden = F.when(
+        eid % 3 != 0,
+        F.concat(F.lit("SYSLOG_IDENTIFIER="), F.col("event_type")),
+    ).otherwise(
+        F.concat(F.lit("_COMM=comm"), (eid % 5).cast("string"))
+    )
+    pid = F.when(
+        eid % 2 == 0,
+        F.concat(F.lit("\nSYSLOG_PID="), (eid % 997).cast("string")),
+    ).otherwise(F.lit(""))
+    rec = F.concat(
+        F.lit("MESSAGE=jmsg k="), kval,
+        F.lit("\nPRIORITY="), prio,
+        F.lit("\nSYSLOG_FACILITY="), fac,
+        F.lit("\n"), iden, pid,
+        F.lit("\n__REALTIME_TIMESTAMP="),
+        # events.ts is TIMESTAMP_NTZ; session tz is UTC so the cast
+        # to TIMESTAMP preserves the wall-clock instant
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("string"),
+        F.lit("\nFOO=bar"), kval,
+    )
+    df = ev.select(
+        F.concat(
+            F.lit("doc-"), F.lpad(eid.cast("string"), 12, "0")
+        ).alias("doc_id"),
+        rec.alias("record"),
+    )
+    out = so.journal_entry_parse(df, local_hostname="spark-node")
+    return out.where("journal_valid").select(
+        "doc_id",
+        F.col("severity").cast("long").alias("severity"),
+        F.col("facility").cast("long").alias("facility"),
+        "syslogtag",
+        "programname",
+        F.coalesce(F.col("procid"), F.lit("")).alias("procid"),
+        "hostname",
+        "msg",
+        F.col("ts_usec").cast("long").alias("ts_usec"),
+        F.try_element_at("journal", F.lit("FOO")).alias("foo"),
+    )
+
+
 def q_ulog_parse(spark, sf):
     """imtuxedoulog ULOG-line parse (contrib/imtuxedoulog/
     imtuxedoulog.c parseMsg): four line dialects per event — plain,
@@ -2026,6 +2083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bound_rulesets": q_bound_rulesets,
         "device_parse": q_device_parse,
         "kmsg_parse": q_kmsg_parse,
+        "journal_parse": q_journal_parse,
         "ulog_parse": q_ulog_parse,
         "cee_json": q_cee_json,
         "msg_fixups": q_msg_fixups,
@@ -3359,6 +3417,32 @@ def oracle_sql() -> dict[str, str]:
                         ELSE '' END AS device
             FROM events
             WHERE event_id % 11 <> 0
+        """,
+        "journal_parse": f"""
+            SELECT {O['doc_id']} AS doc_id,
+                   CAST(CASE WHEN event_id % 13 = 0 THEN 5
+                             ELSE event_id % 8 END AS BIGINT) AS severity,
+                   CAST(CASE WHEN user_id % 30 <= 23 THEN user_id % 30
+                             ELSE 1 END AS BIGINT) AS facility,
+                   CASE WHEN event_id % 3 <> 0 THEN event_type
+                        ELSE 'comm' || CAST(event_id % 5 AS VARCHAR) END
+                       || CASE WHEN event_id % 2 = 0
+                               THEN '[' || CAST(event_id % 997 AS VARCHAR)
+                                    || ']:'
+                               ELSE ':' END AS syslogtag,
+                   CASE WHEN event_id % 3 <> 0 THEN event_type
+                        ELSE 'comm' || CAST(event_id % 5 AS VARCHAR) END
+                       AS programname,
+                   CASE WHEN event_id % 2 = 0
+                        THEN CAST(event_id % 997 AS VARCHAR)
+                        ELSE '' END AS procid,
+                   'spark-node' AS hostname,
+                   'jmsg k=' || CAST(json_extract(props, '$.k') AS VARCHAR)
+                       AS msg,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_usec,
+                   'bar' || CAST(json_extract(props, '$.k') AS VARCHAR)
+                       AS foo
+            FROM events
         """,
         "ulog_parse": f"""
             SELECT {O['doc_id']} AS doc_id,

@@ -111,6 +111,147 @@ def kmsg_timestamp(
 
 
 # ---------------------------------------------------------------------------
+# imjournal — systemd journal entries (export-format records)
+# ---------------------------------------------------------------------------
+
+def journal_entry_parse(
+    df: DataFrame,
+    rec_col: str = "record",
+    dflt_severity: int = 5,
+    dflt_facility: int = 1,
+    dflt_tag: str = "journal",
+    local_hostname: str = "localhost",
+) -> DataFrame:
+    """Parse journal entries in the systemd journal EXPORT format
+    (one ``FIELD=value`` line per field, text form) with imjournal's
+    field mapping (plugins/imjournal/imjournal.c:597-760):
+
+    * MESSAGE → msg (entries without it are invalid — the reference
+      skips them, imjournal.c:601-608);
+    * PRIORITY → severity via strtol semantics (leading integer,
+      out-of-bounds or non-numeric → default, imjournal.c:613-653);
+    * SYSLOG_FACILITY → facility, parsed DIGIT-WISE from a 1- or
+      2-char value exactly like the reference's ``c - '0'`` math
+      (non-digit chars land where the arithmetic puts them, then the
+      0..23 bounds check applies; other lengths → default);
+    * SYSLOG_IDENTIFIER (else _COMM, else the default tag) + optional
+      SYSLOG_PID (else _PID) → ``iden[pid]:`` TAG (imjournal.c:681-718);
+    * __REALTIME_TIMESTAMP (µs) → ts;
+    * HOSTNAME is the LOCAL host, not the entry's _HOSTNAME — the
+      reference sets glbl.GetLocalHostName() (imjournal.c:542);
+    * every field lands in the ``journal`` map (readJSONfromJournalMsg).
+    """
+    rec = F.col(rec_col)
+    lines = F.filter(
+        F.split(rec, "\n"),
+        lambda ln: (F.instr(ln, "=") > 0) & ~ln.startswith("="),
+    )
+    fields = F.map_from_entries(
+        F.transform(
+            lines,
+            lambda ln: F.struct(
+                F.substring_index(ln, "=", 1).alias("key"),
+                F.substr(
+                    ln, F.instr(ln, "=") + 1, F.length(ln)
+                ).alias("value"),
+            ),
+        )
+    )
+    df = df.withColumn("journal", fields)
+    j = lambda k: F.try_element_at("journal", F.lit(k))  # noqa: E731
+
+    msg = j("MESSAGE")
+    valid = msg.isNotNull()
+
+    prio = F.regexp_extract(j("PRIORITY"), r"^\s*([+-]?\d+)", 1)
+    prio_l = F.when(prio != "", prio).try_cast("long")
+    severity = F.when(
+        prio_l.isNotNull() & (prio_l >= 0) & (prio_l <= 7), prio_l
+    ).otherwise(F.lit(dflt_severity)).cast("long")
+
+    fv = j("SYSLOG_FACILITY")
+    d = lambda c: F.ascii(c) - 48  # noqa: E731  (the '- '0'' math)
+    fac_raw = F.when(
+        F.length(fv) == 1, d(fv)
+    ).when(
+        F.length(fv) == 2,
+        d(F.substring(fv, 1, 1)) * 10 + d(F.substring(fv, 2, 1)),
+    )
+    facility = F.when(
+        fac_raw.isNotNull() & (fac_raw >= 0) & (fac_raw <= 23), fac_raw
+    ).otherwise(F.lit(dflt_facility)).cast("long")
+
+    iden = F.coalesce(
+        j("SYSLOG_IDENTIFIER"), j("_COMM"), F.lit(dflt_tag)
+    )
+    pid = F.coalesce(j("SYSLOG_PID"), j("_PID"))
+    tag = F.when(
+        pid.isNotNull(),
+        F.concat(iden, F.lit("["), pid, F.lit("]:")),
+    ).otherwise(F.concat(iden, F.lit(":")))
+
+    ts_usec = j("__REALTIME_TIMESTAMP").try_cast("long")
+    return (
+        df.withColumn("journal_valid", valid)
+        .withColumn("msg", F.when(valid, msg))
+        .withColumn("severity", F.when(valid, severity))
+        .withColumn("facility", F.when(valid, facility))
+        .withColumn("pri", F.when(valid, facility * 8 + severity))
+        .withColumn("syslogtag", F.when(valid, tag))
+        .withColumn("programname", F.when(valid, iden))
+        .withColumn("procid", F.when(valid, pid))
+        .withColumn("hostname", F.when(valid, F.lit(local_hostname)))
+        .withColumn("ts_usec", F.when(valid, ts_usec))
+        .withColumn(
+            "ts", F.when(valid, F.timestamp_micros(ts_usec))
+        )
+    )
+
+
+def read_journal_export(path: str) -> list[str]:
+    """Driver-side reader for a journal export-format stream
+    (systemd.io export spec): entries separated by an empty line;
+    a field line is either ``NAME=value`` or the BINARY form —
+    ``NAME\\n`` + little-endian u64 size + raw bytes + ``\\n``.
+    Binary values are decoded utf-8/replace into the text form so
+    the distributed :func:`journal_entry_parse` handles every field.
+    Returns one record string per entry."""
+    import struct
+
+    entries: list[str] = []
+    cur: list[str] = []
+    with open(path, "rb") as fh:
+        data = fh.read()
+    i = 0
+    n = len(data)
+    while i < n:
+        eol = data.find(b"\n", i)
+        if eol == -1:
+            eol = n
+        line = data[i:eol]
+        if line == b"":
+            if cur:
+                entries.append("\n".join(cur))
+                cur = []
+            i = eol + 1
+            continue
+        if b"=" in line:
+            cur.append(line.decode("utf-8", "replace"))
+            i = eol + 1
+        else:
+            # binary field: NAME \n le64(size) data \n
+            name = line.decode("utf-8", "replace")
+            szoff = eol + 1
+            (size,) = struct.unpack_from("<Q", data, szoff)
+            val = data[szoff + 8:szoff + 8 + size]
+            cur.append(f"{name}={val.decode('utf-8', 'replace')}")
+            i = szoff + 8 + size + 1  # trailing \n
+    if cur:
+        entries.append("\n".join(cur))
+    return entries
+
+
+# ---------------------------------------------------------------------------
 # imtuxedoulog — Tuxedo ULOG lines
 # ---------------------------------------------------------------------------
 

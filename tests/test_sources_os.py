@@ -220,3 +220,85 @@ def test_finalize_rename_delete(tmp_path):
             [str(tmp_path / "d.ok")],
             rename_suffix_re=r"\.nope$", rename_to=".sent",
         )
+
+
+# ---------------------------------------------------------------------------
+# imjournal
+# ---------------------------------------------------------------------------
+
+JOURNAL_ENTRIES = [
+    # full entry
+    "MESSAGE=unit started\nPRIORITY=3\nSYSLOG_FACILITY=10\n"
+    "SYSLOG_IDENTIFIER=sshd\nSYSLOG_PID=901\n"
+    "__REALTIME_TIMESTAMP=1700000000123456\n_HOSTNAME=remote1",
+    # _COMM fallback, _PID fallback, 1-char facility
+    "MESSAGE=m2\nPRIORITY=6\nSYSLOG_FACILITY=4\n_COMM=cron\n_PID=77\n"
+    "__REALTIME_TIMESTAMP=1700000001000000",
+    # defaults: out-of-bounds priority, facility >23, no identifier
+    "MESSAGE=m3\nPRIORITY=9\nSYSLOG_FACILITY=42\n"
+    "__REALTIME_TIMESTAMP=1700000002000000",
+    # non-numeric priority, odd-length facility, no pid
+    "MESSAGE=m4\nPRIORITY=high\nSYSLOG_FACILITY=123\nSYSLOG_IDENTIFIER=x",
+    # invalid: no MESSAGE
+    "PRIORITY=3\nSYSLOG_IDENTIFIER=ghost",
+]
+
+
+def test_journal_entry_parse(spark):
+    df = spark.createDataFrame(
+        [(r,) for r in JOURNAL_ENTRIES], "record string"
+    )
+    out = so.journal_entry_parse(df, local_hostname="lh").collect()
+    e1, e2, e3, e4, bad = out
+
+    assert e1.journal_valid
+    assert e1.msg == "unit started"
+    assert (e1.severity, e1.facility, e1.pri) == (3, 10, 83)
+    assert e1.syslogtag == "sshd[901]:"
+    assert e1.programname == "sshd" and e1.procid == "901"
+    # hostname is the LOCAL host, not _HOSTNAME (imjournal.c:542)
+    assert e1.hostname == "lh"
+    assert e1.ts_usec == 1700000000123456
+    assert str(e1.ts) == "2023-11-14 22:13:20.123456"
+    assert e1.journal["_HOSTNAME"] == "remote1"
+
+    assert e2.syslogtag == "cron[77]:" and e2.facility == 4
+
+    # out-of-bounds → defaults (sev 5, fac 1)
+    assert (e3.severity, e3.facility) == (5, 1)
+    assert e3.syslogtag == "journal:"
+
+    assert (e4.severity, e4.facility) == (5, 1)
+    assert e4.syslogtag == "x:" and e4.procid is None
+
+    assert not bad.journal_valid and bad.msg is None
+
+
+def test_journal_facility_digit_math(spark):
+    # the reference parses facility DIGIT-WISE without isdigit checks:
+    # 'A' -> 17 (in bounds, kept); 'Z' -> 42 (out, default)
+    df = spark.createDataFrame(
+        [("MESSAGE=m\nSYSLOG_FACILITY=A",),
+         ("MESSAGE=m\nSYSLOG_FACILITY=Z",)],
+        "record string",
+    )
+    out = so.journal_entry_parse(df).collect()
+    assert out[0].facility == 17
+    assert out[1].facility == 1
+
+
+def test_read_journal_export_binary(tmp_path):
+    import struct
+
+    payload = b"line one\nline two"
+    blob = (
+        b"MESSAGE\n" + struct.pack("<Q", len(payload)) + payload + b"\n"
+        + b"PRIORITY=4\n\n"
+        + b"MESSAGE=plain\n__REALTIME_TIMESTAMP=5\n\n"
+    )
+    p = tmp_path / "export.bin"
+    p.write_bytes(blob)
+    recs = so.read_journal_export(str(p))
+    assert len(recs) == 2
+    assert recs[0] == "MESSAGE=line one\nline two\nPRIORITY=4"
+    assert recs[1] == "MESSAGE=plain\n__REALTIME_TIMESTAMP=5"
