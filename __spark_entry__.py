@@ -1911,6 +1911,47 @@ def q_kmsg_parse(spark, sf):
     )
 
 
+def q_pcap_fields(spark, sf):
+    """impcap field promotion (contrib/impcap eth/ipv4/udp parsers):
+    Ethernet+IPv4+UDP frames are synthesized per event as hex Columns
+    (unhex → binary), then the pure-Column byte-slice parser must
+    recover every header field and the payload."""
+    from rsyslog_spark import pcap
+
+    ev = _events(spark, sf)
+    eid = F.col("event_id")
+    kval = F.get_json_object("props", "$.k")
+    payload = F.concat(F.lit("pkt k="), kval)
+    pkt = F.unhex(
+        pcap.build_udp_packet_hex(
+            [F.lit(10), F.lit(0), F.col("user_id") % 256, eid % 256],
+            [F.lit(172), F.lit(16), F.lit(0), F.col("user_id") % 7],
+            F.lit(1024) + eid % 1000,
+            F.lit(514),
+            payload,
+        )
+    )
+    df = ev.select(
+        F.concat(
+            F.lit("doc-"), F.lpad(eid.cast("string"), 12, "0")
+        ).alias("doc_id"),
+        pkt.alias("packet"),
+    )
+    out = pcap.packet_parse(df)
+    return out.select(
+        "doc_id",
+        F.col("ether_type").cast("long").alias("ether_type"),
+        F.col("ip_proto").cast("long").alias("ip_proto"),
+        F.col("ip_ttl").cast("long").alias("ip_ttl"),
+        F.col("ip_total_len").cast("long").alias("ip_total_len"),
+        "src_ip",
+        "dst_ip",
+        F.col("src_port").cast("long").alias("src_port"),
+        F.col("dst_port").cast("long").alias("dst_port"),
+        "payload",
+    )
+
+
 def q_journal_parse(spark, sf):
     """imjournal journal-entry parse (plugins/imjournal/imjournal.c):
     export-format records synthesized per event cover the PRIORITY
@@ -2084,6 +2125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "device_parse": q_device_parse,
         "kmsg_parse": q_kmsg_parse,
         "journal_parse": q_journal_parse,
+        "pcap_fields": q_pcap_fields,
         "ulog_parse": q_ulog_parse,
         "cee_json": q_cee_json,
         "msg_fixups": q_msg_fixups,
@@ -3417,6 +3459,23 @@ def oracle_sql() -> dict[str, str]:
                         ELSE '' END AS device
             FROM events
             WHERE event_id % 11 <> 0
+        """,
+        "pcap_fields": f"""
+            SELECT {O['doc_id']} AS doc_id,
+                   CAST(2048 AS BIGINT) AS ether_type,
+                   CAST(17 AS BIGINT) AS ip_proto,
+                   CAST(64 AS BIGINT) AS ip_ttl,
+                   CAST(28 + length('pkt k='
+                        || CAST(json_extract(props, '$.k') AS VARCHAR))
+                        AS BIGINT) AS ip_total_len,
+                   '10.0.' || CAST(user_id % 256 AS VARCHAR) || '.'
+                       || CAST(event_id % 256 AS VARCHAR) AS src_ip,
+                   '172.16.0.' || CAST(user_id % 7 AS VARCHAR) AS dst_ip,
+                   CAST(1024 + event_id % 1000 AS BIGINT) AS src_port,
+                   CAST(514 AS BIGINT) AS dst_port,
+                   'pkt k=' || CAST(json_extract(props, '$.k') AS VARCHAR)
+                       AS payload
+            FROM events
         """,
         "journal_parse": f"""
             SELECT {O['doc_id']} AS doc_id,
