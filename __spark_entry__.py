@@ -1911,6 +1911,22 @@ def q_kmsg_parse(spark, sf):
     )
 
 
+def q_lm_quality(spark, sf):
+    """CCNet-style unigram-LM quality score over the documents table
+    (datapipe.textstats.unigram_lm_quality): corpus-trained token
+    frequencies, integer-exact bit-length weights, permille score."""
+    from rsyslog_spark.datapipe.textstats import unigram_lm_quality
+
+    d = _docs(spark, sf).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return unigram_lm_quality(d).select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("lm_score").cast("long").alias("lm_score"),
+    )
+
+
 def q_pcap_fields(spark, sf):
     """impcap field promotion (contrib/impcap eth/ipv4/udp parsers):
     Ethernet+IPv4+UDP frames are synthesized per event as hex Columns
@@ -2126,6 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmsg_parse": q_kmsg_parse,
         "journal_parse": q_journal_parse,
         "pcap_fields": q_pcap_fields,
+        "lm_quality": q_lm_quality,
         "ulog_parse": q_ulog_parse,
         "cee_json": q_cee_json,
         "msg_fixups": q_msg_fixups,
@@ -3459,6 +3476,23 @@ def oracle_sql() -> dict[str, str]:
                         ELSE '' END AS device
             FROM events
             WHERE event_id % 11 <> 0
+        """,
+        "lm_quality": """
+            WITH words AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id, w
+                FROM documents,
+                     unnest(string_split_regex(lower(text), '[^a-z]+'))
+                         AS t(w)
+                WHERE w <> ''
+            ), vocab AS (
+                SELECT w, count(*) AS c FROM words GROUP BY w
+            )
+            SELECT words.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(length(bin(vocab.c))) * 1000 // count(*)
+                        AS BIGINT) AS lm_score
+            FROM words JOIN vocab USING (w)
+            GROUP BY words.doc_id
         """,
         "pcap_fields": f"""
             SELECT {O['doc_id']} AS doc_id,

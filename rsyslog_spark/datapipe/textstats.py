@@ -456,3 +456,45 @@ def drain_templates(
     # member can widen a cluster to a template an earlier cluster
     # already emitted; fold those together
     return merged.groupBy("template").agg(F.sum("n").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# unigram LM quality (CCNet-style frequency scoring, integer-exact)
+# ---------------------------------------------------------------------------
+
+def unigram_lm_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style language-model quality signal computed from the
+    corpus itself: train unigram counts over all documents, then score
+    each document by its tokens' corpus frequency. Documents made of
+    common words score high, gibberish/rare-token docs score low —
+    the same ordering a real LM-perplexity filter induces, but with
+    an INTEGER-EXACT weight so the score is bit-reproducible across
+    engines: weight(w) = bit_length(count(w)) = floor(log2 count)+1
+    (F.bin length — exact in both Spark and any SQL with bin()),
+    score = (sum(weight) * 1000) div n_words.
+
+    Two shuffles total at any scale: one groupBy to train the vocab,
+    one groupBy to score docs; the vocab join auto-broadcasts when
+    small and sort-merges otherwise. No floats anywhere — log-prob
+    proxies via bit lengths keep the oracle comparison exact.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), "[^a-z]+")
+        ).alias("w"),
+    ).where(F.col("w") != "")
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    weighted = words.join(vocab, "w").select(
+        id_col, F.length(F.bin("c")).cast("long").alias("wt")
+    )
+    return weighted.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("wt").alias("wt_sum"),
+    ).select(
+        id_col,
+        "n_words",
+        F.expr("(wt_sum * 1000) div n_words").alias("lm_score"),
+    )
