@@ -1280,3 +1280,115 @@ def omelasticsearch_deliver(
             yield out
 
     return df.mapInPandas(deliver, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# omhttpfs — Hadoop HttpFS / WebHDFS REST sink
+# ---------------------------------------------------------------------------
+
+def omhttpfs_deliver(
+    df: DataFrame,
+    base_url: str,
+    file: str,
+    user: str = "hdfs",
+    value_col: str = "value",
+    timeout_secs: float = 10.0,
+) -> DataFrame:
+    """contrib/omhttpfs: append rendered lines to an HDFS file over
+    the HttpFS REST API — POST ``?op=append&data=true`` first, and on
+    404 (file does not exist yet) create it with PUT
+    ``?op=create&overwrite=false&data=true`` (omhttpfs.c:444-546).
+    One connection per partition; bodies are newline-joined per Arrow
+    batch. Cross-partition append order is unspecified — exactly like
+    N reference instances appending to one file."""
+    import pandas as pd
+
+    url = (
+        f"{base_url.rstrip('/')}/webhdfs/v1{file}?user.name={user}"
+    )
+
+    def send(batches):
+        import urllib.request
+
+        n_batches = n_msgs = 0
+        created = False
+
+        def do(method: str, op: str, data: bytes) -> int:
+            req = urllib.request.Request(
+                url + op, data=data, method=method,
+                headers={"Content-Type": "application/octet-stream"},
+            )
+            try:
+                with urllib.request.urlopen(
+                    req, timeout=timeout_secs
+                ) as resp:
+                    return resp.status
+            except urllib.error.HTTPError as e:
+                return e.code
+
+        for pdf in batches:
+            vals = pdf[value_col].tolist()
+            if not vals:
+                continue
+            body = ("\n".join(vals) + "\n").encode("utf-8")
+            status = do("POST", "&op=append&data=true", body)
+            if status == 404:
+                status = do(
+                    "PUT", "&op=create&overwrite=false&data=true", body
+                )
+                created = True
+            if status >= 300:
+                raise IOError(
+                    f"omhttpfs: HTTP {status} appending to {file}"
+                )
+            n_batches += 1
+            n_msgs += len(vals)
+        yield pd.DataFrame(
+            {"n_batches": [n_batches], "n_messages": [n_msgs],
+             "created": [created]}
+        )
+
+    return df.mapInPandas(
+        send, "n_batches long, n_messages long, created boolean"
+    )
+
+
+# ---------------------------------------------------------------------------
+# omudpspoof — source-spoofed UDP datagrams
+# ---------------------------------------------------------------------------
+
+def omudpspoof_frame(
+    df: DataFrame,
+    dst_ip: str,
+    dst_port: int = 514,
+    src_ip_col: str = "fromhost_ip",
+    src_port: int = 514,
+    value_col: str = "value",
+    out_col: str = "packet",
+) -> DataFrame:
+    """plugins/omudpspoof: relay messages with the ORIGINAL sender as
+    the UDP source so downstream collectors see the true origin. The
+    reference hand-builds the IP/UDP headers via libnet and a raw
+    socket; the packet construction — the module's actual logic — is
+    a pure Column here (rsyslog_spark.pcap.build_udp_packet_hex),
+    emitting the exact on-wire Ethernet+IPv4+UDP bytes per message.
+    Injecting them needs CAP_NET_RAW at deploy; in-sandbox the frames
+    round-trip through the pcap parser instead."""
+    from rsyslog_spark.pcap import build_udp_packet_hex
+
+    parts = F.split(F.col(src_ip_col), r"\.")
+    src_bytes = [
+        F.try_element_at(parts, F.lit(i + 1)).cast("long")
+        for i in range(4)
+    ]
+    dst_bytes = [F.lit(int(b)) for b in dst_ip.split(".")]
+    return df.withColumn(
+        out_col,
+        F.unhex(
+            build_udp_packet_hex(
+                src_bytes, dst_bytes,
+                F.lit(src_port), F.lit(dst_port),
+                F.col(value_col),
+            )
+        ),
+    )
