@@ -15,6 +15,10 @@ sources must be replayable; a raw socket is not — the spool file is
 the replay log). :func:`omfwd_send` is omfwd's doAction made real:
 per-partition persistent TCP connection (or UDP datagrams) writing
 :func:`rsyslog_spark.sinks.omfwd_frame` bytes.
+
+Both TCP ends take a :class:`rsyslog_spark.tls.TlsConfig` to run the
+reference's stream-driver TLS layer (StreamDriver.Mode=1 with
+anon / x509/certvalid / x509/fingerprint / x509/name auth modes).
 """
 
 from __future__ import annotations
@@ -177,11 +181,19 @@ class _SpoolWriter:
 class SyslogTcpListener:
     """imtcp: accept TCP connections, extract frames with the
     per-frame auto-detecting parser, spool newline-delimited messages
-    for the streaming reader."""
+    for the streaming reader.
+
+    ``tls`` enables the stream-driver TLS layer (imtcp
+    StreamDriver.Mode=1): the handshake runs per session, and with
+    fingerprint/name auth modes the session is terminated before any
+    frame is processed when the client certificate is not authorized
+    (osslChkPeerAuth semantics — see :mod:`rsyslog_spark.tls`).
+    Rejections land in ``auth_errors``."""
 
     def __init__(self, spool_dir: str, host: str = "127.0.0.1",
                  port: int = 0, rotate_every: int = 10_000,
-                 support_compression: bool = True) -> None:
+                 support_compression: bool = True,
+                 tls=None) -> None:
         import socket as socketlib
         import threading
 
@@ -190,6 +202,13 @@ class SyslogTcpListener:
         self.support_compression = support_compression
         self.n_received = 0
         self.framing_errors: list[str] = []
+        self.auth_errors: list[str] = []
+        self.tls = tls
+        self._tls_ctx = None
+        if tls is not None:
+            from rsyslog_spark.tls import make_server_context
+
+            self._tls_ctx = make_server_context(tls)
         self._lock = threading.Lock()
         self._n_sessions = 0
         self._srv = socketlib.socket(
@@ -219,6 +238,26 @@ class SyslogTcpListener:
             ).start()
 
     def _session(self, conn, sid: int) -> None:
+        if self._tls_ctx is not None:
+            import ssl as ssllib
+
+            from rsyslog_spark.tls import check_peer
+
+            try:
+                conn = self._tls_ctx.wrap_socket(conn, server_side=True)
+            except (ssllib.SSLError, OSError) as e:
+                with self._lock:
+                    self.auth_errors.append(f"TLS handshake failed: {e}")
+                return
+            der = conn.getpeercert(binary_form=True)
+            ok, detail = check_peer(der, conn.getpeercert(), self.tls)
+            if not ok:
+                with self._lock:
+                    self.auth_errors.append(
+                        f"TLS session terminated: {detail}"
+                    )
+                conn.close()
+                return
         parser = SyslogFrameParser()
         spool = _SpoolWriter(
             self.spool_dir, f"tcp-{sid:04d}", self.rotate_every
@@ -296,17 +335,26 @@ def omfwd_send(
     port: int,
     protocol: str = "tcp",
     value_col: str = "value",
+    tls=None,
 ) -> int:
     """omfwd's doAction made real (tools/omfwd.c TCPSend/UDPSend):
     ship pre-framed wire bytes (see sinks.omfwd_frame) over one
     persistent TCP connection per partition, or as one UDP datagram
     per message. Driver-visible return: messages sent. A TCP transport
     error fails the partition → Spark retries (the reference suspends
-    the action and replays from the queue)."""
+    the action and replays from the queue).
+
+    ``tls`` (a :class:`rsyslog_spark.tls.TlsConfig`) enables the
+    omfwd StreamDriver TLS mode: the client also AUTHENTICATES the
+    server per auth_mode/permitted_peers (the reference checks both
+    directions — nsd_ossl.c osslChkPeerAuth runs in the client
+    handshake too); an unauthorized server fails the partition."""
     import pyspark.sql.types as T
 
     if protocol not in ("tcp", "udp"):
         raise ValueError("protocol must be tcp|udp")
+    if tls is not None and protocol != "tcp":
+        raise ValueError("tls requires protocol='tcp'")
 
     def send(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import socket as socketlib
@@ -321,6 +369,26 @@ def omfwd_send(
                         sock = socketlib.create_connection(
                             (host, port), timeout=10.0
                         )
+                        if tls is not None:
+                            from rsyslog_spark.tls import (
+                                check_peer,
+                                make_client_context,
+                            )
+
+                            ctx = make_client_context(tls)
+                            sock = ctx.wrap_socket(
+                                sock, server_hostname=host
+                            )
+                            ok, detail = check_peer(
+                                sock.getpeercert(binary_form=True),
+                                sock.getpeercert(),
+                                tls,
+                            )
+                            if not ok:
+                                raise RuntimeError(
+                                    "TLS session terminated with "
+                                    f"remote syslog server: {detail}"
+                                )
                     else:
                         sock = socketlib.socket(
                             socketlib.AF_INET, socketlib.SOCK_DGRAM
