@@ -1927,6 +1927,23 @@ def q_lm_quality(spark, sf):
     )
 
 
+def q_dsir_select(spark, sf):
+    """DSIR importance resampling (datapipe.curation.dsir_select,
+    Xie et al. 2023): hashed-unigram bucket LMs for target (lang='en')
+    vs raw corpus, integer-exact bit-length log-prob proxies, and the
+    deterministic top-k resample (wt_sum desc, seeded draw, id)."""
+    from rsyslog_spark.datapipe.curation import dsir_select
+
+    d = _docs(spark, sf).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "lang"
+    )
+    return dsir_select(d, F.col("lang") == "en", 100).select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("wt_sum").cast("long").alias("wt_sum"),
+    )
+
+
 def q_pcap_fields(spark, sf):
     """impcap field promotion (contrib/impcap eth/ipv4/udp parsers):
     Ethernet+IPv4+UDP frames are synthesized per event as hex Columns
@@ -2143,6 +2160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "journal_parse": q_journal_parse,
         "pcap_fields": q_pcap_fields,
         "lm_quality": q_lm_quality,
+        "dsir_select": q_dsir_select,
         "ulog_parse": q_ulog_parse,
         "cee_json": q_cee_json,
         "msg_fixups": q_msg_fixups,
@@ -3493,6 +3511,49 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS lm_score
             FROM words JOIN vocab USING (w)
             GROUP BY words.doc_id
+        """,
+        "dsir_select": """
+            WITH words AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       lang = 'en' AS tgt, w
+                FROM documents,
+                     unnest(string_split_regex(lower(text), '[^a-z]+'))
+                         AS t(w)
+                WHERE w <> ''
+            ), vocab AS (
+                SELECT w,
+                       list_reduce(
+                           list_prepend(7, list_transform(
+                               range(1, length(w) + 1),
+                               i -> ord(substr(w, i, 1)))),
+                           (a, b) -> (a * 31 + b) % 1048573
+                       ) % 64 AS b
+                FROM (SELECT DISTINCT w FROM words)
+            ), wb AS (
+                SELECT words.doc_id, words.tgt, vocab.b
+                FROM words JOIN vocab USING (w)
+            ), raw AS (
+                SELECT b, count(*) AS c_raw FROM wb GROUP BY b
+            ), tgt AS (
+                SELECT b, count(*) AS c_tgt FROM wb WHERE tgt GROUP BY b
+            ), wt AS (
+                SELECT raw.b,
+                       CAST(length(bin(coalesce(tgt.c_tgt, 0) + 1))
+                            - length(bin(raw.c_raw + 1)) AS BIGINT) AS wt
+                FROM raw LEFT JOIN tgt ON raw.b = tgt.b
+            ), scored AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_words,
+                       CAST(sum(wt.wt) AS BIGINT) AS wt_sum
+                FROM wb JOIN wt USING (b)
+                GROUP BY doc_id
+            )
+            SELECT doc_id, n_words, wt_sum FROM scored
+            ORDER BY wt_sum DESC,
+                     ((doc_id % 2147483648) * 1103515245 + 12345)
+                         % 2147483648 % 10000,
+                     doc_id
+            LIMIT 100
         """,
         "pcap_fields": f"""
             SELECT {O['doc_id']} AS doc_id,

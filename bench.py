@@ -244,6 +244,8 @@ def _bench_queries(spark, tokens_path: str) -> tuple[dict[str, float], dict]:
         # memo) and the explode+groupBy exact-substring span dedup
         "bpe_tokens",
         "dup_spans",
+        # r5: DSIR hashed-unigram importance scoring + top-k resample
+        "dsir_select",
     ):
         jobs[name] = lambda n=name: qs[n](spark, SF_DIR).count()
 

@@ -36,6 +36,9 @@ __all__ = [
     "pack_sequences",
     "corpus_mix",
     "mix_hash",
+    "dsir_weights",
+    "dsir_select",
+    "word_bucket",
 ]
 
 #: C4's banned-substring list (lowercased match; §2.2: "javascript",
@@ -367,3 +370,126 @@ def url_filter(
     if not keep_unmatched:
         out = out.filter(F.col("url_domain") != "")
     return out
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+#: poly31 modulus — largest prime below 2^20, keeps the fold far from
+#: int64 overflow at every step ((p-1)*31+255 < 2^26)
+_POLY_P = 1048573
+
+
+def word_bucket(w: Column, n_buckets: int) -> Column:
+    """Hashed-feature bucket for one word: a polynomial rolling hash
+    (h = h*31 + byte, mod prime) folded into ``n_buckets``. Chosen
+    over xxhash64 for the same reason as :func:`mix_hash`: the SAME
+    arithmetic runs in plain SQL (list_reduce over ord()s in the
+    DuckDB oracle), and hashed-feature selection needs cross-engine
+    replayability more than hash quality. At deploy scale the bucket
+    fn is swappable (any word→int works); the pipeline shape is
+    identical."""
+    codes = F.transform(F.split(w, ""), lambda c: F.ascii(c))
+    folded = F.aggregate(
+        codes,
+        F.lit(7).cast("long"),
+        lambda acc, c: (acc * 31 + c) % _POLY_P,
+    )
+    return F.pmod(folded, F.lit(n_buckets))
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """DSIR (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): score every document by how much it looks
+    like the ``target`` subset under bag-of-hashed-unigram language
+    models. log importance weight of a doc = Σ over its token
+    instances of [log p_target(bucket) − log p_raw(bucket)] with
+    Laplace-smoothed bucket probabilities.
+
+    Integer-exact variant (same trick as
+    :func:`rsyslog_spark.datapipe.textstats.unigram_lm_quality`): the
+    per-bucket log-probability is proxied by the BIT LENGTH of the
+    smoothed count — wt(b) = bitlen(c_target(b)+1) − bitlen(c_raw(b)+1)
+    — which drops the constant normalizers (identical for every bucket,
+    so document RANKING is preserved at integer-log2 resolution) and
+    keeps the score bit-reproducible in any SQL engine: no floats, no
+    platform log().
+
+    Returns one row per document: (id, n_words, wt_sum). Scale shape:
+    bucket hashing runs on DISTINCT words only (vocab-sized, not
+    corpus-sized), counts are two groupBys over a B-row key space,
+    the B-row weight table broadcasts, and scoring is one corpus
+    groupBy — the same two-shuffle profile as unigram_lm_quality at
+    any corpus size.
+    """
+    words = df.select(
+        F.col(id_col),
+        target.alias("_tgt"),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), "[^a-z]+")
+        ).alias("w"),
+    ).where(F.col("w") != "")
+    vocab = (
+        words.select("w").distinct()
+        .withColumn("b", word_bucket(F.col("w"), n_buckets))
+    )
+    wb = words.join(vocab, "w")
+    raw = wb.groupBy("b").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt = (
+        wb.where(F.col("_tgt"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    wt = (
+        raw.join(tgt, "b", "left")
+        .select(
+            "b",
+            (
+                F.length(F.bin(F.coalesce(F.col("c_tgt"), F.lit(0)) + 1))
+                - F.length(F.bin(F.col("c_raw") + 1))
+            ).cast("long").alias("wt"),
+        )
+    )
+    return (
+        wb.join(F.broadcast(wt), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("wt").cast("long").alias("wt_sum"),
+        )
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target: Column,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """The resampling half of DSIR: keep the k documents with the
+    highest importance weights. The paper samples WITH Gumbel noise;
+    mirroring :func:`corpus_mix`, this engine's variant is
+    deterministic-replayable — rank by (wt_sum desc, seeded draw,
+    id) so the same corpus + seed always selects the same k documents
+    and the selection is expressible in plain SQL. One global top-k
+    (orderBy+limit = partial top-k per partition + single reduce),
+    no full sort materialization."""
+    scored = dsir_weights(df, target, text_col, id_col, n_buckets)
+    return (
+        scored.withColumn("_d", mix_hash(F.col(id_col), seed))
+        .orderBy(
+            F.col("wt_sum").desc(), F.col("_d"), F.col(id_col)
+        )
+        .limit(k)
+        .drop("_d")
+    )

@@ -1425,3 +1425,49 @@ def test_url_filter_drop_unmatched(spark):
     out = url_filter(df, [], keep_unmatched=False).collect()
     assert [r["doc_id"] for r in out] == [2]
     assert not out[0]["url_blocked"]  # empty blocklist blocks nothing
+
+
+def test_dsir_weights_enrich_and_select(spark):
+    """DSIR (curation.dsir_weights/dsir_select): documents drawn from
+    the target vocabulary must outscore off-target documents, and the
+    top-k resample must be replay-deterministic."""
+    from rsyslog_spark.datapipe.curation import dsir_select, dsir_weights
+
+    tgt_words = ["alpha", "beta", "gamma", "delta"]
+    raw_words = ["uno", "dos", "tres", "quattro"]
+    rows = []
+    for i in range(30):
+        w = tgt_words if i < 10 else raw_words
+        rows.append((i, " ".join(w[j % 4] for j in range(i, i + 8)),
+                     "t" if i < 10 else "r"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lab string")
+
+    scored = dsir_weights(df, F.col("lab") == "t").toPandas()
+    assert len(scored) == 30 and set(scored.columns) == {
+        "doc_id", "n_words", "wt_sum"}
+    by_id = scored.set_index("doc_id")["wt_sum"]
+    # every target-vocab doc outscores every raw-only doc
+    assert min(by_id[i] for i in range(10)) > max(
+        by_id[i] for i in range(10, 30))
+
+    sel = dsir_select(df, F.col("lab") == "t", 10).toPandas()
+    assert sorted(sel["doc_id"]) == list(range(10))
+    sel2 = dsir_select(df, F.col("lab") == "t", 10).toPandas()
+    assert sel.equals(sel2)
+
+
+def test_dsir_bucket_collision_tolerance(spark):
+    """Hashed features: with few buckets, collisions shift scores but
+    ranking between clearly-target and clearly-raw docs survives (the
+    DSIR paper's point: bucket LMs are enough for selection)."""
+    from rsyslog_spark.datapipe.curation import dsir_weights
+
+    df = spark.createDataFrame(
+        [(1, "alpha alpha alpha alpha", True),
+         (2, "omega omega omega omega", False),
+         (3, "alpha alpha omega omega", False)],
+        "doc_id long, text string, is_t boolean",
+    )
+    out = dsir_weights(df, F.col("is_t"), n_buckets=8).toPandas()
+    s = out.set_index("doc_id")["wt_sum"]
+    assert s[1] >= s[3] >= s[2]

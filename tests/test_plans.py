@@ -338,3 +338,18 @@ def test_corpus_mix_rate_filter_is_pushable(spark, tmp_path):
     p = plan_of(out)
     assert "Window" not in p, p
     assert "Exchange" not in p, p
+
+
+def test_dsir_weight_table_broadcasts(spark):
+    """dsir_weights' per-bucket weight table (B rows) must reach the
+    corpus-sized scoring join as a broadcast — a shuffle join keyed on
+    a 64-value bucket column would be catastrophically skewed at
+    100 TB."""
+    from rsyslog_spark.datapipe.curation import dsir_weights
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma", i % 2 == 0) for i in range(50)],
+        "doc_id long, text string, t boolean",
+    )
+    p = plan_of(dsir_weights(df, F.col("t")))
+    assert "BroadcastHashJoin" in p, p
