@@ -1944,6 +1944,25 @@ def q_dsir_select(spark, sf):
     )
 
 
+def q_nb_lang(spark, sf):
+    """Multinomial Naive Bayes classifier (datapipe.textstats.
+    nb_classify) — the fastText-style curation-classifier analog:
+    train on the documents table's lang labels, predict every doc.
+    Integer-exact half-bit log-prob weights make the argmax (and the
+    lexicographic tie-break) bit-identical in plain SQL."""
+    from rsyslog_spark.datapipe.textstats import nb_classify
+
+    d = _docs(spark, sf).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "lang"
+    )
+    return nb_classify(d, "lang").select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "pred_class",
+        F.col("score").cast("long").alias("score"),
+    )
+
+
 def q_pcap_fields(spark, sf):
     """impcap field promotion (contrib/impcap eth/ipv4/udp parsers):
     Ethernet+IPv4+UDP frames are synthesized per event as hex Columns
@@ -2161,6 +2180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pcap_fields": q_pcap_fields,
         "lm_quality": q_lm_quality,
         "dsir_select": q_dsir_select,
+        "nb_lang": q_nb_lang,
         "ulog_parse": q_ulog_parse,
         "cee_json": q_cee_json,
         "msg_fixups": q_msg_fixups,
@@ -3554,6 +3574,70 @@ def oracle_sql() -> dict[str, str]:
                          % 2147483648 % 10000,
                      doc_id
             LIMIT 100
+        """,
+        "nb_lang": """
+            WITH base AS (
+                SELECT CAST(doc_id AS BIGINT) doc_id, text, lang
+                FROM documents
+            ), words AS (
+                SELECT doc_id, lang AS lab, w FROM base,
+                     unnest(string_split_regex(lower(text), '[^a-z]+'))
+                         AS t(w)
+                WHERE w <> ''
+            ), vocab AS (
+                SELECT DISTINCT w FROM words
+            ), vs AS (
+                SELECT count(*) v FROM vocab
+            ), wc AS (
+                SELECT w, lab, count(*) c_wc FROM words
+                WHERE lab IS NOT NULL GROUP BY w, lab
+            ), totals AS (
+                SELECT lab, count(*) n_c FROM words
+                WHERE lab IS NOT NULL GROUP BY lab
+            ), dense AS (
+                SELECT vocab.w, totals.lab,
+                       CAST(length(bin(rr.r * rr.r)) AS BIGINT) wt
+                FROM vocab CROSS JOIN totals
+                LEFT JOIN wc
+                       ON wc.w = vocab.w AND wc.lab = totals.lab,
+                LATERAL (
+                    SELECT ((coalesce(wc.c_wc, 0) + 1) * 1048576)
+                           // (totals.n_c + (SELECT v FROM vs)) AS r
+                ) rr
+            ), docsn AS (
+                SELECT count(*) nd, count(DISTINCT lang) k
+                FROM base WHERE lang IS NOT NULL
+            ), prior AS (
+                SELECT lang AS lab,
+                       CAST(length(bin(pr.r * pr.r)) AS BIGINT) p_wt
+                FROM (
+                    SELECT lang, count(*) d_c FROM base
+                    WHERE lang IS NOT NULL GROUP BY lang
+                ) pc,
+                LATERAL (
+                    SELECT ((pc.d_c + 1) * 1048576)
+                           // ((SELECT nd FROM docsn)
+                               + (SELECT k FROM docsn)) AS r
+                ) pr
+            ), scored AS (
+                SELECT words.doc_id, dense.lab,
+                       CAST(count(*) AS BIGINT) n_words,
+                       CAST(sum(dense.wt) AS BIGINT) wt_sum
+                FROM words JOIN dense USING (w)
+                GROUP BY words.doc_id, dense.lab
+            ), final AS (
+                SELECT scored.doc_id, scored.lab, scored.n_words,
+                       scored.wt_sum + prior.p_wt AS score,
+                       row_number() OVER (
+                           PARTITION BY scored.doc_id
+                           ORDER BY scored.wt_sum + prior.p_wt DESC,
+                                    scored.lab
+                       ) rn
+                FROM scored JOIN prior USING (lab)
+            )
+            SELECT doc_id, n_words, lab AS pred_class,
+                   CAST(score AS BIGINT) AS score
+            FROM final WHERE rn = 1
         """,
         "pcap_fields": f"""
             SELECT {O['doc_id']} AS doc_id,

@@ -498,3 +498,130 @@ def unigram_lm_quality(
         "n_words",
         F.expr("(wt_sum * 1000) div n_words").alias("lm_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multinomial Naive Bayes doc classifier (fastText-classifier analog,
+# integer-exact)
+# ---------------------------------------------------------------------------
+
+def nb_classify(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Multinomial Naive Bayes document classifier — the engine's
+    stand-in for the fastText-style quality/domain classifiers the
+    published curation pipelines gate on (CCNet's LM filter, LLaMA's
+    Wikipedia-reference classifier, FineWeb-Edu's educational scorer):
+    train on the rows whose ``label_col`` is non-null, score and
+    argmax EVERY row.
+
+    Integer-exact scoring so the result is bit-reproducible in plain
+    SQL (same family as :func:`unigram_lm_quality`): each
+    Laplace-smoothed probability p = (c+1)/(N_c+V) is scaled to
+    r = ((c+1) << scale_bits) div (N_c+V) and contributes
+    bitlen(r*r) — an integer proxy of 2·log2 p at half-bit resolution.
+    No floats: argmax ties (rare, but possible at half-bit
+    resolution) break on the LEXICOGRAPHICALLY SMALLEST class in both
+    engines, so prediction is deterministic everywhere.
+
+    Returns (id, n_words, pred_class, score). Scale shape: training =
+    two groupBys over (word,class)/(class); the dense weight table is
+    vocab×K rows joined to the corpus on the word key (co-partitioned
+    shuffle join, broadcast when small); scoring = one corpus groupBy
+    per surviving (doc,class) pair — K is the class count (single
+    digits), so the explode factor is a constant, not a data term.
+    """
+    S = 1 << scale_bits
+
+    words = df.select(
+        F.col(id_col),
+        F.col(label_col).alias("_lab"),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), "[^a-z]+")
+        ).alias("w"),
+    ).where(F.col("w") != "")
+    labeled = words.where(F.col("_lab").isNotNull())
+
+    vocab = words.select("w").distinct()
+    v_size = vocab.count()
+    wc = labeled.groupBy("w", "_lab").agg(
+        F.count(F.lit(1)).alias("c_wc")
+    )
+    totals = labeled.groupBy("_lab").agg(
+        F.count(F.lit(1)).alias("n_c")
+    )
+
+    def wt_of(r: Column) -> Column:
+        # bitlen(r*r) = integer proxy of 2*log2(p) at half-bit
+        # resolution; r <= 2^scale_bits so r*r <= 2^40 — no overflow
+        return F.length(F.bin(r * r)).cast("long")
+
+    # dense per-(word, class) weight: vocab x K rows; unseen pairs get
+    # the pure-smoothing weight
+    dense = (
+        vocab.crossJoin(totals)
+        .join(wc, ["w", "_lab"], "left")
+        .select(
+            "w",
+            "_lab",
+            wt_of(
+                F.expr(
+                    f"((coalesce(c_wc, 0) + 1) * {S})"
+                    f" div (n_c + {v_size})"
+                )
+            ).alias("wt"),
+        )
+    )
+
+    # document-count prior with Laplace over the K classes
+    docs = df.where(F.col(label_col).isNotNull())
+    n_docs = docs.count()
+    k_classes = totals.count()
+    prior = (
+        docs.groupBy(F.col(label_col).alias("_lab"))
+        .agg(F.count(F.lit(1)).alias("d_c"))
+        .select(
+            "_lab",
+            wt_of(
+                F.expr(f"((d_c + 1) * {S}) div {n_docs + k_classes}")
+            ).alias("p_wt"),
+        )
+    )
+
+    scored = (
+        words.drop("_lab")
+        .join(dense, "w")
+        .groupBy(id_col, "_lab")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("wt").cast("long").alias("wt_sum"),
+        )
+        .join(F.broadcast(prior), "_lab")
+        .select(
+            id_col,
+            "_lab",
+            "n_words",
+            (F.col("wt_sum") + F.col("p_wt")).alias("score"),
+        )
+    )
+    # argmax(score) with lexicographic tie-break: min of
+    # (-score, class) picks the highest score, smallest class on ties
+    best = scored.groupBy(id_col).agg(
+        F.min(
+            F.struct(
+                (F.lit(0) - F.col("score")).alias("neg"),
+                F.col("_lab").alias("c"),
+                F.col("n_words").alias("nw"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        id_col,
+        F.col("b.nw").alias("n_words"),
+        F.col("b.c").alias("pred_class"),
+        (F.lit(0) - F.col("b.neg")).cast("long").alias("score"),
+    )

@@ -1471,3 +1471,35 @@ def test_dsir_bucket_collision_tolerance(spark):
     out = dsir_weights(df, F.col("is_t"), n_buckets=8).toPandas()
     s = out.set_index("doc_id")["wt_sum"]
     assert s[1] >= s[3] >= s[2]
+
+
+def test_nb_classify_learns_and_scores_unlabeled(spark):
+    """textstats.nb_classify: multinomial NB with integer-exact
+    scoring — learns separable classes, classifies unlabeled rows,
+    breaks exact ties on the lexicographically smallest class."""
+    from rsyslog_spark.datapipe.textstats import nb_classify
+
+    rows = [
+        (1, "spam spam offer offer money", "bad"),
+        (2, "offer money spam spam spam", "bad"),
+        (3, "theorem proof lemma theorem", "good"),
+        (4, "proof theorem proof lemma", "good"),
+        (5, "spam offer money spam", None),       # unlabeled, spammy
+        (6, "lemma theorem proof proof", None),   # unlabeled, mathy
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lab string")
+    out = nb_classify(df, "lab").toPandas().set_index("doc_id")
+    assert out.loc[5, "pred_class"] == "bad"
+    assert out.loc[6, "pred_class"] == "good"
+    # training rows classify themselves correctly too
+    assert list(out.loc[[1, 2, 3, 4], "pred_class"]) == [
+        "bad", "bad", "good", "good"]
+    assert (out["score"] > 0).all() and out["n_words"].sum() > 0
+
+    # exact symmetric evidence -> identical scores -> smallest class
+    tie = spark.createDataFrame(
+        [(1, "xx", "aa"), (2, "yy", "zz"), (3, "xx yy", None)],
+        "doc_id long, text string, lab string",
+    )
+    t = nb_classify(tie, "lab").toPandas().set_index("doc_id")
+    assert t.loc[3, "pred_class"] == "aa"
