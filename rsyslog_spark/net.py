@@ -26,7 +26,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
 MAX_OCTET_COUNT = 200_000_000  # tcps_sess.c:713 cap
 
@@ -462,3 +462,178 @@ def omuxsock_send(
         send, T.StructType([T.StructField("n_sent", T.LongType())])
     )
     return int(out.agg({"n_sent": "sum"}).first()[0] or 0)
+
+
+def _trusted_props(pid: int) -> dict[str, str]:
+    """imuxsock's journald-inspired trusted properties from /proc
+    (plugins/imuxsock/imuxsock.c getTrustedProp:793 / getTrustedExe:
+    836): comm and cmdline read from /proc/<pid>/, control chars →
+    space, truncated at first LF; exe via readlink. Missing entries
+    (process gone, permission) are silently skipped, like the
+    reference's RS_RET_ERR path."""
+    import os
+
+    out: dict[str, str] = {}
+    for prop in ("comm", "cmdline"):
+        try:
+            raw = open(f"/proc/{pid}/{prop}", "rb").read(1023)
+        except OSError:
+            continue
+        buf = []
+        for b in raw:
+            if b == 0x0A:
+                break
+            buf.append(" " if b < 0x20 or b == 0x7F else chr(b))
+        # cmdline uses NUL separators — the ctrl-char rule turns them
+        # into spaces (same visible behavior as the reference)
+        out[prop] = "".join(buf).rstrip(" ")
+    try:
+        import os as _os
+
+        out["exe"] = _os.readlink(f"/proc/{pid}/exe")
+    except OSError:
+        pass
+    return out
+
+
+def _escape_trusted(val: str) -> str:
+    """copyescaped (imuxsock.c:861): quoted, with '"' and '\\'
+    backslash-escaped."""
+    return '"' + val.replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+
+def annotate_trusted(msg: bytes, pid: int, uid: int, gid: int) -> bytes:
+    """The Annotate=on raw-message extension (imuxsock.c:1017-1082):
+    append ``' @[_PID=p _UID=u _GID=g _COMM=c _EXE=e _CMDLINE="…"]'``
+    — _COMM/_EXE plain, _CMDLINE quoted+escaped."""
+    props = _trusted_props(pid)
+    parts = [f"_PID={pid} _UID={uid} _GID={gid}"]
+    if "comm" in props:
+        parts.append(f"_COMM={props['comm']}")
+    if "exe" in props:
+        parts.append(f"_EXE={props['exe']}")
+    if "cmdline" in props:
+        parts.append(f"_CMDLINE={_escape_trusted(props['cmdline'])}")
+    return msg + (" @[" + " ".join(parts) + "]").encode()
+
+
+class SyslogUnixListener:
+    """imuxsock (plugins/imuxsock/imuxsock.c): the classic Linux
+    /dev/log source — AF_UNIX SOCK_DGRAM with SO_PASSCRED, one
+    datagram per message, SCM_CREDENTIALS giving the sender's REAL
+    (pid, uid, gid) as vouched by the kernel.
+
+    ``annotate=True`` mirrors Annotate=on: the trusted properties are
+    appended to the raw message as the ``@[_PID=… _UID=… …]`` block
+    (imuxsock.c:1036) — parse it downstream with
+    :func:`parse_trusted_props` (the ParseTrusted=on twin, which the
+    reference applies at ingest into ``$!`` — here it is a pure
+    Column op on the replayable spool, same fields).
+    ``discard_own=True`` drops datagrams from this process's own pid
+    (bDiscardOwnMsgs, imuxsock.c:1009)."""
+
+    def __init__(self, spool_dir: str, path: str,
+                 rotate_every: int = 10_000, annotate: bool = True,
+                 discard_own: bool = False) -> None:
+        import os
+        import socket as socketlib
+        import struct
+        import threading
+
+        self.n_received = 0
+        self.path = path
+        self._lock = threading.Lock()
+        self._own_pid = os.getpid()
+        self._annotate = annotate
+        self._discard_own = discard_own
+        self._struct = struct
+        self._sock = socketlib.socket(
+            socketlib.AF_UNIX, socketlib.SOCK_DGRAM
+        )
+        self._sock.bind(path)
+        self._sock.setsockopt(
+            socketlib.SOL_SOCKET, socketlib.SO_PASSCRED, 1
+        )
+        self._spool = _SpoolWriter(spool_dir, "uxsock", rotate_every)
+        threading.Thread(target=self._serve, daemon=True).start()
+
+    def _serve(self) -> None:
+        import socket as socketlib
+
+        while True:
+            try:
+                data, ancdata, _flags, _addr = self._sock.recvmsg(
+                    65536, socketlib.CMSG_SPACE(12)
+                )
+            except OSError:
+                self._spool.close()
+                return
+            cred = None
+            for level, ctype, cdata in ancdata:
+                if (
+                    level == socketlib.SOL_SOCKET
+                    and ctype == socketlib.SCM_CREDENTIALS
+                ):
+                    cred = self._struct.unpack("iII", cdata[:12])
+            msg = data.rstrip(b"\n").rstrip(b"\x00")
+            if cred is not None:
+                if self._discard_own and cred[0] == self._own_pid:
+                    continue
+                if self._annotate:
+                    msg = annotate_trusted(msg, *cred)
+            self._spool.write(msg)
+            with self._lock:
+                self.n_received += 1
+
+    def close(self) -> None:
+        import os
+
+        self._sock.close()
+        try:
+            os.unlink(self.path)
+        except OSError:
+            pass
+
+
+def parse_trusted_props(msg: Column) -> Column:
+    """ParseTrusted=on as a downstream Column op: split the
+    ``@[_K=v …]`` trusted-property block off an annotated message
+    into a struct (msg, pid, uid, gid, comm, exe, cmdline) carrying
+    the reference's CEE field set (imuxsock.c:963-1005 puts
+    pid/uid/gid/appname/exe/cmd into the JSON root; appname = comm).
+    cmdline is unquoted and unescaped. Messages without a block pass
+    through with null properties. Pure Column — the annotate-at-
+    ingest + parse-downstream split keeps the spool the byte-exact
+    replay log while $! gets the same fields the reference injects."""
+    import pyspark.sql.functions as F
+
+    block = F.regexp_extract(msg, r" @\[(_PID=.*)\]$", 1)
+    has = block != ""
+    base = F.when(
+        has, F.regexp_replace(msg, r" @\[_PID=.*\]$", "")
+    ).otherwise(msg)
+
+    def num(key: str) -> Column:
+        v = F.regexp_extract(block, key + r"=(\d+)", 1)
+        return F.when(has & (v != ""), v).cast("long")
+
+    def plain(key: str) -> Column:
+        v = F.regexp_extract(block, key + r"=([^ ]+)", 1)
+        return F.when(has & (v != ""), v)
+
+    quoted = F.regexp_extract(
+        block, r'_CMDLINE="((?:[^"\\]|\\.)*)"', 1
+    )
+    cmdline = F.when(
+        has & (quoted != ""),
+        F.regexp_replace(quoted, r"\\(.)", "$1"),
+    )
+    return F.struct(
+        base.alias("msg"),
+        num("_PID").alias("pid"),
+        num("_UID").alias("uid"),
+        num("_GID").alias("gid"),
+        plain("_COMM").alias("comm"),
+        plain("_EXE").alias("exe"),
+        cmdline.alias("cmdline"),
+    )

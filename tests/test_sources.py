@@ -236,3 +236,73 @@ def test_uncompress_message_and_listener(tmp_path):
         assert msg in got and b"<14>plain one" in got
     finally:
         lst.close()
+
+
+def test_imuxsock_trusted_annotation(spark, tmp_path):
+    """imuxsock (plugins/imuxsock): AF_UNIX datagram ingest with
+    SO_PASSCRED — the kernel vouches the sender's (pid, uid, gid);
+    Annotate=on appends the @[_PID=… _COMM=… _CMDLINE="…"] block
+    (trusted props read from /proc), and parse_trusted_props recovers
+    the fields downstream as a pure Column op."""
+    import os
+    import socket
+    import time
+
+    from rsyslog_spark.net import SyslogUnixListener, parse_trusted_props
+
+    sock_path = str(tmp_path / "devlog")
+    spool = str(tmp_path / "ux")
+    lst = SyslogUnixListener(spool, sock_path)
+    try:
+        s = socket.socket(socket.AF_UNIX, socket.SOCK_DGRAM)
+        s.sendto(b"<13>Jan  1 00:00:00 app[1]: via unix socket", sock_path)
+        s.sendto(b"<14>plain two\n", sock_path)
+        s.close()
+        for _ in range(100):
+            if lst.n_received >= 2:
+                break
+            time.sleep(0.05)
+        assert lst.n_received == 2
+    finally:
+        lst.close()
+
+    df = spark.read.text(spool + "/*.log")
+    out = df.select(parse_trusted_props(F.col("value")).alias("t")) \
+        .select("t.*").orderBy("msg")
+    rows = {r.msg: r for r in out.collect()}
+    r1 = rows["<13>Jan  1 00:00:00 app[1]: via unix socket"]
+    # the kernel reported OUR pid/uid/gid — not sender-claimed values
+    assert r1.pid == os.getpid()
+    assert r1.uid == os.getuid() and r1.gid == os.getgid()
+    # /proc-derived trusted props of this very process
+    assert "python" in r1.comm
+    assert r1.exe and "python" in r1.exe
+    assert r1.cmdline and "python" in r1.cmdline
+    r2 = rows["<14>plain two"]
+    assert r2.pid == os.getpid()
+
+
+def test_parse_trusted_props_unescape_and_passthrough(spark):
+    """copyescaped round-trip: quotes/backslashes in _CMDLINE
+    unescape; unannotated messages keep null properties."""
+    from rsyslog_spark.net import annotate_trusted, parse_trusted_props
+
+    line = ('msg body @[_PID=7 _UID=1 _GID=2 _COMM=c c2 _EXE=/bin/x '
+            '_CMDLINE="say \\"hi\\" back\\\\slash"]')
+    df = spark.createDataFrame(
+        [(line,), ("no block here",)], "value string"
+    )
+    out = {r.msg: r for r in df.select(
+        parse_trusted_props(F.col("value")).alias("t")
+    ).select("t.*").collect()}
+    a = out["msg body"]
+    assert (a.pid, a.uid, a.gid) == (7, 1, 2)
+    assert a.comm == "c"          # comm parses to the first SP token
+    assert a.exe == "/bin/x"
+    assert a.cmdline == 'say "hi" back\\slash'
+    b = out["no block here"]
+    assert b.pid is None and b.cmdline is None
+
+    # annotate_trusted on this live process round-trips
+    me = annotate_trusted(b"<13>x: y", 1, 0, 0)
+    assert me.startswith(b"<13>x: y @[_PID=1 _UID=0 _GID=0")
