@@ -1963,6 +1963,61 @@ def q_nb_lang(spark, sf):
     )
 
 
+def q_ccnet_buckets(spark, sf):
+    """CCNet head/middle/tail perplexity bucketing (datapipe.curation.
+    ccnet_buckets, Wenzek et al. 2020 §3): per-language terciles over
+    the integer-exact corpus-LM quality score via SQL-standard
+    ntile — the paper's release unit, bit-reproducible end to end."""
+    from rsyslog_spark.datapipe.curation import ccnet_buckets
+
+    d = _docs(spark, sf).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "lang"
+    )
+    return ccnet_buckets(d)
+
+
+def q_q8_codes(spark, sf):
+    """Int8 scalar quantization of the embeddings table (datapipe.
+    simsearch.quantize_embeddings): per-vector symmetric codes
+    floor(x/max|x|*127 + .5), exploded to (vec_id, pos, code) — the
+    oracle recomputes every code in SQL and the comparison is
+    integer-exact (IEEE double arithmetic agrees bit-for-bit)."""
+    from rsyslog_spark.datapipe.simsearch import quantize_embeddings
+
+    emb = _emb(spark, sf)
+    return quantize_embeddings(emb).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.posexplode("codes").alias("pos", "code"),
+    ).select(
+        "vec_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("code").cast("long").alias("code"),
+    )
+
+
+def q_q8_topk(spark, sf):
+    """Quantized ANN top-k (datapipe.simsearch.quantized_topk):
+    integer dot products over int8 codes — scores ≤ dim·127² are
+    exact in both long and double arithmetic, so the FULL top-k
+    (scores, ranks, tie-breaks) is oracle-checkable, unlike any
+    float-scored ANN variant."""
+    from rsyslog_spark.datapipe.simsearch import quantized_topk
+
+    emb = _emb(spark, sf)
+    queries = (
+        emb.orderBy("vec_id").limit(3)
+        .select(F.col("vec_id").alias("q_id"),
+                F.col("embedding").alias("q_vec"))
+    )
+    out = quantized_topk(emb, queries, k=5)
+    return out.select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("score").cast("long").alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_pcap_fields(spark, sf):
     """impcap field promotion (contrib/impcap eth/ipv4/udp parsers):
     Ethernet+IPv4+UDP frames are synthesized per event as hex Columns
@@ -2181,6 +2236,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality": q_lm_quality,
         "dsir_select": q_dsir_select,
         "nb_lang": q_nb_lang,
+        "ccnet_buckets": q_ccnet_buckets,
+        "q8_codes": q_q8_codes,
+        "q8_topk": q_q8_topk,
         "ulog_parse": q_ulog_parse,
         "cee_json": q_cee_json,
         "msg_fixups": q_msg_fixups,
@@ -3531,6 +3589,109 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS lm_score
             FROM words JOIN vocab USING (w)
             GROUP BY words.doc_id
+        """,
+        "ccnet_buckets": """
+            WITH words AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id, w
+                FROM documents,
+                     unnest(string_split_regex(lower(text), '[^a-z]+'))
+                         AS t(w)
+                WHERE w <> ''
+            ), vocab AS (
+                SELECT w, count(*) AS c FROM words GROUP BY w
+            ), scored AS (
+                SELECT words.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_words,
+                       CAST(sum(length(bin(vocab.c))) * 1000 // count(*)
+                            AS BIGINT) AS lm_score
+                FROM words JOIN vocab USING (w)
+                GROUP BY words.doc_id
+            ), j AS (
+                SELECT s.doc_id, d.lang, s.n_words, s.lm_score
+                FROM scored s
+                JOIN documents d ON d.doc_id = s.doc_id
+            )
+            SELECT doc_id, lang, n_words, lm_score,
+                   CAST(ntile(3) OVER (PARTITION BY lang
+                            ORDER BY lm_score DESC, doc_id)
+                        AS BIGINT) AS bucket,
+                   CASE ntile(3) OVER (PARTITION BY lang
+                            ORDER BY lm_score DESC, doc_id)
+                        WHEN 1 THEN 'head' WHEN 3 THEN 'tail'
+                        ELSE 'middle' END AS bucket_name
+            FROM j
+        """,
+        "q8_codes": """
+            WITH v AS (
+                SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                       CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings
+            ), m AS (
+                SELECT vec_id, e,
+                       list_max(list_transform(e, x -> abs(x))) AS m
+                FROM v
+            ), c AS (
+                SELECT vec_id,
+                       CASE WHEN m = 0
+                            THEN list_transform(e, x -> 0)
+                            ELSE list_transform(e, x ->
+                                CAST(floor(x / m * 127 + 0.5) AS INT))
+                       END AS codes
+                FROM m
+            ), p AS (
+                SELECT unnest(range(1, 65)) AS pos1
+            )
+            SELECT vec_id,
+                   CAST(p.pos1 - 1 AS BIGINT) AS pos,
+                   CAST(codes[p.pos1] AS BIGINT) AS code
+            FROM c CROSS JOIN p
+        """,
+        "q8_topk": """
+            WITH v AS (
+                SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                       CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings
+            ), g AS (
+                SELECT max(list_max(list_transform(e, x -> abs(x))))
+                       AS gm
+                FROM v
+            ), c AS (
+                -- corpus: GLOBAL scale (trained-bounds quantizer)
+                SELECT vec_id,
+                       CASE WHEN g.gm = 0
+                            THEN list_transform(e, x -> 0)
+                            ELSE list_transform(e, x ->
+                                CAST(floor(x / g.gm * 127 + 0.5) AS INT))
+                       END AS codes
+                FROM v CROSS JOIN g
+            ), qm AS (
+                SELECT vec_id AS q_id, e,
+                       list_max(list_transform(e, x -> abs(x))) AS m
+                FROM v ORDER BY vec_id LIMIT 3
+            ), q AS (
+                -- queries: per-vector scale (constant per query)
+                SELECT q_id,
+                       CASE WHEN m = 0
+                            THEN list_transform(e, x -> 0)
+                            ELSE list_transform(e, x ->
+                                CAST(floor(x / m * 127 + 0.5) AS INT))
+                       END AS q_codes
+                FROM qm
+            ), s AS (
+                SELECT q.q_id, c.vec_id,
+                       CAST(list_dot_product(
+                           CAST(c.codes AS DOUBLE[]),
+                           CAST(q.q_codes AS DOUBLE[])) AS BIGINT)
+                           AS score
+                FROM c CROSS JOIN q
+            ), r AS (
+                SELECT q_id, vec_id, score,
+                       row_number() OVER (PARTITION BY q_id
+                           ORDER BY score DESC, vec_id) AS rank
+                FROM s
+            )
+            SELECT q_id, vec_id, score, CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 5
         """,
         "dsir_select": """
             WITH words AS (

@@ -39,6 +39,7 @@ __all__ = [
     "dsir_weights",
     "dsir_select",
     "word_bucket",
+    "ccnet_buckets",
 ]
 
 #: C4's banned-substring list (lowercased match; §2.2: "javascript",
@@ -492,4 +493,61 @@ def dsir_select(
         )
         .limit(k)
         .drop("_d")
+    )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet's perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl
+    Data", §3): per language, rank documents by LM quality and split
+    them into head / middle / tail terciles — the paper's unit of
+    release (head = best third, the usual pretraining pick).
+
+    The quality signal is :func:`~rsyslog_spark.datapipe.textstats.
+    unigram_lm_quality`'s integer-exact corpus-LM score (CCNet uses a
+    Wikipedia-trained KenLM; the self-trained unigram proxy induces
+    the same common-language-scores-high ordering and keeps the
+    bucket assignment bit-reproducible — divergence documented).
+    Bucketing is ``ntile(n_buckets)`` over ``(lm_score DESC, id)``
+    per language: the SQL-standard front-loaded split both Spark and
+    any SQL engine implement identically.
+
+    Returns (id, lang, n_words, lm_score, bucket, bucket_name) with
+    bucket 1..n and head/middle/tail names for n=3.
+
+    Scale shape: the score is the two-shuffle LM pass; the split adds
+    ONE more shuffle (window over lang) whose partition key is the
+    language — per-language ntile needs a per-language total order,
+    which is exactly CCNet's own per-language sort; skew (one giant
+    language) is the sort machinery's problem, and Spark's range-
+    partitioned sort handles it — the window carries only the
+    (id, lang, score) projection, never the text."""
+    from pyspark.sql.window import Window
+
+    from rsyslog_spark.datapipe.textstats import unigram_lm_quality
+
+    scored = unigram_lm_quality(df, text_col, id_col).join(
+        df.select(id_col, lang_col), id_col
+    )
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("lm_score").desc(), F.col(id_col)
+    )
+    out = scored.withColumn("bucket", F.ntile(n_buckets).over(w))
+    names = (
+        F.when(F.col("bucket") == 1, F.lit("head"))
+        .when(F.col("bucket") == n_buckets, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+        if n_buckets == 3
+        else F.concat(F.lit("b"), F.col("bucket").cast("string"))
+    )
+    return out.select(
+        id_col, lang_col, "n_words", "lm_score",
+        F.col("bucket").cast("long").alias("bucket"),
+        names.alias("bucket_name"),
     )
