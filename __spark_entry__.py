@@ -2018,6 +2018,19 @@ def q_q8_topk(spark, sf):
     )
 
 
+def q_corpus_stats(spark, sf):
+    """Per-source corpus analysis report (datapipe.textstats.
+    corpus_stats): doc counts, token sum/min/max, nearest-rank
+    p50/p95 token counts via per-group sort + row_number (no
+    group-sized arrays), vocab size, and permille type-token ratio."""
+    from rsyslog_spark.datapipe.textstats import corpus_stats
+
+    d = _docs(spark, sf).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "source"
+    )
+    return corpus_stats(d)
+
+
 def q_pcap_fields(spark, sf):
     """impcap field promotion (contrib/impcap eth/ipv4/udp parsers):
     Ethernet+IPv4+UDP frames are synthesized per event as hex Columns
@@ -2239,6 +2252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "q8_codes": q_q8_codes,
         "q8_topk": q_q8_topk,
+        "corpus_stats": q_corpus_stats,
         "ulog_parse": q_ulog_parse,
         "cee_json": q_cee_json,
         "msg_fixups": q_msg_fixups,
@@ -3620,6 +3634,53 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 1 THEN 'head' WHEN 3 THEN 'tail'
                         ELSE 'middle' END AS bucket_name
             FROM j
+        """,
+        "corpus_stats": """
+            WITH d AS (
+                SELECT source AS g, CAST(doc_id AS BIGINT) AS id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text),
+                                                        '\\s+'))
+                       END AS n_tok,
+                       lower(text) AS lt
+                FROM documents
+            ), base AS (
+                SELECT g, CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+                       CAST(min(n_tok) AS BIGINT) AS tok_min,
+                       CAST(max(n_tok) AS BIGINT) AS tok_max
+                FROM d GROUP BY g
+            ), ranked AS (
+                SELECT d.g, d.n_tok,
+                       row_number() OVER (PARTITION BY d.g
+                           ORDER BY d.n_tok, d.id) AS rn,
+                       base.n_docs
+                FROM d JOIN base USING (g)
+            ), pct AS (
+                SELECT g,
+                       CAST(max(CASE WHEN rn = greatest(1,
+                            CAST(ceil(n_docs * 0.5) AS BIGINT))
+                            THEN n_tok END) AS BIGINT) AS tok_p50,
+                       CAST(max(CASE WHEN rn = greatest(1,
+                            CAST(ceil(n_docs * 0.95) AS BIGINT))
+                            THEN n_tok END) AS BIGINT) AS tok_p95
+                FROM ranked GROUP BY g
+            ), vocab AS (
+                SELECT g, CAST(count(DISTINCT w) AS BIGINT) AS vocab
+                FROM (
+                    SELECT g, unnest(string_split_regex(lt, '[^a-z]+'))
+                           AS w
+                    FROM d
+                ) WHERE w <> '' GROUP BY g
+            )
+            SELECT base.g AS source, n_docs, tok_sum, tok_min,
+                   tok_max, tok_p50, tok_p95,
+                   coalesce(vocab.vocab, 0) AS vocab,
+                   CAST(CASE WHEN tok_sum > 0
+                        THEN coalesce(vocab.vocab, 0) * 1000 // tok_sum
+                        ELSE 0 END AS BIGINT) AS ttr_permille
+            FROM base JOIN pct USING (g)
+            LEFT JOIN vocab USING (g)
         """,
         "q8_codes": """
             WITH v AS (

@@ -625,3 +625,86 @@ def nb_classify(
         F.col("b.c").alias("pred_class"),
         (F.lit(0) - F.col("b.neg")).cast("long").alias("score"),
     )
+
+
+def corpus_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    percentiles: tuple[float, ...] = (0.5, 0.95),
+) -> DataFrame:
+    """Per-group corpus report — the analysis pass every curation
+    pipeline runs before/after filtering (Dolma's analysis tooling,
+    CCNet's per-shard stats): document count, token sum/min/max,
+    nearest-rank token-count percentiles, vocabulary size (distinct
+    words) and type-token ratio (vocab*1000 div tokens, permille).
+
+    Scale shape: token percentiles use a per-group sort + row_number
+    window and pick rows at rank ceil(p*n) — nearest-rank semantics
+    (identical to aggregates.perctile) WITHOUT collecting a group
+    into one array, so a group with a billion documents is handled
+    by the sort machinery, not executor memory. Vocab is one
+    distinct-aggregate over exploded words. Three shuffles total,
+    all on the (few) group keys + word/doc projections — the text
+    column never shuffles."""
+    from pyspark.sql.window import Window
+
+    d = df.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("_id"),
+        token_count(F.col(text_col)).cast("long").alias("n_tok"),
+        F.lower(F.col(text_col)).alias("_lt"),
+    )
+    base = d.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("tok_sum"),
+        F.min("n_tok").cast("long").alias("tok_min"),
+        F.max("n_tok").cast("long").alias("tok_max"),
+    )
+    w = Window.partitionBy("g").orderBy("n_tok", "_id")
+    ranked = (
+        d.select("g", "_id", "n_tok")
+        .withColumn("_rn", F.row_number().over(w))
+        .join(base.select("g", "n_docs"), "g")
+    )
+    pcols = []
+    picked = ranked
+    for p in percentiles:
+        name = f"tok_p{int(p * 100)}"
+        picked = picked.withColumn(
+            f"_{name}",
+            F.when(
+                F.col("_rn")
+                == F.greatest(
+                    F.lit(1), F.ceil(F.col("n_docs") * F.lit(p))
+                ),
+                F.col("n_tok"),
+            ),
+        )
+        pcols.append(name)
+    pct = picked.groupBy("g").agg(
+        *[F.max(f"_{n}").cast("long").alias(n) for n in pcols]
+    )
+    vocab = (
+        d.select("g", F.explode(F.split("_lt", "[^a-z]+")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("g")
+        .agg(F.countDistinct("w").cast("long").alias("vocab"))
+    )
+    return (
+        base.join(pct, "g")
+        .join(vocab, "g", "left")
+        .select(
+            F.col("g").alias(group_col),
+            "n_docs",
+            "tok_sum",
+            "tok_min",
+            "tok_max",
+            *pcols,
+            F.coalesce(F.col("vocab"), F.lit(0)).alias("vocab"),
+            F.when(F.col("tok_sum") > 0,
+                   F.expr("vocab * 1000 div tok_sum"))
+            .otherwise(F.lit(0)).cast("long").alias("ttr_permille"),
+        )
+    )

@@ -1571,3 +1571,29 @@ def test_ccnet_buckets_tercile_shape(spark):
         >= max(x.lm_score for x in by_bucket["middle"])
         for _ in [0]
     )
+
+
+def test_corpus_stats_report(spark):
+    from rsyslog_spark.datapipe.textstats import corpus_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "one two three", "a"),
+            (2, "one two", "a"),
+            (3, "one", "a"),
+            (4, "", "b"),          # blank doc: 0 tokens
+            (5, "x y z w v", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {r.source: r for r in corpus_stats(df).collect()}
+    a = rows["a"]
+    # nearest-rank over sorted [1,2,3]: p50 → rank ceil(1.5)=2 → 2;
+    # p95 → rank ceil(2.85)=3 → 3
+    assert (a.n_docs, a.tok_sum, a.tok_min, a.tok_max) == (3, 6, 1, 3)
+    assert (a.tok_p50, a.tok_p95) == (2, 3)
+    assert a.vocab == 3 and a.ttr_permille == 500
+    b = rows["b"]
+    assert (b.n_docs, b.tok_sum, b.tok_min, b.tok_max) == (2, 5, 0, 5)
+    assert (b.tok_p50, b.tok_p95) == (0, 5)
+    assert b.vocab == 5 and b.ttr_permille == 1000

@@ -353,3 +353,24 @@ def test_dsir_weight_table_broadcasts(spark):
     )
     p = plan_of(dsir_weights(df, F.col("t")))
     assert "BroadcastHashJoin" in p, p
+
+
+def test_quantized_topk_no_corpus_shuffle(spark, sf_dir):
+    """q8 ANN must keep the brute-force scan shape: queries broadcast,
+    corpus never shuffled before the per-partition partial top-k."""
+    from rsyslog_spark.datapipe.simsearch import quantized_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = quantized_topk(emb, queries, k=3)
+    p = plan_of(out)
+    assert "BroadcastNestedLoopJoin" in p
+    lines = p.splitlines()
+    first_exchange = next(
+        i for i, l in enumerate(lines) if "+- Exchange" in l
+    )
+    above = "\n".join(lines[max(0, first_exchange - 3): first_exchange])
+    assert "ObjectHashAggregate" in above or "HashAggregate" in above, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
