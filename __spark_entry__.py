@@ -2031,6 +2031,47 @@ def q_corpus_stats(spark, sf):
     return corpus_stats(d)
 
 
+def q_url_dedup(spark, sf):
+    """URL-level dedup on the canonical key (curation.url_dedup /
+    url_canonicalize): two planted surface forms per doc — cased
+    scheme+host, default :443 port, trailing slash, utm_ tracking
+    param, fragment — collapse to one canonical URL per doc_id%25
+    group. The oracle states the expected canonical string and
+    survivor BY CONSTRUCTION (independent arithmetic, not the same
+    regex stack), so every canonicalization branch is value-checked."""
+    from rsyslog_spark.datapipe.curation import url_dedup
+
+    d = _docs(spark, sf).select(F.col("doc_id").cast("long").alias("doc_id"))
+    m = (F.col("doc_id") % 25).cast("string")
+    host = F.concat(F.lit("h"), m, F.lit(".example.com"))
+    plain = F.concat(
+        F.lit("https://"), host, F.lit("/p/"), m
+    )
+    noisy = F.concat(
+        F.lit("HTTPS://"), F.upper(host), F.lit(":443/p/"), m,
+        F.lit("/?utm_source=a#f"),
+    )
+    d = d.withColumn(
+        "url",
+        F.when(F.col("doc_id") % 2 == 0, plain).otherwise(noisy),
+    )
+    return url_dedup(d).select("doc_id", "canon_url", "is_url_dup")
+
+
+def q_chunk_windows(spark, sf):
+    """Sliding context-window chunking (tokenize.chunk_sequences,
+    chunk_len=16 / stride=8 — the GPT-2 eval striding): one row per
+    window with start offset, token count, joined text, and the
+    tail flag; the oracle re-derives every window with SQL list
+    slicing over the same pre-tokenization."""
+    from rsyslog_spark.datapipe.tokenize import chunk_sequences
+
+    d = _docs(spark, sf).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return chunk_sequences(d, chunk_len=16, stride=8)
+
+
 def q_pcap_fields(spark, sf):
     """impcap field promotion (contrib/impcap eth/ipv4/udp parsers):
     Ethernet+IPv4+UDP frames are synthesized per event as hex Columns
@@ -2253,6 +2294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_codes": q_q8_codes,
         "q8_topk": q_q8_topk,
         "corpus_stats": q_corpus_stats,
+        "url_dedup": q_url_dedup,
+        "chunk_windows": q_chunk_windows,
         "ulog_parse": q_ulog_parse,
         "cee_json": q_cee_json,
         "msg_fixups": q_msg_fixups,
@@ -3681,6 +3724,34 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0 END AS BIGINT) AS ttr_permille
             FROM base JOIN pct USING (g)
             LEFT JOIN vocab USING (g)
+        """,
+        "url_dedup": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   'https://h' || CAST(doc_id % 25 AS VARCHAR)
+                       || '.example.com/p/'
+                       || CAST(doc_id % 25 AS VARCHAR) AS canon_url,
+                   doc_id <> doc_id % 25 AS is_url_dup
+            FROM documents
+        """,
+        "chunk_windows": """
+            WITH d AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+')
+                           AS w
+                FROM documents
+            ), s AS (
+                SELECT doc_id, w, len(w) AS n,
+                       unnest(range(0, len(w), 8)) AS start
+                FROM d
+            )
+            SELECT doc_id,
+                   CAST(start // 8 AS BIGINT) AS chunk_idx,
+                   CAST(start AS BIGINT) AS start,
+                   CAST(least(16, n - start) AS BIGINT) AS n_tok,
+                   array_to_string(w[start + 1 : least(start + 16, n)],
+                                   ' ') AS chunk_text,
+                   start + 16 > n AS is_tail
+            FROM s
         """,
         "q8_codes": """
             WITH v AS (

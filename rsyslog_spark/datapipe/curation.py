@@ -551,3 +551,90 @@ def ccnet_buckets(
         F.col("bucket").cast("long").alias("bucket"),
         names.alias("bucket_name"),
     )
+
+
+def url_canonicalize(
+    df: DataFrame,
+    url_col: str = "url",
+    out_col: str = "canon_url",
+) -> DataFrame:
+    """Canonicalize URLs into the dedup key every crawl pipeline
+    groups by (CommonCrawl-style URL-level dedup; RefinedWeb §3.1
+    dedups on the canonical URL before any content pass):
+
+    - scheme and host lowercased (path/query stay case-sensitive);
+    - fragment (``#…``) stripped;
+    - userinfo (``user:pw@``) stripped;
+    - default ports stripped (``:80`` for http, ``:443`` for https);
+    - tracking query params dropped (``utm_*``, ``fbclid``,
+      ``gclid``, ``msclkid``, ``mc_eid``, ``igshid``, ``ref``,
+      ``ref_src``), remaining params kept in original order, a
+      now-empty query dropped entirely;
+    - trailing slashes stripped from the path (so ``…/a/`` ≡ ``…/a``
+      and a bare root ≡ no path).
+
+    Non-http(s) or pattern-less values pass through unchanged (the
+    caller's filter problem, not silently nulled). Pure Column —
+    regexp splits + array filter, codegen'd, no UDF: at 100 TB the
+    canonical key is computed inside the scan and the dedup groupBy
+    shuffles only (key, id)."""
+    u = F.col(url_col)
+    is_http = u.rlike(r"^(?i)https?://")
+    nofrag = F.regexp_replace(u, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(nofrag, r"^([A-Za-z]+)://", 1))
+    rest = F.regexp_replace(nofrag, r"^[A-Za-z]+://", "")
+    auth = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    pathq = F.substr(rest, F.length(auth) + 1)
+    # authority: drop userinfo, lower host, strip default port
+    hostport = F.lower(F.element_at(F.split(auth, "@"), -1))
+    host = F.when(
+        (scheme == "http") & hostport.endswith(":80"),
+        F.regexp_replace(hostport, r":80$", ""),
+    ).when(
+        (scheme == "https") & hostport.endswith(":443"),
+        F.regexp_replace(hostport, r":443$", ""),
+    ).otherwise(hostport)
+    path = F.regexp_replace(
+        F.regexp_extract(pathq, r"^([^?]*)", 1), r"/+$", ""
+    )
+    rawq = F.when(
+        pathq.contains("?"),
+        F.regexp_replace(pathq, r"^[^?]*\?", ""),
+    ).otherwise(F.lit(""))
+    kept_params = F.filter(
+        F.split(rawq, "&"),
+        lambda p: (p != "")
+        & ~p.rlike(
+            r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid|ref|ref_src)="
+        ),
+    )
+    q = F.array_join(kept_params, "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+    return df.withColumn(out_col, F.when(is_http, canon).otherwise(u))
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """URL-level exact dedup on the canonical key: one survivor per
+    canonical URL — the smallest id (deterministic, SQL-mirrorable).
+    Returns the input columns + canon_url + is_url_dup. One shuffle
+    carrying (key, id); text never moves."""
+    c = url_canonicalize(df, url_col)
+    w_min = (
+        c.groupBy("canon_url")
+        .agg(F.min(id_col).alias("_keep_id"))
+    )
+    return (
+        c.join(w_min, "canon_url")
+        .withColumn("is_url_dup", F.col(id_col) != F.col("_keep_id"))
+        .drop("_keep_id")
+    )

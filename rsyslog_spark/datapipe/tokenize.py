@@ -212,3 +212,56 @@ def bpe_token_stats(
         F.when(n_chars > 0, (F.lit(1000) * F.size("_bpe")) / n_chars)
         .otherwise(F.lit(-1)).cast("long").alias("compression_permille"),
     )
+
+
+def chunk_sequences(
+    df: DataFrame,
+    chunk_len: int,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-window chunking with overlap — the striding pass that
+    turns variable-length documents into fixed-length training/eval
+    windows (the GPT-2 style sliding-window evaluation; stride =
+    chunk_len gives disjoint packing-input chunks, stride < chunk_len
+    gives overlapping windows).
+
+    Chunks start at 0, stride, 2·stride, … while start < n_tokens;
+    each carries up to ``chunk_len`` tokens. Returns one row per chunk:
+    (id, chunk_idx, start, n_tok, chunk_text, is_tail) where is_tail
+    marks windows truncated by the document end. Empty documents emit
+    no chunks.
+
+    Tokens are the same ``[a-z0-9]+`` pre-tokenization the BPE ops
+    use, so chunk boundaries agree with :func:`bpe_apply` inputs.
+
+    Pure Column: one sequence() + posexplode + slice — map-side only,
+    no shuffle, no UDF; at 100 TB this is free width-work fused into
+    the scan."""
+    if stride is None:
+        stride = chunk_len
+    if chunk_len <= 0 or stride <= 0:
+        raise ValueError("chunk_len and stride must be positive")
+    words = pretokenize(text_col)
+    n = F.size(words)
+    # sequence() rejects 0→-1 with a positive step, so empty docs get
+    # an explicit empty starts array (and thus emit no chunk rows)
+    starts = F.when(n == 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(0), n - 1, F.lit(stride))
+    )
+    d = df.select(
+        F.col(id_col),
+        words.alias("_w"),
+        n.alias("_n"),
+        F.posexplode(starts).alias("chunk_idx", "start"),
+    )
+    chunk = F.slice(F.col("_w"), F.col("start") + 1, chunk_len)
+    return d.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start").cast("long").alias("start"),
+        F.size(chunk).cast("long").alias("n_tok"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        (F.col("start") + chunk_len > F.col("_n")).alias("is_tail"),
+    )

@@ -1597,3 +1597,70 @@ def test_corpus_stats_report(spark):
     assert (b.n_docs, b.tok_sum, b.tok_min, b.tok_max) == (2, 5, 0, 5)
     assert (b.tok_p50, b.tok_p95) == (0, 5)
     assert b.vocab == 5 and b.ttr_permille == 1000
+
+
+def test_url_canonicalize_branches(spark):
+    from rsyslog_spark.datapipe.curation import url_canonicalize
+
+    cases = [
+        (1, "HTTP://Example.COM:80/A/b/?utm_source=x&q=1#frag",
+         "http://example.com/A/b?q=1"),
+        (2, "https://user:pw@Example.com:443/a//",
+         "https://example.com/a"),
+        (3, "http://example.com:8080/p?fbclid=z",
+         "http://example.com:8080/p"),
+        (4, "ftp://example.com/x", "ftp://example.com/x"),  # passthrough
+        (5, "http://example.com", "http://example.com"),
+        (6, "https://example.com/?ref=tw&keep=1&utm_campaign=c",
+         "https://example.com?keep=1"),
+        (7, "not a url at all", "not a url at all"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in cases], "doc_id long, url string"
+    )
+    got = {r.doc_id: r.canon_url for r in url_canonicalize(df).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_url_dedup_first_id_survives(spark):
+    from rsyslog_spark.datapipe.curation import url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (10, "http://A.com/x/"),
+            (11, "HTTP://a.com:80/x"),
+            (12, "http://a.com/y"),
+        ],
+        "doc_id long, url string",
+    )
+    rows = {r.doc_id: r for r in url_dedup(df).collect()}
+    assert not rows[10].is_url_dup and rows[11].is_url_dup
+    assert not rows[12].is_url_dup
+    assert rows[10].canon_url == rows[11].canon_url == "http://a.com/x"
+
+
+def test_chunk_sequences_stride_and_edges(spark):
+    from rsyslog_spark.datapipe.tokenize import chunk_sequences
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, ""), (3, "one")],
+        "doc_id long, text string",
+    )
+    rows = chunk_sequences(df, chunk_len=3, stride=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    got = [(r.start, r.n_tok, r.chunk_text, r.is_tail)
+           for r in sorted(by_doc[1], key=lambda r: r.chunk_idx)]
+    assert got == [
+        (0, 3, "a b c", False), (2, 3, "c d e", False),
+        (4, 3, "e f g", False), (6, 1, "g", True),
+    ]
+    assert 2 not in by_doc            # empty doc emits no chunks
+    assert [(r.start, r.n_tok, r.is_tail) for r in by_doc[3]] == [
+        (0, 1, True)
+    ]
+    import pytest
+    with pytest.raises(ValueError):
+        chunk_sequences(df, chunk_len=0)
