@@ -489,3 +489,45 @@ def test_stream_dedup_suppresses_redelivery(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 3
     assert {r.doc_id for r in got.collect()} == {"d1", "d2", "d3"}
+
+
+def test_bloom_stream_dedup_fixed_state_and_resume(spark, tmp_path):
+    """Bloom-filter dedup: within-batch and cross-RESTART duplicates
+    are suppressed with fixed-size per-shard state (no watermark, no
+    horizon); novel keys pass (m sized so FPs are impossible here)."""
+    from rsyslog_spark.streaming import bloom_stream_dedup
+
+    src = str(tmp_path / "bloomsrc")
+    out = str(tmp_path / "bloomout")
+    ck = str(tmp_path / "ck_bloom")
+
+    def run_once(rows):
+        spark.createDataFrame(
+            rows, "doc_id string, payload long"
+        ).coalesce(1).write.mode("append").parquet(src)
+        static = spark.read.parquet(src)
+        stream = spark.readStream.schema(static.schema).parquet(src)
+        q = (
+            bloom_stream_dedup(stream, "doc_id", n_shards=4,
+                               m_bits=1 << 16)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: d1 duplicated in-batch
+    run_once([("d1", 1), ("d2", 2), ("d1", 3), ("d3", 4)])
+    got = {r.doc_id: r.payload for r in spark.read.parquet(out).collect()}
+    assert set(got) == {"d1", "d2", "d3"}
+    assert got["d1"] == 1  # first occurrence wins
+
+    # batch 2 after restart: d1/d2 redelivered (no horizon — still
+    # suppressed), d4 novel
+    run_once([("d1", 9), ("d4", 5), ("d2", 9)])
+    got2 = {r.doc_id: r.payload for r in spark.read.parquet(out).collect()}
+    assert set(got2) == {"d1", "d2", "d3", "d4"}
+    assert got2["d1"] == 1 and got2["d4"] == 5
