@@ -115,10 +115,12 @@ class Env:
         # previous_action_suspended() (set by the router's _walk)
         self.last_action_pred: Column | None = None
         # r5: `$/` globals → window aggregates (rules/globals.py).
-        # Populated by the router's collect pass; globals_final flips
-        # for the real pass; global_set_passed tracks program points.
+        # The collect pass records statements in global_stmts;
+        # finalize_globals builds per-program-point specs in globals;
+        # global_set_passed counts statements passed in the real pass.
         self.globals: dict[str, object] = {}
-        self.global_set_passed: dict[str, bool] = {}
+        self.global_stmts: dict[str, list] = {}
+        self.global_set_passed: dict[str, int] = {}
         self.globals_final = False
         self.global_placeholder_read = False
         self.globals_order_col: str | None = None

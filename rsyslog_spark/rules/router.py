@@ -103,14 +103,10 @@ def _walk(stmts: list, pc: Column, state: _State, depth: int = 0) -> None:
                 # global store → window aggregates (rules/globals.py)
                 gname = var[2:]
                 if not state.collect:
-                    state.env.global_set_passed[gname] = True
-                    continue
-                if gname in state.env.globals:
-                    raise ValueError(
-                        f"multiple 'set $/{gname}' statements — the "
-                        "window mapping is single-assignment per name "
-                        "(rules/globals.py)"
+                    state.env.global_set_passed[gname] = (
+                        state.env.global_set_passed.get(gname, 0) + 1
                     )
+                    continue
                 if state.env.global_placeholder_read:
                     raise ValueError(
                         "a $/ read is compiled before the first $/ "
@@ -123,12 +119,12 @@ def _walk(stmts: list, pc: Column, state: _State, depth: int = 0) -> None:
                         "globals_order=<column> (and optionally "
                         "globals_worker=) — rules/globals.py"
                     )
-                from rsyslog_spark.rules.globals import compile_global_set
+                from rsyslog_spark.rules.globals import (
+                    collect_global_stmt,
+                )
 
-                state.env.globals[gname] = compile_global_set(
-                    gname, st[2], pc & state.live, state.env,
-                    state.env.globals_order_col,
-                    state.env.globals_worker_col,
+                collect_global_stmt(
+                    state.env, gname, "set", st[2], pc & state.live
                 )
                 continue
             if var.startswith("$!"):
@@ -173,10 +169,27 @@ def _walk(stmts: list, pc: Column, state: _State, depth: int = 0) -> None:
         elif kind == "unset":
             var = st[1]
             if var.startswith("$/"):
-                raise ValueError(
-                    "unset of $/ globals is unsupported (single-"
-                    "assignment window mapping, rules/globals.py)"
+                # unset of a global: a clearing marker at this program
+                # point (rules/globals.py segmented model)
+                gname = var[2:]
+                if not state.collect:
+                    state.env.global_set_passed[gname] = (
+                        state.env.global_set_passed.get(gname, 0) + 1
+                    )
+                    continue
+                if state.env.globals_order_col is None:
+                    raise ValueError(
+                        "script writes $/ globals: compile with "
+                        "globals_order=<column> — rules/globals.py"
+                    )
+                from rsyslog_spark.rules.globals import (
+                    collect_global_stmt,
                 )
+
+                collect_global_stmt(
+                    state.env, gname, "unset", None, pc & state.live
+                )
+                continue
             if var.startswith("$!"):
                 key = var[2:].strip("!")
                 eff = pc & state.live
@@ -572,6 +585,9 @@ def compile_routes(
 
     if _contains_global(stmts):
         _run_pass(collect=True)
+        from rsyslog_spark.rules.globals import finalize_globals
+
+        finalize_globals(env)
         # reset per-pass compilation state; keep the compiled globals
         env.globals_final = True
         env.locals.clear()

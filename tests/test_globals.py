@@ -101,11 +101,6 @@ def test_errors(ev):
     env = _env()
     with pytest.raises(ValueError, match="globals_order"):
         Router("set $/x = $/x + 1;", _env())
-    with pytest.raises(ValueError, match="multiple"):
-        Router("set $/x = $/x + 1; set $/x = 0;", _env(),
-               globals_order="event_id")
-    with pytest.raises(ValueError, match="unset"):
-        Router("set $/x = 1; unset $/x;", _env(), globals_order="event_id")
     with pytest.raises(ValueError, match="write-then-read|read"):
         Router('set $.y = cstr($/x); set $/x = $/x + 1;', _env(),
                globals_order="event_id")
@@ -113,6 +108,80 @@ def test_errors(ev):
         # cross-global RHS is not window-expressible
         Router("set $/a = 1; set $/b = $/a + 1;", _env(),
                globals_order="event_id")
+    with pytest.raises(ValueError, match="unsupported"):
+        # multiplicative self-reference needs a sequential fold
+        Router("set $/a = $/a + 1; set $/a = $/a * 2;", _env(),
+               globals_order="event_id")
+
+
+def test_multiple_sets_reassign_resets_accumulator(ev):
+    """r5 continuation: multiple statements per name — an assign after
+    an accumulate resets the segment base every row it fires."""
+    env = _env()
+    script = """
+    set $/x = $/x + 1;
+    set $.mid = cstr($/x);
+    if $syslogseverity == 7 then set $/x = 100;
+    action(name="out")
+    """
+    r = Router(script, env, globals_order="event_id")
+    out = (
+        r.apply(ev, keep_locals=True)
+        .withColumn("x", env.resolve("$/x")[0])
+        .orderBy("event_id").collect()
+    )
+    # sev cycles 0..7; rows 7 (sev 7) assign 100. Before that,
+    # accumulate 1/row: rows 0..6 → 1..7; row 7: acc → 8 then 100;
+    # rows 8..11 accumulate from 100 → 101..104.
+    assert [row["x"] for row in out] == [
+        1, 2, 3, 4, 5, 6, 7, 100, 101, 102, 103, 104,
+    ]
+    # the mid-row read sees the accumulate but not the later assign
+    assert [row["local_mid"] for row in out] == [
+        "1", "2", "3", "4", "5", "6", "7", "8",
+        "101", "102", "103", "104",
+    ]
+
+
+def test_unset_global_clears_until_next_write(ev):
+    env = _env()
+    script = """
+    if $syslogseverity <= 3 then set $/h = $hostname;
+    if $syslogseverity == 5 then unset $/h;
+    action(name="out")
+    """
+    r = Router(script, env, globals_order="event_id")
+    out = (
+        r.apply(ev).withColumn("h", env.resolve("$/h")[0])
+        .orderBy("event_id").collect()
+    )
+    # sev = id % 8: ids 0-3 set h0..h0 (hosts h0,h1,h2,h0); id 5 (sev
+    # 5) unsets; ids 6,7 still unset (reads ""); ids 8-11 (sev 0-3)
+    # set again h2,h0,h1,h2
+    assert [row["h"] for row in out] == [
+        "h0", "h1", "h2", "h0", "h0", "", "", "",
+        "h2", "h0", "h1", "h2",
+    ]
+
+
+def test_unset_then_accumulate_restarts_from_zero(ev):
+    env = _env()
+    script = """
+    if $syslogseverity == 4 then unset $/n;
+    set $/n = $/n + 1;
+    action(name="out")
+    """
+    r = Router(script, env, globals_order="event_id")
+    out = (
+        r.apply(ev).withColumn("n", env.resolve("$/n")[0])
+        .orderBy("event_id").collect()
+    )
+    # unset fires on ids 4 (sev 4) BEFORE that row's accumulate:
+    # counts restart at 1 there; no other sev-4 row until... sev
+    # cycles 0..7 so only id 4 in 12 rows.
+    assert [row["n"] for row in out] == [
+        1, 2, 3, 4, 1, 2, 3, 4, 5, 6, 7, 8,
+    ]
 
 
 def test_accumulate_numeric_expression(ev):
