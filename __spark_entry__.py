@@ -1616,6 +1616,37 @@ def q_global_vars(spark, sf):
     )
 
 
+def q_global_vars2(spark, sf):
+    """r5 continuation `$/` forms (rules/globals.py segmented model):
+    multiple statements per name — an accumulate reset to 0 by a
+    conditional ASSIGN on error rows — and UNSET clearing a last-set
+    value until the next write. The oracle states both as plain SQL
+    window algebra (rows-since-last-error via row_number difference;
+    last-marker-wins via last_value IGNORE NULLS)."""
+    from rsyslog_spark.rules.compiler import Env
+    from rsyslog_spark.rules.router import Router
+
+    ev = _events(spark, sf)
+    env = Env(props={
+        "$event_type": ("event_type", "S"),
+        "$user_id": (F.col("user_id").cast("string"), "S"),
+    })
+    script = """
+    set $/n = $/n + 1;
+    if $event_type == "error" then set $/n = 0;
+    if $event_type == "signup" then set $/u = $user_id;
+    if $event_type == "purchase" then unset $/u;
+    action(name="out")
+    """
+    r = Router(script, env, globals_order="event_id")
+    out = r.apply(ev)
+    return out.where("route_out").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        env.resolve("$/n")[0].cast("long").alias("n_since_err"),
+        env.resolve("$/u")[0].alias("last_signup_user"),
+    )
+
+
 def q_dup_spans(spark, sf):
     """Exact-substring duplicate-span removal (Lee et al. ExactSubstr,
     word-13-gram granularity): non-first occurrences of any duplicated
@@ -2296,6 +2327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "url_dedup": q_url_dedup,
         "chunk_windows": q_chunk_windows,
+        "global_vars2": q_global_vars2,
         "ulog_parse": q_ulog_parse,
         "cee_json": q_cee_json,
         "msg_fixups": q_msg_fixups,
@@ -3562,6 +3594,25 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (ORDER BY event_id
                          ROWS UNBOUNDED PRECEDING)
+        """,
+        "global_vars2": """
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(row_number() OVER w
+                        - coalesce(max(CASE WHEN event_type = 'error'
+                                       THEN rn END) OVER w, 0)
+                        AS BIGINT) AS n_since_err,
+                   coalesce(last_value(
+                        CASE WHEN event_type = 'signup'
+                             THEN CAST(user_id AS VARCHAR)
+                             WHEN event_type = 'purchase' THEN ''
+                        END IGNORE NULLS) OVER w, '')
+                       AS last_signup_user
+            FROM (
+                SELECT event_id, event_type, user_id,
+                       row_number() OVER (ORDER BY event_id) AS rn
+                FROM events
+            )
+            WINDOW w AS (ORDER BY event_id ROWS UNBOUNDED PRECEDING)
         """,
         "device_parse": f"""
             SELECT {O['doc_id']} AS doc_id,
