@@ -2049,6 +2049,34 @@ def q_q8_topk(spark, sf):
     )
 
 
+def q_pq_codes(spark, sf):
+    """Product-quantization encoding (datapipe.simsearch.pq_encode,
+    Jégou et al. 2011): every vector → 8 per-subspace argmin-centroid
+    codes. The codebook here is a FIXED arithmetic grid
+    (cb[s][c][d] = ((7c+3d+s) mod 16)/8 − 1 — exact eighths), so the
+    oracle recomputes every squared-L2 argmin in SQL with identical
+    IEEE arithmetic and the codes compare integer-exactly; the
+    TRAINED-codebook path is covered by the ADC recall unit."""
+    from rsyslog_spark.datapipe.simsearch import pq_encode
+
+    books = [
+        [
+            [((7 * c + 3 * d + s) % 16) / 8.0 - 1.0 for d in range(8)]
+            for c in range(16)
+        ]
+        for s in range(8)
+    ]
+    emb = _emb(spark, sf)
+    return pq_encode(emb, books).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.posexplode("pq_codes").alias("s", "code"),
+    ).select(
+        "vec_id",
+        F.col("s").cast("long").alias("s"),
+        F.col("code").cast("long").alias("code"),
+    )
+
+
 def q_corpus_stats(spark, sf):
     """Per-source corpus analysis report (datapipe.textstats.
     corpus_stats): doc counts, token sum/min/max, nearest-rank
@@ -2328,6 +2356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "chunk_windows": q_chunk_windows,
         "global_vars2": q_global_vars2,
+        "pq_codes": q_pq_codes,
         "ulog_parse": q_ulog_parse,
         "cee_json": q_cee_json,
         "msg_fixups": q_msg_fixups,
@@ -3728,6 +3757,34 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 1 THEN 'head' WHEN 3 THEN 'tail'
                         ELSE 'middle' END AS bucket_name
             FROM j
+        """,
+        "pq_codes": """
+            WITH v AS (
+                SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                       CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings
+            ), sv AS (
+                SELECT vec_id, s.s,
+                       v.e[s.s * 8 + 1 : s.s * 8 + 8] AS vs
+                FROM v CROSS JOIN
+                     (SELECT unnest(range(0, 8)) AS s) s
+            ), dist AS (
+                SELECT vec_id, sv.s, c.c,
+                       list_sum(list_transform(range(1, 9), i ->
+                           (vs[i] - (((7 * c.c + 3 * (i - 1) + sv.s)
+                                      % 16) / 8.0 - 1.0)) ^ 2))
+                           AS d
+                FROM sv CROSS JOIN
+                     (SELECT unnest(range(0, 16)) AS c) c
+            ), ranked AS (
+                SELECT vec_id, s, c,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY d, c) AS rk
+                FROM dist
+            )
+            SELECT vec_id, CAST(s AS BIGINT) AS s,
+                   CAST(c AS BIGINT) AS code
+            FROM ranked WHERE rk = 1
         """,
         "corpus_stats": """
             WITH d AS (

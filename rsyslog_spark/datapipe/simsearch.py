@@ -399,6 +399,197 @@ def semdedup(
     return c.groupBy("cluster").applyInPandas(prune, out_schema)
 
 
+# --- PQ (product quantization) ------------------------------------------------
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Squared L2 between two double arrays (left-to-right fold — the
+    same summation order any SQL list_sum uses, so distances are
+    bit-reproducible cross-engine)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _subvector(vec: Column, s: int, d_sub: int) -> Column:
+    return F.transform(
+        F.slice(vec, s * d_sub + 1, d_sub), lambda v: v.cast("double")
+    )
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    n_subvectors: int = 8,
+    n_centroids: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 100_000,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split each vector into
+    ``n_subvectors`` contiguous subvectors and k-means each subspace
+    independently (squared-L2 Lloyd, deterministic lowest-xxhash
+    init — the same bounded-sample lifecycle as ivf_train_centroids:
+    train once on a sample, reuse per batch).
+
+    Returns codebooks[s][c] = centroid c of subspace s. Memory story
+    at 100 TB: 8 subvectors × 256 centroids compresses a 64-dim
+    float32 vector (256 B) to 8 code bytes — 32×; the codebook itself
+    is config-sized and bakes into the plan as literals."""
+    sample = _training_sample(corpus, id_col, vec_col, sample_rows).persist()
+    try:
+        dim = len(sample.first()["v"])
+        if dim % n_subvectors:
+            raise ValueError(
+                f"dim {dim} not divisible by n_subvectors {n_subvectors}"
+            )
+        d_sub = dim // n_subvectors
+        seeds = (
+            sample.orderBy(F.xxhash64("id"))
+            .limit(n_centroids)
+            .select("v")
+            .collect()
+        )
+        books: list[list[list[float]]] = []
+        for s in range(n_subvectors):
+            books.append([
+                [float(x) for x in r.v[s * d_sub:(s + 1) * d_sub]]
+                for r in seeds
+            ])
+        for _ in range(iters):
+            # ONE scan assigns every subspace; one groupBy per
+            # subspace over the bounded sample updates its means
+            assigned = sample.select(
+                "v",
+                *[
+                    _pq_code(F.col("v"), books[s], s, d_sub).alias(f"c{s}")
+                    for s in range(n_subvectors)
+                ],
+            ).persist()
+            for s in range(n_subvectors):
+                means = assigned.groupBy(f"c{s}").agg(
+                    *[
+                        F.avg(
+                            F.element_at(F.col("v"), s * d_sub + d + 1)
+                        ).alias(f"d{d}")
+                        for d in range(d_sub)
+                    ]
+                ).collect()
+                for r in means:
+                    books[s][r[f"c{s}"]] = [
+                        float(r[f"d{d}"]) for d in range(d_sub)
+                    ]
+            assigned.unpersist()
+        return books
+    finally:
+        sample.unpersist()
+
+
+def _pq_code(vec: Column, book: list[list[float]], s: int, d_sub: int) -> Column:
+    """argmin_c ||v_s − book[c]||² with smallest-index tie-break, as a
+    pure Column (sort_array over (dist, idx) structs)."""
+    vs = _subvector(vec, s, d_sub)
+    entries = [
+        F.struct(
+            _sq_dist(vs, F.array(*[F.lit(float(x)) for x in c])).alias("d"),
+            F.lit(i).alias("i"),
+        )
+        for i, c in enumerate(book)
+    ]
+    return F.element_at(F.sort_array(F.array(*entries)), 1).getField("i")
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """One scan: each vector → array of per-subspace centroid indexes
+    (the 8-byte representation the 100 TB vector table actually
+    stores). Pure Column, map-only, codebooks baked as literals."""
+    n_sub = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    return df.withColumn(
+        out_col,
+        F.array(*[
+            _pq_code(F.col(vec_col), codebooks[s], s, d_sub)
+            for s in range(n_sub)
+        ]),
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k over PQ codes: the
+    query stays un-quantized; score(x) ≈ Σ_s dot(q_s, codebook[s][
+    code_s(x)]) via per-query lookup tables — the corpus scan touches
+    ONLY the code arrays (8 bytes/vector), never the embeddings.
+
+    Table construction is n_sub×n_centroids dots per query (driver-
+    free: a Column expression over the broadcast query row). Same
+    broadcast + two-phase partial top-k shape as brute_force_topk."""
+    n_sub = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    coded = pq_encode(corpus.select(id_col, vec_col), codebooks)
+    # per-query ADC tables: table[s][c] = dot(q_s, book[s][c])
+    tables = F.array(*[
+        F.array(*[
+            dot(
+                _subvector(F.col(q_vec_col), s, d_sub),
+                F.array(*[F.lit(float(x)) for x in c]),
+            )
+            for c in codebooks[s]
+        ])
+        for s in range(n_sub)
+    ])
+    q = queries.select(F.col(q_id_col), tables.alias("_t"))
+    j = coded.crossJoin(broadcast(q))
+    score = None
+    for s in range(n_sub):
+        term = F.element_at(
+            F.element_at(F.col("_t"), s + 1),
+            F.element_at(F.col("pq_codes"), s + 1) + 1,
+        )
+        score = term if score is None else score + term
+    scored = j.select(
+        F.col(q_id_col), F.col(id_col), score.alias("score")
+    )
+    entry = F.struct(
+        (-F.col("score")).alias("ns"),
+        F.col(id_col).alias("id"),
+        F.col("score").alias("score"),
+    )
+    partial = (
+        scored.groupBy(q_id_col, F.spark_partition_id().alias("_p"))
+        .agg(F.slice(F.sort_array(F.collect_list(entry)), 1, k).alias("top"))
+        .drop("_p")
+    )
+    merged = (
+        partial.select(q_id_col, F.explode("top").alias("t"))
+        .groupBy(q_id_col)
+        .agg(F.slice(F.sort_array(F.collect_list("t")), 1, k).alias("top"))
+    )
+    return merged.select(
+        q_id_col, F.posexplode("top").alias("_pos", "t")
+    ).select(
+        q_id_col,
+        F.col("t.id").alias(id_col),
+        F.col("t.score").alias("score"),
+        (F.col("_pos") + 1).alias("rank"),
+    )
+
+
 # --- IVF (inverted-file) ANN --------------------------------------------------
 
 def _centroid_lits(centroids: list[list[float]]) -> list[Column]:

@@ -1664,3 +1664,56 @@ def test_chunk_sequences_stride_and_edges(spark):
     import pytest
     with pytest.raises(ValueError):
         chunk_sequences(df, chunk_len=0)
+
+
+def test_pq_encode_and_adc_topk(spark):
+    from rsyslog_spark.datapipe.simsearch import (
+        pq_encode,
+        pq_topk,
+        pq_train_codebooks,
+    )
+
+    corpus = _vectors(spark)  # 8-dim, structure in dims 1-2
+    books = pq_train_codebooks(
+        corpus, n_subvectors=4, n_centroids=8, iters=3
+    )
+    assert len(books) == 4 and len(books[0]) == 8 and len(books[0][0]) == 2
+    # deterministic training: same corpus → same codebooks
+    again = pq_train_codebooks(
+        corpus, n_subvectors=4, n_centroids=8, iters=3
+    )
+    assert books == again
+
+    coded = pq_encode(corpus, books)
+    rows = coded.collect()
+    assert all(len(r.pq_codes) == 4 for r in rows)
+    # identical vectors get identical codes (ids ≡ mod 10 are dups)
+    by_angle = {}
+    for r in rows:
+        by_angle.setdefault(r.vec_id % 10, set()).add(tuple(r.pq_codes))
+    assert all(len(s) == 1 for s in by_angle.values())
+
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0] + [0.0] * 6)], "q_id long, q_vec array<float>"
+    )
+    exact = {
+        r.vec_id for r in brute_force_topk(corpus, queries, k=5).collect()
+    }
+    approx = {
+        r.vec_id for r in pq_topk(corpus, queries, books, k=5).collect()
+    }
+    # only dims 1-2 carry signal; 8 centroids for 10 angles means
+    # adjacent angles can share a centroid (equal ADC scores, id
+    # tie-break) — so assert semantic nearness plus majority recall,
+    # not exact-set equality
+    assert len(exact & approx) >= 3
+    import math
+
+    for vid in approx:
+        assert math.cos((vid % 10) * math.pi / 20) >= math.cos(
+            math.pi / 10
+        ) - 1e-9  # every hit is within one angle step of the query
+    import pytest
+
+    with pytest.raises(ValueError):
+        pq_train_codebooks(corpus, n_subvectors=3)
