@@ -2287,6 +2287,49 @@ def q_ulog_parse(spark, sf):
     )
 
 
+def q_badwords(spark, sf):
+    """C4-style bad-words page filter (datapipe.textstats.
+    badwords_filter, Raffel et al. 2020 §2.2): lowercased,
+    punctuation-stripped whole-token blocklist matches; pages with
+    any hit are dropped by the `kept` flag."""
+    from rsyslog_spark.datapipe.textstats import badwords_filter
+
+    d = _docs(spark, sf).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    out = badwords_filter(d, ["slow", "legacy"])
+    return out.select(
+        "doc_id",
+        F.col("bad_hits").cast("long").alias("bad_hits"),
+        F.col("kept").cast("long").alias("kept"),
+    )
+
+
+# BM25 constants shared between the Spark query and the DuckDB oracle:
+# fold in Python ONCE and emit via repr on both sides so every engine
+# sees bit-identical double literals (k1*(1-b) is NOT 0.3 in binary).
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_TERMS = ["spark", "merge", "window"]
+
+
+def q_bm25_topk(spark, sf):
+    """BM25 lexical top-k retrieval (datapipe.textstats.bm25_topk,
+    Robertson & Zaragoza 2009) with the pre-log idf variant — every
+    scoring step is IEEE +,-,*,/ so the DuckDB oracle reproduces the
+    ranking bit-exactly; output is the integer (doc_id, rank) pair,
+    ties broken by doc_id on both sides."""
+    from rsyslog_spark.datapipe.textstats import bm25_topk
+
+    d = _docs(spark, sf).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    out = bm25_topk(d, _BM25_TERMS, k=10, k1=_BM25_K1, b=_BM25_B)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "parse_headers": q_parse_headers,
@@ -2377,6 +2420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "url_filter": q_url_filter,
         "curation_pipeline": q_curation_pipeline,
+        "badwords": q_badwords,
+        "bm25_topk": q_bm25_topk,
     }
 
 
@@ -4132,7 +4177,76 @@ def oracle_sql() -> dict[str, str]:
                        AS seq
             FROM events
         """,
+        "badwords": r"""
+            WITH toks AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       len(list_filter(
+                           list_transform(
+                               string_split_regex(lower(text), '\s+'),
+                               w -> regexp_replace(
+                                   w, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')),
+                           w -> w IN ('legacy', 'slow'))) AS bad_hits
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(bad_hits AS BIGINT) AS bad_hits,
+                   CAST(CASE WHEN bad_hits = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS kept
+            FROM toks
+        """,
+        "bm25_topk": _bm25_oracle(),
     }
+
+
+def _bm25_oracle() -> str:
+    """DuckDB twin of q_bm25_topk: same split, same per-term tf, same
+    pre-log-idf arithmetic with the Python-folded constants emitted
+    via repr, same (score DESC, id) tie-break — the ranking is an
+    IEEE-for-IEEE mirror of the Spark plan, so only integer columns
+    (doc_id, rank) need to travel through the value hash."""
+    split = "string_split_regex(lower(trim(text)), '\\s+')"
+    tf_cols = ", ".join(
+        f"len(list_filter({split}, w -> w = '{t}')) AS _tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN _tf{i} > 0 THEN 1 ELSE 0 END) AS _df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    k1p1 = repr(_BM25_K1 + 1.0)
+    k1mb = repr(_BM25_K1 * (1.0 - _BM25_B))
+    k1b = repr(_BM25_K1 * _BM25_B)
+    score = " + ".join(
+        f"(((_n - _df{i}) + 0.5) / (_df{i} + 0.5))"
+        f" * ((_tf{i} * {k1p1})"
+        f" / (_tf{i} + ({k1mb} + {k1b}"
+        " * (_dl / (CAST(_sdl AS DOUBLE) / _n)))))"
+        for i in range(len(_BM25_TERMS))
+    )
+    any_hit = " OR ".join(
+        f"_tf{i} > 0" for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+        WITH base AS (
+            SELECT CAST(doc_id AS BIGINT) AS _id,
+                   len({split}) AS _dl,
+                   {tf_cols}
+            FROM documents
+        ), stats AS (
+            SELECT count(*) AS _n, sum(_dl) AS _sdl, {df_cols}
+            FROM base
+        ), scored AS (
+            SELECT _id, {score} AS score
+            FROM base, stats
+            WHERE {any_hit}
+        )
+        SELECT _id AS doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, _id)
+                    AS BIGINT) AS rank
+        FROM scored
+        ORDER BY score DESC, _id
+        LIMIT 10
+    """
 
 
 def _bpe_oracle() -> str:

@@ -708,3 +708,125 @@ def corpus_stats(
             .otherwise(F.lit(0)).cast("long").alias("ttr_permille"),
         )
     )
+
+
+def badwords_filter(
+    df: DataFrame,
+    blocklist: list[str] | set[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style bad-words page filter (Raffel et al. 2020 §2.2: drop
+    any page containing a word from a blocklist): tokens are
+    lowercased whitespace words with leading/trailing punctuation
+    stripped, matched EXACTLY against the (lowercased) blocklist.
+    Adds ``bad_hits`` (matching-token count) and ``kept``
+    (bad_hits == 0); the caller filters on ``kept``.
+
+    Scale: pure Column over the text — map-only, codegen'd, pushable;
+    the blocklist bakes into the plan as literals (real lists are a
+    few hundred words — well inside expression-size limits; for
+    100k-word lists use a broadcast join on the exploded tokens
+    instead)."""
+    words = sorted({w.lower() for w in blocklist})
+    toks = F.transform(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda w: F.regexp_replace(w, "^[^a-z0-9]+|[^a-z0-9]+$", ""),
+    )
+    hits = F.size(F.filter(toks, lambda w: w.isin(words)))
+    return df.withColumn("bad_hits", hits.cast("long")).withColumn(
+        "kept", F.col("bad_hits") == 0
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 lexical top-k retrieval (Robertson & Zaragoza 2009) — the
+    keyword-search counterpart to simsearch's embedding ANN, and the
+    standard first-stage retriever for training-data search/audit
+    ("which documents mention X").
+
+    score(d) = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1−b + b·|d|/avgdl))
+
+    with the PRE-LOG idf variant idf_t = (N − df_t + 0.5)/(df_t + 0.5)
+    — monotone in the classic ln(1+·) form but free of transcendental
+    functions, so every arithmetic step is an IEEE +,−,×,÷ that any
+    SQL engine reproduces bit-exactly (the oracle recipe; constants
+    are Python-folded and emitted via repr on both sides).
+
+    Scale shape: per-term tf is a pure-Column fold over the doc's own
+    words (terms are literals — NO corpus explode, NO join); corpus
+    stats (N, Σ|d|, df_t) are ONE map-side-combinable aggregate row
+    broadcast back; the final top-k is orderBy+limit, which Spark
+    executes as TakeOrderedAndProject (per-partition heap + driver
+    merge of k rows, no global sort shuffle).
+    """
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    terms = [t.lower() for t in terms]
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+    # single-arg closure factory: a `lambda w, t=t:` default makes the
+    # lambda 2-ary and Spark feeds the ARRAY INDEX as the second arg
+    # (sandbox quirk) — the term literal must be captured, not defaulted
+    def _is_term(term):
+        lit = F.lit(term)
+        return lambda w: w == lit
+
+    base = docs.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.size(words).alias("_dl"),
+        *[
+            F.size(F.filter(words, _is_term(t))).alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_dl").alias("_sdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    from pyspark.sql.functions import broadcast
+
+    j = base.crossJoin(broadcast(stats))
+    avgdl = F.col("_sdl").cast("double") / F.col("_n")
+    k1p1 = k1 + 1.0
+    k1mb = k1 * (1.0 - b)
+    k1b = k1 * b
+    score = None
+    for i in range(len(terms)):
+        idf = ((F.col("_n") - F.col(f"_df{i}")) + F.lit(0.5)) / (
+            F.col(f"_df{i}") + F.lit(0.5)
+        )
+        den = F.col(f"_tf{i}") + (
+            F.lit(k1mb) + F.lit(k1b) * (F.col("_dl") / avgdl)
+        )
+        contrib = idf * ((F.col(f"_tf{i}") * F.lit(k1p1)) / den)
+        score = contrib if score is None else score + contrib
+    any_hit = None
+    for i in range(len(terms)):
+        h = F.col(f"_tf{i}") > 0
+        any_hit = h if any_hit is None else any_hit | h
+    from pyspark.sql import Window
+
+    top = (
+        j.where(any_hit)
+        .select(F.col("_id").alias(id_col), score.alias("score"))
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("score"), id_col)
+    return top.select(
+        id_col,
+        "score",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )

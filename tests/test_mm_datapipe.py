@@ -1717,3 +1717,76 @@ def test_pq_encode_and_adc_topk(spark):
 
     with pytest.raises(ValueError):
         pq_train_codebooks(corpus, n_subvectors=3)
+
+
+def test_badwords_filter_exact_token_match(spark):
+    """textstats.badwords_filter: C4 §2.2 blocklist page filter —
+    lowercased, punctuation-stripped whole-token matches only."""
+    from rsyslog_spark.datapipe.textstats import badwords_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "the SLOW, old dog"),          # case + trailing punct
+            (3, "slowly does it"),              # substring must NOT hit
+            (4, "slow slow 'slow!' ok"),        # 3 hits
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.bad_hits, r.kept)
+        for r in badwords_filter(df, ["Slow", "bad"]).collect()
+    }
+    assert out[1] == (0, True)
+    assert out[2] == (1, False)
+    assert out[3] == (0, True)
+    assert out[4] == (3, False)
+    assert out[5] == (0, True)
+
+
+def test_bm25_topk_matches_python_reference(spark):
+    """textstats.bm25_topk: scores equal a plain-Python BM25 with the
+    same pre-log idf variant; ranking and tie-break deterministic."""
+    from rsyslog_spark.datapipe.textstats import bm25_topk
+
+    corpus = [
+        (1, "spark shuffle join spark spark"),
+        (2, "spark join"),
+        (3, "filter scan merge sort"),
+        (4, "join join join join join join join join"),
+        (5, "spark"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    terms, k1, b = ["spark", "join"], 1.2, 0.75
+
+    docs = {i: t.split() for i, t in corpus}
+    n = len(docs)
+    avgdl = sum(len(w) for w in docs.values()) / n
+    df_t = {t: sum(t in w for w in docs.values()) for t in terms}
+
+    def score(i):
+        s = 0.0
+        for t in terms:
+            tf = docs[i].count(t)
+            idf = ((n - df_t[t]) + 0.5) / (df_t[t] + 0.5)
+            den = tf + (k1 * (1 - b) + (k1 * b) * (len(docs[i]) / avgdl))
+            s += idf * ((tf * (k1 + 1)) / den)
+        return s
+
+    expect = sorted(
+        (i for i in docs if any(t in docs[i] for t in terms)),
+        key=lambda i: (-score(i), i),
+    )
+    got = bm25_topk(df, terms, k=4, k1=k1, b=b).collect()
+    assert [r.doc_id for r in got] == expect[:4]
+    assert [r.rank for r in got] == [1, 2, 3, 4]
+    for r in got:
+        assert abs(r.score - score(r.doc_id)) < 1e-12
+    # doc 3 has no query term: never returned even with huge k
+    all_ids = {r.doc_id for r in bm25_topk(df, terms, k=50).collect()}
+    assert all_ids == {1, 2, 4, 5}
+    import pytest
+
+    with pytest.raises(ValueError):
+        bm25_topk(df, [])
