@@ -362,6 +362,46 @@ def q_cidr_lookup(spark, sf):
     )
 
 
+def q_mmdb_lookup(spark, sf):
+    """contrib/mmdblookup with the REAL MaxMind DB binary format
+    (rsyslog_spark/mmdb.py, public spec): a deterministic .mmdb is
+    built by the spec writer (nested CIDRs split into disjoint trie
+    leaves), parsed back by the spec reader, exported to prefix rows,
+    and compiled into the pure-Column longest-prefix enrichment — the
+    whole file-format path under oracle check. 10.1.128.0/17 nests
+    inside 10.1.0.0/16 inside 10.0.0.0/8 to prove longest-prefix."""
+    from rsyslog_spark.mmdb import build_mmdb, mmdblookup_file
+
+    db = build_mmdb([
+        ("10.0.0.0/8", {"country": {"iso_code": "ten"}}),
+        ("10.1.0.0/16", {"country": {"iso_code": "ten-one"}}),
+        ("10.1.128.0/17", {"country": {"iso_code": "ten-one-high"}}),
+        ("192.168.0.0/16", {"country": {"iso_code": "rfc1918"}}),
+    ])
+    ev = _events(spark, sf)
+    eid = F.col("event_id")
+    o = (eid / 5).cast("long")  # per-branch spread
+    ip = (
+        F.when(eid % 5 == 0, F.concat(
+            F.lit("10.1."), (o % 128).cast("string"), F.lit(".9")))
+        .when(eid % 5 == 1, F.concat(
+            F.lit("10.1."), (128 + o % 128).cast("string"), F.lit(".9")))
+        .when(eid % 5 == 2, F.concat(
+            F.lit("10."), (2 + o % 250).cast("string"), F.lit(".3.9")))
+        .when(eid % 5 == 3, F.concat(
+            F.lit("192.168."), (o % 256).cast("string"), F.lit(".9")))
+        .otherwise(F.concat(
+            F.lit("172."), (o % 256).cast("string"), F.lit(".0.9")))
+    )
+    out = mmdblookup_file(
+        ev.withColumn("ip", ip), db, "ip", "country.iso_code",
+        out_col="geo", nomatch="public",
+    )
+    return out.groupBy("geo").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
 def q_mmanon_hosts(spark, sf):
     ev = _events(spark, sf)
     ip = fn.num2ipv4((F.col("event_id") * 7919) % 4294967296)
@@ -2422,6 +2462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "badwords": q_badwords,
         "bm25_topk": q_bm25_topk,
+        "mmdb_lookup": q_mmdb_lookup,
     }
 
 
@@ -2711,6 +2752,17 @@ def oracle_sql() -> dict[str, str]:
                        ELSE 'public' END AS net,
                    CAST(count(*) AS BIGINT) AS n
             FROM (SELECT (event_id * 7919) % 4294967296 AS n FROM events)
+            GROUP BY 1
+        """,
+        "mmdb_lookup": """
+            SELECT CASE event_id % 5
+                       WHEN 0 THEN 'ten-one'
+                       WHEN 1 THEN 'ten-one-high'
+                       WHEN 2 THEN 'ten'
+                       WHEN 3 THEN 'rfc1918'
+                       ELSE 'public' END AS geo,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events
             GROUP BY 1
         """,
         "mmanon_hosts": """
