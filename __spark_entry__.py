@@ -1982,6 +1982,48 @@ def q_kmsg_parse(spark, sf):
     )
 
 
+def q_klog_lines(spark, sf):
+    """imklog line semantics (sources_os.klog_parse): kernel
+    [secs.usecs] timestamp extraction+strip, systemd dual-PRI,
+    parsePRI bounds, default-PRI fallback — five line shapes
+    synthesized per event, every output arithmetically derivable."""
+    from rsyslog_spark import sources_os as so
+
+    ev = _events(spark, sf)
+    eid = F.col("event_id")
+    kval = F.get_json_object("props", "$.k")
+    pri2 = (8 + F.col("user_id") % 184).cast("string")  # 8..191
+    line = (
+        F.when(eid % 5 == 0, F.concat(
+            F.lit("<6>["), eid.cast("string"), F.lit("."),
+            (eid % 1000000).cast("string"), F.lit("] usb k="), kval))
+        .when(eid % 5 == 1, F.concat(F.lit("<6>core k="), kval))
+        .when(eid % 5 == 2, F.concat(
+            F.lit("<6><"), pri2, F.lit(">fwd k="), kval))
+        .when(eid % 5 == 3, F.concat(F.lit("raw k="), kval))
+        .otherwise(F.concat(F.lit("<200>bad k="), kval))
+    )
+    df = ev.select(
+        F.concat(
+            F.lit("doc-"), F.lpad(eid.cast("string"), 12, "0")
+        ).alias("doc_id"),
+        line.alias("line"),
+    )
+    out = so.klog_parse(df, permit_non_kernel=True)
+    return out.select(
+        "doc_id",
+        F.col("pri").cast("long").alias("pri"),
+        F.col("facility").cast("long").alias("facility"),
+        F.col("severity").cast("long").alias("severity"),
+        "msg",
+        "syslogtag",
+        F.coalesce(F.col("ktime_secs"), F.lit(-1))
+         .cast("long").alias("ksecs"),
+        F.coalesce(F.col("ktime_usecs"), F.lit(-1))
+         .cast("long").alias("kusecs"),
+    )
+
+
 def q_lm_quality(spark, sf):
     """CCNet-style unigram-LM quality score over the documents table
     (datapipe.textstats.unigram_lm_quality): corpus-trained token
@@ -2463,6 +2505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "badwords": q_badwords,
         "bm25_topk": q_bm25_topk,
         "mmdb_lookup": q_mmdb_lookup,
+        "klog_lines": q_klog_lines,
     }
 
 
@@ -3806,6 +3849,31 @@ def oracle_sql() -> dict[str, str]:
                         ELSE '' END AS device
             FROM events
             WHERE event_id % 11 <> 0
+        """,
+        "klog_lines": f"""
+            SELECT {O['doc_id']} AS doc_id,
+                   CAST(CASE WHEN event_id % 5 = 2
+                             THEN 8 + user_id % 184
+                             ELSE 6 END AS BIGINT) AS pri,
+                   CAST((CASE WHEN event_id % 5 = 2
+                              THEN 8 + user_id % 184
+                              ELSE 6 END) // 8 AS BIGINT) AS facility,
+                   CAST((CASE WHEN event_id % 5 = 2
+                              THEN 8 + user_id % 184
+                              ELSE 6 END) % 8 AS BIGINT) AS severity,
+                   CASE event_id % 5
+                        WHEN 0 THEN ' usb k=' || {_K}
+                        WHEN 1 THEN 'core k=' || {_K}
+                        WHEN 2 THEN 'fwd k=' || {_K}
+                        WHEN 3 THEN 'raw k=' || {_K}
+                        ELSE '<200>bad k=' || {_K} END AS msg,
+                   'kernel:' AS syslogtag,
+                   CAST(CASE WHEN event_id % 5 = 0 THEN event_id
+                             ELSE -1 END AS BIGINT) AS ksecs,
+                   CAST(CASE WHEN event_id % 5 = 0
+                             THEN event_id % 1000000
+                             ELSE -1 END AS BIGINT) AS kusecs
+            FROM events
         """,
         "lm_quality": """
             WITH words AS (

@@ -1392,3 +1392,79 @@ def omudpspoof_frame(
             )
         ),
     )
+
+
+# --- omjournal: systemd-journal sink (export-format bridge) ------------------
+
+
+def omjournal_fields(
+    df: DataFrame,
+    msg_col: str = "msg",
+    facility_col: str = "facility",
+    severity_col: str = "severity",
+    tag_col: str = "syslogtag",
+    template_cols: dict[str, str] | None = None,
+) -> Column:
+    """plugins/omjournal/omjournal.c field mapping as a map Column.
+
+    Default mode (doActionDefault:296-302): MESSAGE, PRIORITY =
+    facility*8|severity, SYSLOG_FACILITY, SYSLOG_IDENTIFIER (the TAG
+    with any trailing ``:`` dropped). Template mode (build_iovec:
+    186-240): the template's JSON object becomes the field set
+    verbatim — pass ``template_cols`` as {FIELD: column_name}.
+
+    Mirrored reference asymmetry: journald defines PRIORITY as the
+    0..7 severity, but omjournal.c:300 writes the FULL PRI there —
+    a reader applying imjournal's bounds check (imjournal.c:613-653)
+    falls back to its default severity whenever facility > 0."""
+    if template_cols is not None:
+        return F.map_from_arrays(
+            F.array(*[F.lit(k) for k in template_cols]),
+            F.array(*[
+                F.col(c).cast("string") for c in template_cols.values()
+            ]),
+        )
+    sev = F.col(severity_col).cast("long")
+    fac = F.col(facility_col).cast("long")
+    iden = F.regexp_replace(F.col(tag_col), r":$", "")
+    return F.map_from_arrays(
+        F.array(F.lit("MESSAGE"), F.lit("PRIORITY"),
+                F.lit("SYSLOG_FACILITY"), F.lit("SYSLOG_IDENTIFIER")),
+        F.array(F.col(msg_col).cast("string"),
+                (fac * 8 + sev).cast("string"),
+                fac.cast("string"), iden),
+    )
+
+
+def journal_export_entry(fields: Column) -> Column:
+    """One journal EXPORT-format entry (systemd.io export spec, the
+    symmetric twin of sources_os.read_journal_export) as a string
+    Column: ``FIELD=value`` lines + the terminating blank line.
+    Text form only — a value containing a newline must go through
+    :func:`journal_export_write` (the spec mandates the binary
+    encoding for those)."""
+    lines = F.transform(
+        F.map_entries(fields),
+        lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+    )
+    return F.concat(F.array_join(lines, "\n"), F.lit("\n\n"))
+
+
+def journal_export_write(entries: list[dict[str, "str | bytes"]]) -> bytes:
+    """Driver/executor-side export-format writer, binary-safe: values
+    that are bytes or contain ``\\n`` use the binary form —
+    ``NAME\\n`` + little-endian u64 length + data + ``\\n`` (the same
+    framing sources_os.read_journal_export parses back)."""
+    import struct as structlib
+
+    out = bytearray()
+    for entry in entries:
+        for name, value in entry.items():
+            if isinstance(value, str) and "\n" not in value:
+                out += f"{name}={value}\n".encode()
+            else:
+                data = value.encode() if isinstance(value, str) else value
+                out += name.encode() + b"\n"
+                out += structlib.pack("<Q", len(data)) + data + b"\n"
+        out += b"\n"
+    return bytes(out)

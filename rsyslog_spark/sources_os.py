@@ -475,3 +475,169 @@ def finalize_batch_reports(
         os.rename(p, new)
         done.append((p, new))
     return done
+
+
+# --- imklog: BSD/Linux kernel log lines --------------------------------------
+
+
+def klog_parse(
+    df: DataFrame,
+    line_col: str = "line",
+    default_pri: int = 6,
+    permit_non_kernel: bool = False,
+    keep_kernel_stamp: bool = False,
+) -> DataFrame:
+    """plugins/imklog line semantics (imklog.c Syslog():244-279 +
+    bsd.c submitSyslog():70-140), pure Column:
+
+    * kernel ``[secs.usecs]`` timestamp: recognized ONLY when a
+      ``<pri>`` of at most 3 digits is followed IMMEDIATELY by ``[``
+      (bsd.c:83-86: '>' within the first 5 bytes, then '['), with
+      optional spaces before the seconds; extracted to
+      ``ktime_secs``/``ktime_usecs`` and stripped from the message
+      unless ``keep_kernel_stamp`` (bsd.c:117-121 memmove);
+    * dual-PRI (systemd forwarding, imklog.c:252-265): if the byte at
+      offset 3 (or 4 after a space) of the post-strip buffer is ``<``
+      and a valid PRI in 8..191 follows, THAT is the message's PRI
+      and the message starts after it;
+    * else a leading ``<N>`` with N ≤ 191 (parsePRI:194-221, digit
+      loop bails once the accumulator exceeds 191);
+    * no parsable PRI → ``default_pri`` (the driver's LOG_INFO);
+    * non-kern facility is silently dropped unless
+      ``permit_non_kernel`` (imklog.c:275);
+    * tag is the module's fixed ``kernel:`` (imklog.c:276).
+    """
+    raw = F.col(line_col)
+
+    # -- kernel timestamp, anchored right after a short leading PRI --
+    ts_rx = r"^(<\d{1,3}>)\[( *)(\d+)\.(\d+)\](.*)$"
+    has_ts = F.regexp_extract(raw, ts_rx, 3) != ""
+    ktime_secs = F.when(
+        has_ts, F.regexp_extract(raw, ts_rx, 3).try_cast("long")
+    )
+    ktime_usecs = F.when(
+        has_ts, F.regexp_extract(raw, ts_rx, 4).try_cast("long")
+    )
+    stripped = F.when(
+        has_ts & ~F.lit(keep_kernel_stamp),
+        F.concat(
+            F.regexp_extract(raw, ts_rx, 1),
+            F.regexp_extract(raw, ts_rx, 5),
+        ),
+    ).otherwise(raw)
+
+    # -- dual-PRI at byte offset 3 / 4 (after the strip, like the C) --
+    # \d+ with a <=191 value check, NOT \d{1,3}: parsePRI's digit loop
+    # accepts any digit count while the accumulator stays <=191, so
+    # '<0191>' is a valid PRI 191 (leading zeros)
+    sec_rx = r"^.{3} ?<(\d+)>"
+    sec_pri = F.regexp_extract(stripped, sec_rx, 1).try_cast("long")
+    sec_ok = (
+        sec_pri.isNotNull() & (sec_pri >= 8) & (sec_pri <= 191)
+        # the C probes pMsg[3]=='<' or pMsg[3]==' '&&pMsg[4]=='<';
+        # the regex above also matches '<' at offset 4 without the
+        # space — exclude that shape explicitly
+        & (
+            (F.substring(stripped, 4, 1) == "<")
+            | (F.substring(stripped, 4, 2) == " <")
+        )
+    )
+    lead_rx = r"^<(\d+)>"
+    lead_pri = F.regexp_extract(stripped, lead_rx, 1).try_cast("long")
+    lead_ok = lead_pri.isNotNull() & (lead_pri <= 191)
+
+    pri = (
+        F.when(sec_ok, sec_pri)
+        .when(lead_ok, lead_pri)
+        .otherwise(F.lit(default_pri))
+        .cast("long")
+    )
+    msg = (
+        F.when(sec_ok, F.regexp_replace(stripped, sec_rx, ""))
+        .when(lead_ok, F.regexp_replace(stripped, lead_rx, ""))
+        .otherwise(stripped)
+    )
+    out = df.select(
+        "*",
+        pri.alias("pri"),
+        (pri / 8).cast("long").alias("facility"),
+        (pri % 8).cast("long").alias("severity"),
+        msg.alias("msg"),
+        F.lit("kernel:").alias("syslogtag"),
+        ktime_secs.alias("ktime_secs"),
+        ktime_usecs.alias("ktime_usecs"),
+    )
+    if not permit_non_kernel:
+        out = out.where(F.col("facility") == 0)
+    return out
+
+
+# --- imfifo: named-pipe line source ------------------------------------------
+
+
+class FifoSource:
+    """plugins/imfifo (imfifo.c): read newline-delimited messages from
+    a named pipe. The FIFO is opened O_RDWR so the open never blocks
+    and a writer disconnect never yields EOF (imfifo.c:312 comment);
+    over-long lines are TRUNCATED, not split (readFIFO:283-289).
+    Messages spool to text files under ``spool_dir`` — the standard
+    socket→spool→stream bridge (a pipe is not replayable)."""
+
+    def __init__(self, path: str, spool_dir: str, tag: str = "fifo:",
+                 max_line: int = 8192, rotate_every: int = 10_000) -> None:
+        import threading
+
+        st = os.stat(path)
+        import stat as statmod
+
+        if not statmod.S_ISFIFO(st.st_mode):
+            raise ValueError(f"imfifo: {path!r} is not a named pipe")
+        os.makedirs(spool_dir, exist_ok=True)
+        self.path, self.spool_dir, self.tag = path, spool_dir, tag
+        self.max_line, self.rotate_every = max_line, rotate_every
+        self.fd = os.open(path, os.O_RDWR | os.O_NONBLOCK)
+        self.n_messages = 0
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self) -> None:
+        import select
+
+        buf, truncated = b"", False
+        n_file, n_in_file, f = 0, 0, None
+        while not self._stop.is_set():
+            r, _, _ = select.select([self.fd], [], [], 0.1)
+            if not r:
+                continue
+            try:
+                data = os.read(self.fd, 4096)
+            except BlockingIOError:
+                continue
+            except OSError:
+                break
+            for b in data:
+                if b == 0x0A:  # '\n' → enqueue line
+                    if f is None:
+                        f = open(os.path.join(
+                            self.spool_dir,
+                            f"fifo-{n_file:06d}.log"), "ab")
+                    f.write(buf + b"\n")
+                    f.flush()
+                    self.n_messages += 1
+                    n_in_file += 1
+                    buf, truncated = b"", False
+                    if n_in_file >= self.rotate_every:
+                        f.close()
+                        f, n_file, n_in_file = None, n_file + 1, 0
+                elif len(buf) < self.max_line:
+                    buf += bytes([b])
+                else:
+                    truncated = True  # drop silently past max_line
+        if f is not None:
+            f.close()
+
+    def close(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=2)
+        os.close(self.fd)
