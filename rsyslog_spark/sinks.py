@@ -574,10 +574,10 @@ def omhttp_batch(
     from rsyslog_spark.templates import compile_template
 
     if batch_format not in ("newline", "jsonarray", "kafkarest",
-                            "lokirest", "clickhouse", "otlp"):
+                            "lokirest", "clickhouse", "otlp", "concat"):
         raise ValueError(
             f"batch.format {batch_format!r} invalid; use one of "
-            "newline jsonarray kafkarest lokirest clickhouse otlp"
+            "newline jsonarray kafkarest lokirest clickhouse otlp concat"
         )
     if batch_size < 1:
         raise ValueError(f"batch_size must be >= 1, got {batch_size}")
@@ -677,6 +677,10 @@ def omhttp_batch(
         ).withColumn("items", ordered(F.col("raw")))
         if batch_format == "newline":
             body = F.array_join("items", "\n")
+        elif batch_format == "concat":
+            # omawslogshlc appendEvent: JSON objects appended with NO
+            # separator — the HLC endpoint takes concatenated objects
+            body = F.array_join("items", "")
         elif batch_format == "jsonarray":
             body = F.concat(
                 F.lit("["), F.array_join("items", ","), F.lit("]")
@@ -754,6 +758,7 @@ _OMHTTP_CONTENT_TYPE = {
     "lokirest": "application/json",
     "clickhouse": "text/plain; charset=utf-8",
     "otlp": "application/json",
+    "concat": "application/json",
 }
 
 
@@ -1468,3 +1473,134 @@ def journal_export_write(entries: list[dict[str, "str | bytes"]]) -> bytes:
                 out += structlib.pack("<Q", len(data)) + data + b"\n"
         out += b"\n"
     return bytes(out)
+
+
+# --- cloud log-ingestion sinks riding the omhttp engine ----------------------
+
+
+def omawslogshlc_post(
+    df: DataFrame,
+    bearer_token: str,
+    log_group: str,
+    log_stream: str,
+    region: str | None = None,
+    url: str | None = None,
+    msg_col: str = "msg",
+    host_col: str | None = "hostname",
+    ts_col: str | None = None,
+    source: str = "rsyslog",
+    batch_size: int = 100,
+    order_by: str | list[str] | None = None,
+    **post_kw,
+) -> DataFrame:
+    """plugins/omawslogshlc — CloudWatch Logs HLC (HEC-compatible)
+    ingestion: each message becomes
+    ``{"event":…,"time":…,"host":…,"source":…}`` (appendEvent:
+    128-260, empty messages become "(empty)"), bodies are the JSON
+    objects CONCATENATED with no separator (the HLC endpoint takes
+    concatenated objects), POSTed with ``Authorization: Bearer`` to
+    ``https://logs.<region>.amazonaws.com/services/collector/event
+    ?logGroup=…&logStream=…`` (postBatch:276-330, query params
+    URL-encoded).
+
+    Divergence, deliberate: the reference stamps ``time`` with the
+    SEND time (nowEpoch()); at scale a resent batch must not change
+    its identity, so ``ts_col`` (event time) is used when given and
+    send-time only as the per-task fallback."""
+    from urllib.parse import quote
+
+    if url is None:
+        if region is None:
+            raise ValueError("omawslogshlc needs region= or url=")
+        url = f"https://logs.{region}.amazonaws.com/services/collector/event"
+    full = (
+        f"{url}?logGroup={quote(log_group, safe='')}"
+        f"&logStream={quote(log_stream, safe='')}"
+    )
+    host = (
+        F.col(host_col).cast("string") if host_col
+        else F.lit("unknown")
+    )
+    ts = (
+        F.unix_timestamp(F.col(ts_col)).cast("double") if ts_col
+        else F.unix_timestamp(F.current_timestamp()).cast("double")
+    )
+    event = F.to_json(F.struct(
+        F.coalesce(
+            F.nullif(F.col(msg_col).cast("string"), F.lit("")),
+            F.lit("(empty)"),
+        ).alias("event"),
+        ts.alias("time"),
+        F.coalesce(host, F.lit("unknown")).alias("host"),
+        F.lit(source).alias("source"),
+    ))
+    return omhttp_post(
+        df, full, template=event, batch_format="concat",
+        batch_size=batch_size, order_by=order_by,
+        headers={"Authorization": f"Bearer {bearer_token}"},
+        **post_kw,
+    )
+
+
+def azure_oauth_token(
+    token_url: str,
+    client_id: str,
+    client_secret: str,
+    scope: str = "https://monitor.azure.com/.default",
+    timeout_secs: float = 10.0,
+) -> str:
+    """plugins/omazuredce requestAccessToken (omazuredce.c:252-340):
+    OAuth2 client-credentials POST (form-encoded client_id/scope/
+    client_secret/grant_type) → ``access_token`` from the JSON reply.
+    Driver-side, once per (re)connect — the token is then a literal
+    in the executor headers. Pass the real AAD URL
+    ``https://login.microsoftonline.com/<tenant>/oauth2/v2.0/token``
+    at deploy; tests point at a local server."""
+    import json as jsonlib
+    import urllib.parse
+    import urllib.request
+
+    body = urllib.parse.urlencode({
+        "client_id": client_id,
+        "scope": scope,
+        "client_secret": client_secret,
+        "grant_type": "client_credentials",
+    }).encode()
+    req = urllib.request.Request(
+        token_url, data=body, method="POST",
+        headers={"Content-Type": "application/x-www-form-urlencoded"},
+    )
+    with urllib.request.urlopen(req, timeout=timeout_secs) as resp:
+        reply = jsonlib.loads(resp.read().decode("utf-8"))
+    token = reply.get("access_token")
+    if not token:
+        raise ValueError("omazuredce: token reply without access_token")
+    return str(token)
+
+
+def omazuredce_post(
+    df: DataFrame,
+    dce_url: str,
+    dcr_id: str,
+    stream_name: str,
+    bearer_token: str,
+    template: "str | Column" = "RSYSLOG_StdJSONFmt",
+    batch_size: int = 100,
+    order_by: str | list[str] | None = None,
+    **post_kw,
+) -> DataFrame:
+    """plugins/omazuredce — Azure Monitor Logs Ingestion API: JSON
+    ARRAY bodies POSTed to ``<dce>/dataCollectionRules/<dcr>/streams/
+    <stream>?api-version=2023-01-01`` (omazuredce.c:414) with the
+    OAuth2 bearer token from :func:`azure_oauth_token`."""
+    base = dce_url.rstrip("/")
+    url = (
+        f"{base}/dataCollectionRules/{dcr_id}/streams/{stream_name}"
+        "?api-version=2023-01-01"
+    )
+    return omhttp_post(
+        df, url, template=template, batch_format="jsonarray",
+        batch_size=batch_size, order_by=order_by,
+        headers={"Authorization": f"Bearer {bearer_token}"},
+        **post_kw,
+    )
