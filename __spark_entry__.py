@@ -2024,6 +2024,59 @@ def q_klog_lines(spark, sf):
     )
 
 
+def q_k8s_records(spark, sf):
+    """imkubernetes end-to-end (rsyslog_spark/k8s_source.py): pods
+    path metadata, CRI + docker json-file parsing, and CRI partial
+    merging — one synthetic pod-log file per event carrying a P,P,F
+    run, a standalone F, or a docker record."""
+    from rsyslog_spark.k8s_source import k8s_records
+
+    ev = _events(spark, sf)
+    eid = F.col("event_id")
+    kval = F.get_json_object("props", "$.k")
+    path = F.concat(
+        F.lit("/var/log/pods/ns"), (eid % 5).cast("string"),
+        F.lit("_pod"), (eid % 7).cast("string"),
+        F.lit("_uid"), eid.cast("string"),
+        F.lit("/app/"), (eid % 4).cast("string"), F.lit(".log"),
+    )
+    stream = F.when(eid % 2 == 0, F.lit("stdout")).otherwise(
+        F.lit("stderr")
+    )
+    triple = F.array(
+        F.concat(F.lit("2024-01-01T00:00:01Z "), stream,
+                 F.lit(" P a"), kval, F.lit("-")),
+        F.concat(F.lit("ts "), stream, F.lit(" P b-")),
+        F.concat(F.lit("ts "), stream, F.lit(" F c"), kval),
+    )
+    single = F.array(
+        F.concat(F.lit("ts "), stream, F.lit(" F solo "), kval)
+    )
+    docker = F.array(F.concat(
+        F.lit('{"log":"dock '), kval,
+        F.lit('\\n","stream":"stderr"}'),
+    ))
+    lines = (
+        F.when(eid % 3 == 0, triple)
+        .when(eid % 3 == 1, single)
+        .otherwise(docker)
+    )
+    rows = ev.select(
+        path.alias("path"), F.posexplode(lines).alias("idx", "line")
+    )
+    out = k8s_records(rows)
+    return out.select(
+        "path",
+        F.col("k8s.namespace_name").alias("ns"),
+        F.col("k8s.pod_name").alias("pod"),
+        F.col("k8s.restart_count").cast("long").alias("restart"),
+        "stream",
+        "msg",
+        F.col("n_merged").cast("long").alias("n_merged"),
+        F.col("format_name").alias("fmt"),
+    )
+
+
 def q_lm_quality(spark, sf):
     """CCNet-style unigram-LM quality score over the documents table
     (datapipe.textstats.unigram_lm_quality): corpus-trained token
@@ -2506,6 +2559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "mmdb_lookup": q_mmdb_lookup,
         "klog_lines": q_klog_lines,
+        "k8s_records": q_k8s_records,
     }
 
 
@@ -3849,6 +3903,28 @@ def oracle_sql() -> dict[str, str]:
                         ELSE '' END AS device
             FROM events
             WHERE event_id % 11 <> 0
+        """,
+        "k8s_records": f"""
+            SELECT '/var/log/pods/ns' || CAST(event_id % 5 AS VARCHAR)
+                       || '_pod' || CAST(event_id % 7 AS VARCHAR)
+                       || '_uid' || CAST(event_id AS VARCHAR)
+                       || '/app/' || CAST(event_id % 4 AS VARCHAR)
+                       || '.log' AS path,
+                   'ns' || CAST(event_id % 5 AS VARCHAR) AS ns,
+                   'pod' || CAST(event_id % 7 AS VARCHAR) AS pod,
+                   CAST(event_id % 4 AS BIGINT) AS restart,
+                   CASE WHEN event_id % 3 = 2 THEN 'stderr'
+                        WHEN event_id % 2 = 0 THEN 'stdout'
+                        ELSE 'stderr' END AS stream,
+                   CASE event_id % 3
+                        WHEN 0 THEN 'a' || {_K} || '-b-c' || {_K}
+                        WHEN 1 THEN 'solo ' || {_K}
+                        ELSE 'dock ' || {_K} END AS msg,
+                   CAST(CASE WHEN event_id % 3 = 0 THEN 3 ELSE 1 END
+                        AS BIGINT) AS n_merged,
+                   CASE WHEN event_id % 3 = 2 THEN 'docker_json'
+                        ELSE 'cri' END AS fmt
+            FROM events
         """,
         "klog_lines": f"""
             SELECT {O['doc_id']} AS doc_id,
