@@ -4409,11 +4409,17 @@ def _bm25_oracle() -> str:
         f"sum(CASE WHEN _tf{i} > 0 THEN 1 ELSE 0 END) AS _df{i}"
         for i in range(len(_BM25_TERMS))
     )
-    k1p1 = repr(_BM25_K1 + 1.0)
-    k1mb = repr(_BM25_K1 * (1.0 - _BM25_B))
-    k1b = repr(_BM25_K1 * _BM25_B)
+    # every numeric literal is wrapped in CAST(… AS DOUBLE): a bare
+    # 2.2 is DECIMAL in DuckDB and `_tf * 2.2` would be EXACT decimal
+    # arithmetic, not the IEEE double multiply Spark performs — the
+    # two can differ in the last mantissa bit and flip near-tie ranks
+    # (code-review r5 finding, verified against DuckDB)
+    k1p1 = f"CAST({_BM25_K1 + 1.0!r} AS DOUBLE)"
+    k1mb = f"CAST({_BM25_K1 * (1.0 - _BM25_B)!r} AS DOUBLE)"
+    k1b = f"CAST({_BM25_K1 * _BM25_B!r} AS DOUBLE)"
+    half = "CAST(0.5 AS DOUBLE)"
     score = " + ".join(
-        f"(((_n - _df{i}) + 0.5) / (_df{i} + 0.5))"
+        f"(((_n - _df{i}) + {half}) / (_df{i} + {half}))"
         f" * ((_tf{i} * {k1p1})"
         f" / (_tf{i} + ({k1mb} + {k1b}"
         " * (_dl / (CAST(_sdl AS DOUBLE) / _n)))))"

@@ -517,8 +517,8 @@ def omamqp1_deliver(
     every ``batch_size`` rendered lines travel as ONE message whose
     body is the amqp-value LIST, settled by the broker's accepting
     disposition before the next send; ``batch_size=None`` sends
-    1-element lists (the non-batch form). Returns (doc_id? no —)
-    a DataFrame of per-partition delivery counts."""
+    1-element lists (the non-batch form). Returns a DataFrame of
+    per-partition delivery counts."""
     import pandas as pd
 
     def send(batches):

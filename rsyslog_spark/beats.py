@@ -240,11 +240,11 @@ class LumberjackParser:
                     f"seq {seq} at index {idx}, expected {expected}"
                 )
             try:
-                dec = json.JSONDecoder()
-                obj, end = dec.raw_decode(payload.decode("utf-8"))
+                text = payload.decode("utf-8")
+                obj, end = json.JSONDecoder().raw_decode(text)
             except (ValueError, UnicodeDecodeError) as e:
                 raise LumberjackError(f"event JSON: {e}") from e
-            if payload.decode("utf-8")[end:].strip():
+            if text[end:].strip():
                 raise LumberjackError("trailing bytes after event JSON")
             if not isinstance(obj, dict):
                 raise LumberjackError("event is not a JSON object")

@@ -716,26 +716,52 @@ def badwords_filter(
     text_col: str = "text",
 ) -> DataFrame:
     """C4-style bad-words page filter (Raffel et al. 2020 §2.2: drop
-    any page containing a word from a blocklist): tokens are
-    lowercased whitespace words with leading/trailing punctuation
-    stripped, matched EXACTLY against the (lowercased) blocklist.
-    Adds ``bad_hits`` (matching-token count) and ``kept``
-    (bad_hits == 0); the caller filters on ``kept``.
+    any page containing a word OR PHRASE from a blocklist — the real
+    "Dirty, Naughty…" list contains multi-word phrases): page tokens
+    are lowercased whitespace words with leading/trailing punctuation
+    stripped; each blocklist entry is normalized THE SAME WAY
+    (lowercase, per-word edge-punctuation strip) so punctuated
+    entries still match, and multi-word entries match as contiguous
+    token sequences. An entry that normalizes to nothing can never
+    match and raises. Adds ``bad_hits`` (total occurrences, counted
+    overlapping) and ``kept`` (bad_hits == 0).
 
     Scale: pure Column over the text — map-only, codegen'd, pushable;
     the blocklist bakes into the plan as literals (real lists are a
-    few hundred words — well inside expression-size limits; for
-    100k-word lists use a broadcast join on the exploded tokens
+    few hundred entries — well inside expression-size limits; for
+    100k-entry lists use a broadcast join on the exploded tokens
     instead)."""
-    words = sorted({w.lower() for w in blocklist})
+    import re as _re
+
+    def norm(entry: str) -> str:
+        ws = [
+            _re.sub(r"^[^a-z0-9]+|[^a-z0-9]+$", "", w)
+            for w in entry.lower().split()
+        ]
+        ws = [w for w in ws if w]
+        if not ws:
+            raise ValueError(
+                f"badwords_filter: entry {entry!r} normalizes to "
+                "nothing and can never match"
+            )
+        return " ".join(ws)
+
+    entries = sorted({norm(e) for e in blocklist})
     toks = F.transform(
         F.split(F.lower(F.col(text_col)), r"\s+"),
         lambda w: F.regexp_replace(w, "^[^a-z0-9]+|[^a-z0-9]+$", ""),
     )
-    hits = F.size(F.filter(toks, lambda w: w.isin(words)))
-    return df.withColumn("bad_hits", hits.cast("long")).withColumn(
-        "kept", F.col("bad_hits") == 0
-    )
+    # single-space-joined, space-padded token string: every entry
+    # (word or phrase) is an occurrence of ' entry ' — counted with a
+    # zero-width lookahead so adjacent/overlapping repeats all count
+    joined = F.concat(F.lit(" "), F.array_join(toks, " "), F.lit(" "))
+    hits = None
+    for e in entries:
+        c = F.regexp_count(joined, F.lit("(?=" + _re.escape(f" {e} ") + ")"))
+        hits = c if hits is None else hits + c
+    return df.withColumn(
+        "bad_hits", F.coalesce(hits, F.lit(0)).cast("long")
+    ).withColumn("kept", F.col("bad_hits") == 0)
 
 
 def bm25_topk(

@@ -175,10 +175,19 @@ def k8s_records(
         ).otherwise(acc),
     ))
     merged = F.slice("items", keep_from, n - keep_from + 1)
-    msg = F.substring(
-        F.array_join(F.transform(merged, lambda e: e["msg"]), ""),
-        1, max_bytes,
-    )
+    # partialAppendBounded caps BYTES, not characters — truncate on
+    # the UTF-8 encoding (a multi-byte char split at the boundary
+    # decodes to a replacement char, matching the reference's blunt
+    # byte cut)
+    joined = F.array_join(F.transform(merged, lambda e: e["msg"]), "")
+    msg = F.when(
+        F.octet_length(joined) <= max_bytes, joined
+    ).otherwise(F.make_valid_utf8(
+        # a codepoint split at the byte boundary becomes U+FFFD —
+        # ANSI decode() would throw on it, make_valid_utf8 repairs
+        F.substring(F.encode(joined, "UTF-8"), 1, max_bytes)
+        .cast("string")
+    ))
     first = F.element_at(merged, 1)
     return g.where(closed).select(
         F.col("_path").alias("path"),

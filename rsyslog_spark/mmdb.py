@@ -181,6 +181,17 @@ class MMDBReader:
         """Single-address tree walk (tests/driver-side probes; row-at-
         scale enrichment goes through :func:`mmdb_prefix_rows`)."""
         addr = ipaddress.ip_address(ip)
+        if addr.version == 6 and self.ip_version == 4:
+            # IPv4-mapped addresses resolve as their v4 form; anything
+            # else is the libmaxminddb
+            # MMDB_IPV6_LOOKUP_IN_IPV4_DATABASE_ERROR case — raise
+            # rather than walk the wrong bits to a bogus record
+            if addr.ipv4_mapped is not None:
+                addr = addr.ipv4_mapped
+            else:
+                raise ValueError(
+                    "mmdb: IPv6 lookup in an IPv4-only database"
+                )
         bits = 32 if addr.version == 4 else 128
         val = int(addr)
         if addr.version == 4 and self.ip_version == 6:
@@ -284,9 +295,9 @@ def _enc_ctrl(typ: int, size: int) -> bytes:
         ext, typ = bytes([typ - 7]), 0
     if size < 29:
         return bytes([(typ << 5) | size]) + ext
-    if size < 285 + 29:
+    if size < 285:  # 29 + one byte (max 255)
         return bytes([(typ << 5) | 29]) + ext + bytes([size - 29])
-    if size < 65821 + 285:
+    if size < 65821:  # 285 + two bytes (max 65535)
         return (
             bytes([(typ << 5) | 30]) + ext
             + (size - 285).to_bytes(2, "big")
@@ -308,7 +319,11 @@ def encode_value(v: Any) -> bytes:
         return _enc_ctrl(_T_DOUBLE, 8) + struct.pack(">d", v)
     if isinstance(v, int):
         if v < 0:
+            if v < -(1 << 31):
+                raise ValueError(f"mmdb encode: int32 underflow {v}")
             return _enc_ctrl(_T_I32, 4) + (v & 0xFFFFFFFF).to_bytes(4, "big")
+        if v >= 1 << 64:
+            raise ValueError(f"mmdb encode: uint64 overflow {v}")
         if v < 1 << 16:
             b = v.to_bytes((v.bit_length() + 7) // 8, "big")
             return _enc_ctrl(_T_U16, len(b)) + b

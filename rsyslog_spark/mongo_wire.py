@@ -354,14 +354,20 @@ def ommongodb_deliver(
     ts_col: str | None = None,
 ):
     """ommongodb doAction over the default document: render each row
-    with :func:`default_doc`, insert in batches. ``oid_fn(row_index)``
-    supplies ObjectIds (deterministic in tests; random 12 bytes per
-    message at deploy, like bson_oid_init)."""
+    with :func:`default_doc`, insert in batches. ``oid_fn(key)``
+    supplies ObjectIds — ``key`` is globally unique per row
+    (partition_id << 40 | running row counter; the pandas index would
+    restart per Arrow batch and collide). Default: random 12 bytes
+    per message, like bson_oid_init."""
     import os
 
     import pandas as pd
 
     def send(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        row_no = 0
         ins = None
         n = 0
         try:
@@ -369,9 +375,11 @@ def ommongodb_deliver(
                 if len(pdf) and ins is None:
                     ins = MongoInserter(host, port, db, collection)
                 docs = []
-                for i, row in pdf.iterrows():
+                for _, row in pdf.iterrows():
+                    key = (pid << 40) | row_no
+                    row_no += 1
                     oid = (
-                        ObjectId(oid_fn(i)) if oid_fn
+                        ObjectId(oid_fn(key)) if oid_fn
                         else ObjectId(os.urandom(12))
                     )
                     ts = (

@@ -604,7 +604,7 @@ class FifoSource:
     def _run(self) -> None:
         import select
 
-        buf, truncated = b"", False
+        carry = b""  # current (possibly truncated) partial line
         n_file, n_in_file, f = 0, 0, None
         while not self._stop.is_set():
             r, _, _ = select.select([self.fd], [], [], 0.1)
@@ -616,24 +616,25 @@ class FifoSource:
                 continue
             except OSError:
                 break
-            for b in data:
-                if b == 0x0A:  # '\n' → enqueue line
-                    if f is None:
-                        f = open(os.path.join(
-                            self.spool_dir,
-                            f"fifo-{n_file:06d}.log"), "ab")
-                    f.write(buf + b"\n")
-                    f.flush()
-                    self.n_messages += 1
-                    n_in_file += 1
-                    buf, truncated = b"", False
-                    if n_in_file >= self.rotate_every:
-                        f.close()
-                        f, n_file, n_in_file = None, n_file + 1, 0
-                elif len(buf) < self.max_line:
-                    buf += bytes([b])
-                else:
-                    truncated = True  # drop silently past max_line
+            # linear chunk processing (a per-byte append is O(line²));
+            # bytes past max_line are dropped, not split — readFIFO
+            segs = data.split(b"\n")
+            segs[0] = (carry + segs[0])[: self.max_line] \
+                if len(carry) < self.max_line else carry
+            for line in segs[:-1]:
+                if f is None:
+                    f = open(os.path.join(
+                        self.spool_dir,
+                        f"fifo-{n_file:06d}.log"), "ab")
+                f.write(line[: self.max_line] + b"\n")
+                f.flush()
+                self.n_messages += 1
+                n_in_file += 1
+                if n_in_file >= self.rotate_every:
+                    f.close()
+                    f, n_file, n_in_file = None, n_file + 1, 0
+            carry = segs[-1][: self.max_line] if len(segs) > 1 \
+                else segs[0]
         if f is not None:
             f.close()
 

@@ -130,3 +130,15 @@ def test_partial_merge_tail_and_cap_and_docker_mix(spark):
     assert [r.msg for r in out] == ["docker line", "a-b"]
     assert out[0].format_name == "docker_json"
     assert out[1].format_name == "cri"
+
+
+def test_partial_merge_cap_counts_bytes_not_chars(spark):
+    """code-review r5: partialAppendBounded caps BYTES; 3-byte CJK
+    chars must not inflate the cap 3x."""
+    out = _records(spark, [
+        "ts stdout P " + "日" * 30,   # 90 UTF-8 bytes
+        "ts stdout F " + "日" * 30,
+    ], max_bytes=100)
+    merged = out[0].msg
+    assert len(merged.encode("utf-8", "replace")) <= 102  # cap + repl
+    assert len(merged) < 60  # NOT 60 chars = 180 bytes

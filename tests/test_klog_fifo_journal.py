@@ -140,3 +140,32 @@ def test_journal_export_write_binary_round_trip(tmp_path):
     assert "MESSAGE=plain" in recs[0]
     # binary form survives the round trip (reader re-linearizes)
     assert "MESSAGE=two\nlines" in recs[1] or "two" in recs[1]
+
+
+def test_fifo_carry_across_chunks(tmp_path):
+    """Partial line split across writes assembles once; truncation
+    still drops (not splits) past max_line."""
+    path = str(tmp_path / "pipe2")
+    spool = str(tmp_path / "spool2")
+    os.mkfifo(path)
+    src = FifoSource(path, spool, max_line=20)
+    try:
+        fd = os.open(path, os.O_WRONLY)
+        os.write(fd, b"first-ha")
+        time.sleep(0.3)
+        os.write(fd, b"lf\nsecond\n")
+        os.write(fd, b"L" * 50)
+        time.sleep(0.3)
+        os.write(fd, b"tail\nlast\n")
+        os.close(fd)
+        deadline = time.time() + 5
+        while src.n_messages < 4 and time.time() < deadline:
+            time.sleep(0.05)
+        assert src.n_messages == 4
+    finally:
+        src.close()
+    lines = []
+    for name in sorted(os.listdir(spool)):
+        with open(os.path.join(spool, name), "rb") as fh:
+            lines += fh.read().decode().splitlines()
+    assert lines == ["first-half", "second", "L" * 20, "last"]

@@ -1790,3 +1790,34 @@ def test_bm25_topk_matches_python_reference(spark):
 
     with pytest.raises(ValueError):
         bm25_topk(df, [])
+
+
+def test_badwords_phrases_and_punctuated_entries(spark):
+    """code-review r5: the real C4 blocklist contains phrases and
+    punctuated entries — both must match after normalization."""
+    import pytest as _pt
+    from rsyslog_spark.datapipe.textstats import badwords_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "the deep throat reference"),     # phrase hit
+            (2, "deep water, throat lozenge"),    # words split -> no hit
+            (3, "say F*CK! loudly"),               # punctuated entry
+            (4, "fck without the star"),           # different token
+            (5, "slow slow slow"),                 # 3 overlapping hits
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.bad_hits, r.kept)
+        for r in badwords_filter(
+            df, ["Deep Throat", "f*ck", "slow!"]
+        ).collect()
+    }
+    assert out[1] == (1, False)
+    assert out[2] == (0, True)
+    assert out[3] == (1, False)
+    assert out[4] == (0, True)
+    assert out[5] == (3, False)
+    with _pt.raises(ValueError, match="normalizes to nothing"):
+        badwords_filter(df, ["!!!"])

@@ -156,3 +156,35 @@ def test_prefix_rows_and_spark_enrichment(spark):
         ).collect()
     }
     assert out == {1: "BB", 2: "AA", 3: "CC", 4: "??"}
+
+
+def test_ctrl_byte_size_windows():
+    """code-review r5: sizes 285-313 and 65821-66105 used control
+    forms past their capacity and crashed the encoder."""
+    from rsyslog_spark.mmdb import decode
+    for n in (28, 29, 284, 285, 313, 314, 65820, 65821, 66105, 70000):
+        s = "x" * n
+        got, off = decode(encode_value(s), 0)
+        assert got == s and off == len(encode_value(s))
+
+
+def test_encode_int_bounds():
+    import pytest as _pt
+    from rsyslog_spark.mmdb import decode
+    v, _ = decode(encode_value(-(1 << 31)), 0)
+    assert v == -(1 << 31)
+    with _pt.raises(ValueError, match="underflow"):
+        encode_value(-(1 << 31) - 1)
+    with _pt.raises(ValueError, match="overflow"):
+        encode_value(1 << 64)
+
+
+def test_v6_lookup_in_v4_database():
+    import pytest as _pt
+    db = build_mmdb([("10.0.0.0/8", {"c": "A"})])
+    r = MMDBReader(db)
+    # IPv4-mapped form resolves as its v4 address
+    assert r.lookup("::ffff:10.1.2.3") == {"c": "A"}
+    # any other v6 address is the libmaxminddb error case
+    with _pt.raises(ValueError, match="IPv6 lookup"):
+        r.lookup("2001:db8::1")
