@@ -2077,6 +2077,29 @@ def q_k8s_records(spark, sf):
     )
 
 
+def q_gopher_quality(spark, sf):
+    """Gopher document-quality rules (datapipe.textstats.
+    gopher_quality, Rae et al. 2021 A1.1): word-count band, mean word
+    length, symbol/bullet/ellipsis ratios, alpha-word floor, stop-word
+    minimum — every component an integer permille the oracle
+    recomputes."""
+    from rsyslog_spark.datapipe.textstats import gopher_quality
+
+    d = _docs(spark, sf).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    out = gopher_quality(d)
+    return out.select(
+        "doc_id",
+        "g_n_words",
+        "g_mean_wl_pm",
+        "g_symbol_pm",
+        "g_alpha_pm",
+        "g_stop_hits",
+        F.col("gopher_pass").cast("long").alias("gopher_pass"),
+    )
+
+
 def q_lm_quality(spark, sf):
     """CCNet-style unigram-LM quality score over the documents table
     (datapipe.textstats.unigram_lm_quality): corpus-trained token
@@ -2560,6 +2583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmdb_lookup": q_mmdb_lookup,
         "klog_lines": q_klog_lines,
         "k8s_records": q_k8s_records,
+        "gopher_quality": q_gopher_quality,
     }
 
 
@@ -3903,6 +3927,66 @@ def oracle_sql() -> dict[str, str]:
                         ELSE '' END AS device
             FROM events
             WHERE event_id % 11 <> 0
+        """,
+        "gopher_quality": r"""
+            WITH w AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ), c AS (
+                SELECT doc_id,
+                       len(ws) AS n,
+                       list_sum(list_transform(ws, x -> length(x)))
+                           AS sum_wl,
+                       len(list_filter(ws,
+                           x -> regexp_matches(x, '[A-Za-z]')))
+                           AS n_alpha,
+                       (CASE WHEN list_contains(
+                            list_transform(ws, x -> lower(x)), 'the')
+                            THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(
+                            list_transform(ws, x -> lower(x)), 'be')
+                            THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(
+                            list_transform(ws, x -> lower(x)), 'to')
+                            THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(
+                            list_transform(ws, x -> lower(x)), 'of')
+                            THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(
+                            list_transform(ws, x -> lower(x)), 'and')
+                            THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(
+                            list_transform(ws, x -> lower(x)), 'that')
+                            THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(
+                            list_transform(ws, x -> lower(x)), 'have')
+                            THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(
+                            list_transform(ws, x -> lower(x)), 'with')
+                            THEN 1 ELSE 0 END) AS stop_hits
+                FROM w
+            ), p AS (
+                SELECT doc_id,
+                       CAST(n AS BIGINT) AS g_n_words,
+                       CAST(CASE WHEN n > 0 THEN sum_wl * 1000 // n
+                            ELSE 0 END AS BIGINT) AS g_mean_wl_pm,
+                       CAST(0 AS BIGINT) AS g_symbol_pm,
+                       CAST(CASE WHEN n > 0 THEN n_alpha * 1000 // n
+                            ELSE 0 END AS BIGINT) AS g_alpha_pm,
+                       CAST(stop_hits AS BIGINT) AS g_stop_hits
+                FROM c
+            )
+            SELECT *,
+                   CAST(CASE WHEN g_n_words >= 50 AND g_n_words <= 100000
+                             AND g_mean_wl_pm >= 3000
+                             AND g_mean_wl_pm <= 10000
+                             AND g_symbol_pm <= 100
+                             AND g_alpha_pm >= 800
+                             AND g_stop_hits >= 2
+                        THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
+            FROM p
         """,
         "k8s_records": f"""
             SELECT '/var/log/pods/ns' || CAST(event_id % 5 AS VARCHAR)

@@ -856,3 +856,105 @@ def bm25_topk(
         "score",
         F.row_number().over(w).cast("long").alias("rank"),
     )
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_wl_permille: int = 3_000,
+    max_mean_wl_permille: int = 10_000,
+    max_symbol_permille: int = 100,
+    max_bullet_permille: int = 900,
+    max_ellipsis_permille: int = 300,
+    min_alpha_permille: int = 800,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, appendix A1.1),
+    integer-exact so a SQL oracle reproduces every component:
+
+    * word count in [50, 100k]; mean word length in [3, 10] chars;
+    * symbol-to-word ratio (``#`` or ``...`` occurrences) ≤ 0.1;
+    * ≤ 90% of lines start with a bullet (``-``/``*``/``•``) and
+      ≤ 30% end with an ellipsis;
+    * ≥ 80% of words contain at least one alphabetic character;
+    * at least 2 of the 8 English stop words
+      the/be/to/of/and/that/have/with appear.
+
+    Ratios are permille LONGS (floor), thresholds integer permille —
+    no float crosses the comparison. Adds one column per component
+    plus ``gopher_pass``. Pure Column: map-only, codegen'd, the
+    predicate pushes into the scan when used as a filter."""
+    text = F.col(text_col)
+    words = F.filter(
+        F.split(text, r"\s+"), lambda w: w != F.lit("")
+    )
+    n_words = F.size(words)
+    sum_wl = F.aggregate(
+        words, F.lit(0).cast("long"),
+        lambda a, w: a + F.length(w),
+    )
+    mean_wl_pm = F.when(
+        n_words > 0, sum_wl * 1000 / n_words
+    ).otherwise(F.lit(0)).cast("long")
+
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#")))
+    n_ellipsis = F.regexp_count(text, F.lit(r"\.\.\."))
+    symbol_pm = F.when(
+        n_words > 0, (n_hash + n_ellipsis) * 1000 / n_words
+    ).otherwise(F.lit(0)).cast("long")
+
+    lines = F.filter(
+        F.split(text, "\n"), lambda ln: F.trim(ln) != F.lit("")
+    )
+    n_lines = F.size(lines)
+    bullets = F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike(r"^[-*•]")
+    ))
+    ellipsis_ends = F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike(r"\.\.\.$")
+    ))
+    bullet_pm = F.when(
+        n_lines > 0, bullets * 1000 / n_lines
+    ).otherwise(F.lit(0)).cast("long")
+    ell_pm = F.when(
+        n_lines > 0, ellipsis_ends * 1000 / n_lines
+    ).otherwise(F.lit(0)).cast("long")
+
+    alpha_words = F.size(F.filter(
+        words, lambda w: w.rlike("[A-Za-z]")
+    ))
+    alpha_pm = F.when(
+        n_words > 0, alpha_words * 1000 / n_words
+    ).otherwise(F.lit(0)).cast("long")
+
+    stops = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    lower_words = F.transform(words, F.lower)
+    stop_hits = None
+    for s in stops:
+        h = F.array_contains(lower_words, s).cast("long")
+        stop_hits = h if stop_hits is None else stop_hits + h
+
+    out = df.select(
+        "*",
+        n_words.cast("long").alias("g_n_words"),
+        mean_wl_pm.alias("g_mean_wl_pm"),
+        symbol_pm.alias("g_symbol_pm"),
+        bullet_pm.alias("g_bullet_pm"),
+        ell_pm.alias("g_ellipsis_pm"),
+        alpha_pm.alias("g_alpha_pm"),
+        stop_hits.cast("long").alias("g_stop_hits"),
+    )
+    passed = (
+        (F.col("g_n_words") >= min_words)
+        & (F.col("g_n_words") <= max_words)
+        & (F.col("g_mean_wl_pm") >= min_mean_wl_permille)
+        & (F.col("g_mean_wl_pm") <= max_mean_wl_permille)
+        & (F.col("g_symbol_pm") <= max_symbol_permille)
+        & (F.col("g_bullet_pm") <= max_bullet_permille)
+        & (F.col("g_ellipsis_pm") <= max_ellipsis_permille)
+        & (F.col("g_alpha_pm") >= min_alpha_permille)
+        & (F.col("g_stop_hits") >= min_stopword_hits)
+    )
+    return out.withColumn("gopher_pass", passed)

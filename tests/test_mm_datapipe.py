@@ -1821,3 +1821,35 @@ def test_badwords_phrases_and_punctuated_entries(spark):
     assert out[5] == (3, False)
     with _pt.raises(ValueError, match="normalizes to nothing"):
         badwords_filter(df, ["!!!"])
+
+
+def test_gopher_quality_rules(spark):
+    """textstats.gopher_quality: each Rae et al. A1.1 rule trips on a
+    crafted doc; a clean doc passes."""
+    from rsyslog_spark.datapipe.textstats import gopher_quality
+
+    good = ("the data and that pipeline have run with care " * 7)[:-1]
+    docs = [
+        (1, good),                                   # passes all rules
+        (2, "the and short doc"),                    # < 50 words
+        (3, ("xx " * 60)[:-1]),                      # mean wl 2 < 3
+        (4, good + " " + "#" * 1 + " ###### ##"),    # symbols > 10%?
+        (5, ("the of " + "123 456 789 000 " * 20)),  # alpha < 80%
+        (6, ("zzz " * 60)[:-1]),                     # no stop words
+        (7, "- item one\n- item two\n- item three\n" + good),  # bullets ok
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_quality(df).collect()}
+    assert out[1].gopher_pass
+    assert out[1].g_stop_hits == 5  # the/and/that/have/with
+    assert not out[2].gopher_pass and out[2].g_n_words == 4
+    assert not out[3].gopher_pass and out[3].g_mean_wl_pm == 2000
+    assert not out[5].gopher_pass and out[5].g_alpha_pm < 800
+    assert not out[6].gopher_pass and out[6].g_stop_hits == 0
+    # bullet fraction 3/4 lines <= 90% -> still pass
+    assert out[7].gopher_pass and out[7].g_bullet_pm == 750
+    # ellipsis line-end rule
+    many_ell = "\n".join(["line one ..."] * 4 + [good])
+    df2 = spark.createDataFrame([(8, many_ell)], "doc_id long, text string")
+    r = gopher_quality(df2).collect()[0]
+    assert r.g_ellipsis_pm == 800 and not r.gopher_pass
