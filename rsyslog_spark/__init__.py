@@ -29,6 +29,19 @@ Layout:
     streaming   Structured Streaming equivalents
     lineage     per-partition metrics via observe()
     sinks       single-pass multi-sink writers
+    net/tls     imtcp/imudp/omfwd framing + TLS stream-driver auth
+    beats       imbeats — Lumberjack v2 wire protocol
+    relp        RELP client/listener from the public spec
+    kafka_wire  Kafka record-batch v2 + Produce framing
+    amqp_wire   AMQP 0-9-1 (omrabbitmq)
+    amqp1_wire  AMQP 1.0 (omamqp1 / omazureeventhubs transport)
+    mongo_wire  BSON + OP_MSG (ommongodb)
+    redis_wire  RESP2 (omhiredis / imhiredis)
+    zmtp_wire   ZMTP 3.0 (omczmq / imczmq)
+    snmp_wire   SNMPv1/v2c trap BER (omsnmp)
+    mmdb        MaxMind DB binary format (mmdblookup feed)
+    k8s_source  imkubernetes pod-log records (CRI/docker + merge)
+    sources_os  imkmsg/imjournal/imklog/imfifo/imtuxedoulog/...
 """
 
 __version__ = "0.1.0"
