@@ -2077,6 +2077,33 @@ def q_k8s_records(spark, sf):
     )
 
 
+def q_token_dup_spans(spark, sf):
+    """Token-native ExactSubstr dedup (datapipe.dedup.token_dup_spans)
+    over synthetic ``tokens array<int>`` with provable structure: a
+    20-token block shared by every m=0 doc (first doc keeps it, the
+    rest lose all 20 covered positions), unique-run m=1 docs (nothing
+    removed), and self-repeated m=2 docs (the second copy's 15 tokens
+    removed). The oracle reconstructs counts AND the cleaned-token md5
+    arithmetically."""
+    from rsyslog_spark.datapipe.dedup import token_dup_spans
+
+    ev = _events(spark, sf)
+    eid = F.col("event_id")
+    common = F.sequence(F.lit(7).cast("long"), F.lit(26).cast("long"))
+    tail = F.sequence(eid * 100, eid * 100 + 9)
+    m1 = F.sequence(eid * 100, eid * 100 + 24)
+    b = F.sequence(eid * 100, eid * 100 + 14)
+    toks = (
+        F.when(eid % 3 == 0, F.concat(common, tail))
+        .when(eid % 3 == 1, m1)
+        .otherwise(F.concat(b, b))
+    ).cast("array<int>")
+    df = ev.select(
+        eid.cast("long").alias("doc_id"), toks.alias("tokens")
+    )
+    return token_dup_spans(df, k=13)
+
+
 def q_gopher_quality(spark, sf):
     """Gopher document-quality rules (datapipe.textstats.
     gopher_quality, Rae et al. 2021 A1.1): word-count band, mean word
@@ -2584,6 +2611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "klog_lines": q_klog_lines,
         "k8s_records": q_k8s_records,
         "gopher_quality": q_gopher_quality,
+        "token_dup_spans": q_token_dup_spans,
     }
 
 
@@ -3927,6 +3955,30 @@ def oracle_sql() -> dict[str, str]:
                         ELSE '' END AS device
             FROM events
             WHERE event_id % 11 <> 0
+        """,
+        "token_dup_spans": """
+            SELECT CAST(event_id AS BIGINT) AS doc_id,
+                   CAST(CASE WHEN event_id % 3 = 1 THEN 25 ELSE 30 END
+                        AS BIGINT) AS n_toks,
+                   CAST(CASE WHEN event_id % 3 = 0 AND event_id > 0
+                             THEN 20
+                             WHEN event_id % 3 = 2 THEN 15
+                             ELSE 0 END AS BIGINT) AS n_removed,
+                   md5(CASE
+                       WHEN event_id % 3 = 0 AND event_id = 0
+                       THEN array_to_string(list_concat(
+                            range(7, 27),
+                            range(event_id*100, event_id*100 + 10)), ' ')
+                       WHEN event_id % 3 = 0
+                       THEN array_to_string(
+                            range(event_id*100, event_id*100 + 10), ' ')
+                       WHEN event_id % 3 = 1
+                       THEN array_to_string(
+                            range(event_id*100, event_id*100 + 25), ' ')
+                       ELSE array_to_string(
+                            range(event_id*100, event_id*100 + 15), ' ')
+                       END) AS cleaned_fp
+            FROM events
         """,
         "gopher_quality": r"""
             WITH w AS (

@@ -725,3 +725,84 @@ def ngram_jaccard_pairs(
     return pairs.select("id_a", "id_b", jac).filter(
         F.col("jaccard") >= threshold
     )
+
+
+def token_dup_spans(
+    docs: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    k: int = 13,
+) -> DataFrame:
+    """Token-NATIVE exact-substring duplicate-span removal — the Lee
+    et al. 2021 ExactSubstr pass over the raw ``tokens array<int>``
+    itself (the input table's payload), no decode anywhere: every
+    token position covered by a ``k``-gram whose (doc, pos) is not
+    the corpus-wide first occurrence is removed.
+
+    Scale shape = :func:`duplicate_span_stats` (one explode to
+    (id, pos, gram-hash) — 8-byte xxhash64 of the k token ints — one
+    map-side-combinable min/count groupBy that collapses mass-dup
+    grams to a single row, one join back, one per-doc span mask);
+    token grams hash the ints directly, so the shuffled gram is
+    always 8 bytes regardless of k.
+
+    Returns (id_col, n_toks, n_removed, cleaned_fp) — cleaned_fp =
+    md5 of the surviving token ints joined by single spaces (an
+    arithmetic oracle rebuilds it from the construction)."""
+    base = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(tokens_col).alias("t"),
+    )
+    ex = base.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.col("t"),
+                lambda _x, i: F.when(
+                    i <= F.size("t") - k,
+                    F.xxhash64(F.array_join(
+                        F.transform(
+                            F.slice("t", i + 1, k),
+                            lambda x: x.cast("string"),
+                        ), ",",
+                    )),
+                ),
+            )
+        ).alias("pos", "sh"),
+    ).where(F.col("sh").isNotNull())
+    firsts = (
+        ex.groupBy("sh")
+        .agg(
+            F.min(F.struct("id", "pos")).alias("first"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .where(F.col("cnt") > 1)
+        .select("sh", "first")
+    )
+    dup_starts = (
+        ex.join(firsts, "sh")
+        .where(
+            (F.col("id") != F.col("first.id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
+    )
+    joined = base.join(dup_starts, "id", "left").select(
+        "id", "t",
+        F.coalesce("starts", F.array().cast("array<int>")).alias("starts"),
+    )
+    cleaned = F.filter(
+        F.col("t"),
+        lambda _x, i: ~F.exists(
+            F.col("starts"), lambda s: (s <= i) & (i < s + k)
+        ),
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.size("t").cast("long").alias("n_toks"),
+        (F.size("t") - F.size(cleaned)).cast("long").alias("n_removed"),
+        F.md5(F.array_join(
+            F.transform(cleaned, lambda x: x.cast("string")), " "
+        )).alias("cleaned_fp"),
+    )

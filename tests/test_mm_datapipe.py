@@ -1853,3 +1853,28 @@ def test_gopher_quality_rules(spark):
     df2 = spark.createDataFrame([(8, many_ell)], "doc_id long, text string")
     r = gopher_quality(df2).collect()[0]
     assert r.g_ellipsis_pm == 800 and not r.gopher_pass
+
+
+def test_token_dup_spans(spark):
+    """dedup.token_dup_spans: cross-doc first occurrence survives,
+    within-doc repetition masks the second copy, token-native."""
+    from rsyslog_spark.datapipe.dedup import token_dup_spans
+
+    b = list(range(500, 515))
+    docs = [
+        (1, list(range(7, 27)) + [101, 102]),   # shared block, first
+        (2, list(range(7, 27)) + [201, 202]),   # shared block, later
+        (3, list(range(300, 325))),             # unique run
+        (4, b + b),                             # self-repeat
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, tokens array<int>")
+    out = {r.doc_id: r for r in token_dup_spans(df, k=13).collect()}
+    assert out[1].n_removed == 0 and out[1].n_toks == 22
+    assert out[2].n_removed == 20          # whole shared block masked
+    assert out[3].n_removed == 0
+    assert out[4].n_removed == 15 and out[4].n_toks == 30
+    import hashlib
+    exp = hashlib.md5(" ".join(map(str, b)).encode()).hexdigest()
+    assert out[4].cleaned_fp == exp
+    exp2 = hashlib.md5(" ".join(map(str, [201, 202])).encode()).hexdigest()
+    assert out[2].cleaned_fp == exp2
