@@ -509,8 +509,11 @@ def klog_parse(
     """
     raw = F.col(line_col)
 
-    # -- kernel timestamp, anchored right after a short leading PRI --
-    ts_rx = r"^(<\d{1,3}>)\[( *)(\d+)\.(\d+)\](.*)$"
+    # -- kernel timestamp, anchored right after the first '>' in bytes
+    # 1..4 — the C scans for '>' WITHOUT requiring a '<digits' prefix
+    # (bsd.c:83-86: endpri starts at 1, byte 0 is never examined), so
+    # 'ab>[5.6] x' extracts a timestamp too; mirrored exactly --
+    ts_rx = r"^(.[^>]{0,3}>)\[( *)(\d+)\.(\d+)\](.*)$"
     has_ts = F.regexp_extract(raw, ts_rx, 3) != ""
     ktime_secs = F.when(
         has_ts, F.regexp_extract(raw, ts_rx, 3).try_cast("long")
