@@ -1073,16 +1073,24 @@ def q_ngram_jaccard(spark, sf):
     [2, NGRAM_DF_MAX] (bounds the k² blowup of a hot shingle); the
     jaccard itself is verified EXACTLY on the full shingle arrays via
     array_intersect. The oracle SQL applies the identical cap."""
-    from rsyslog_spark.datapipe.dedup import _shingles
-
-    from rsyslog_spark.datapipe.dedup import _parallelism
+    from rsyslog_spark.datapipe.dedup import (
+        _parallelism,
+        _shingles_of_words,
+        _words,
+    )
 
     d = _docs(spark, sf)
     npart = _parallelism(d)
     sh = (
-        d.select(F.col("doc_id").alias("id"), F.col("text").alias("_t"))
+        # split words BEFORE the spread exchange: the interpreted
+        # shingle lambda then reads a plain attribute per element
+        # (dedup._shingles_of_words rationale)
+        d.select(F.col("doc_id").alias("id"),
+                 _words(F.col("text")).alias("_w"))
         .repartition(npart, "id")  # spread docs before heavy shingling
-        .select("id", _shingles(F.col("_t"), 3).alias("shingles"))
+        .select(
+            "id", _shingles_of_words(F.col("_w"), 3).alias("shingles")
+        )
         .repartition(npart, "id")
         .withColumn("n_sh", F.size("shingles"))
     )

@@ -48,15 +48,36 @@ def exact_dedup(
     )
 
 
-def _shingles(col: Column, k: int) -> Column:
-    """Word k-shingles of normalized text (distinct)."""
-    words = F.split(_norm_text(col), " ")
+def _words(col: Column) -> Column:
+    """Normalized word array (the shingle base)."""
+    return F.split(_norm_text(col), " ")
+
+
+def _shingles_of_words(words: Column, k: int) -> Column:
+    """Word k-shingles (distinct) from an ALREADY-MATERIALIZED word
+    array column.
+
+    PERF (r6): the slice lambda references ``words`` once per element,
+    and higher-order functions are interpreted (CodegenFallback) — so
+    whatever expression tree ``words`` is gets RE-EVALUATED per
+    shingle. Pass a plain column attribute (behind a projection the
+    optimizer cannot collapse, e.g. an Exchange): re-reading a row
+    field per element is free, while an inlined
+    split(regexp_replace(lower(text))) ran once per shingle (measured
+    3.7 s → 0.3 s for the minhash shingle stage at sf0.1)."""
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     sh = F.transform(
         idx, lambda i: F.array_join(F.slice(words, i + 1, k), " ")
     )
     return F.array_distinct(sh)
+
+
+def _shingles(col: Column, k: int) -> Column:
+    """Word k-shingles of normalized text (distinct). See
+    :func:`_shingles_of_words` for the per-element re-evaluation trap
+    when ``col`` is an expression rather than a materialized column."""
+    return _shingles_of_words(_words(col), k)
 
 
 _M31 = (1 << 31) - 1
@@ -156,12 +177,26 @@ def minhash_lsh_pairs(
     # serializing the compute-heavy shingle/hash stages on one core. A
     # user-specified numPartitions is exempt from AQE coalescing.
     npart = _parallelism(df)
-    spread = df.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("_t")
+    # the spread shuffle carries the SPLIT word array, not raw text:
+    # post-exchange `_w` is a plain attribute, so the interpreted
+    # shingle lambda re-reads a row field per element instead of
+    # re-running split(regexp_replace(lower(text))) per shingle
+    # (see _shingles_of_words; measured 3.7 s → 0.3 s at sf0.1)
+    # the old `filter(size(_sh) > 0)` ABOVE the shingle projection was
+    # a silent disaster: predicate pushdown inlined the whole shingle
+    # expression below the exchange into the scan stage, re-running the
+    # interpreted per-element lambda once per row per site (measured
+    # +3.3 s at sf0.1). It only ever dropped null-text docs — split()
+    # of any non-null text yields ≥1 word, hence ≥1 shingle — so the
+    # equivalent pushable predicate is a null check on the raw text.
+    spread = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        _words(F.col(text_col)).alias("_w"),
     ).repartition(npart, "id")
     hashed = (
-        spread.withColumn("_sh", _shingles(F.col("_t"), shingle_k))
-        .filter(F.size("_sh") > 0)
+        spread.withColumn(
+            "_sh", _shingles_of_words(F.col("_w"), shingle_k)
+        )
         .select(
             "id",
             F.transform("_sh", lambda s: fold31(F.xxhash64(s))).alias(
@@ -427,11 +462,20 @@ def contamination_flags(
     probe rows carry 8 bytes instead of ~80-char strings — the 100 TB
     setting; ``hashed=False`` joins raw shingle strings (exact, SQL-
     mirrorable — the oracle mode). Returns (id_col, contaminated)."""
-    sh = _shingles(F.col(text_col), shingle_k)
 
     def grams(df: DataFrame) -> DataFrame:
-        g = F.explode(sh).alias("sh")
-        out = df.select(F.col(id_col).alias("id"), g)
+        # materialize the word array in a child projection first: a
+        # Generate keeps its child Project (CollapseProject does not
+        # merge into a generator), so the interpreted shingle lambda
+        # reads a row field per element instead of re-running
+        # split(normalize(text)) per 13-gram (measured 3.0 s → 0.55 s
+        # for the corpus explode at sf0.1 — see _shingles_of_words)
+        g = F.explode(
+            _shingles_of_words(F.col("_w"), shingle_k)
+        ).alias("sh")
+        out = df.select(
+            F.col(id_col).alias("id"), _words(F.col(text_col)).alias("_w")
+        ).select("id", g)
         if hashed:
             out = out.select("id", F.xxhash64("sh").alias("sh"))
         return out
@@ -678,10 +722,16 @@ def ngram_jaccard_pairs(
     verifier."""
     npart = _parallelism(df)
     sh = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
-        .repartition(npart, "id")  # spread raw docs across cores
+        df.select(
+            F.col(id_col).alias("id"),
+            _words(F.col(text_col)).alias("_w"),
+        )
+        # spread + materialize the word array: the shingle lambda then
+        # reads a plain attribute per element (_shingles_of_words)
+        .repartition(npart, "id")
         .select(
-            "id", _shingles(F.col("_t"), shingle_k).alias("shingles")
+            "id",
+            _shingles_of_words(F.col("_w"), shingle_k).alias("shingles"),
         )
         .repartition(npart, "id")  # barrier: build shingles once
         .withColumn("n_sh", F.size("shingles"))

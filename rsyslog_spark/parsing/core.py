@@ -54,28 +54,50 @@ _RE_3164 = rf"(?s)^ ?({TS3164_RE}) (\S+) ([^: ]*:?)(.*)$"
 _RE_5424 = r"(?s)^1 (\S+) (\S+) (\S+) (\S+) (\S+) (-|\[.*\])(?: (.*))?$"
 
 
+_ASCII_LUT = None
+
+
+def _ascii_lut() -> Column:
+    """Constant 128-entry array of single-char string literals: the
+    per-token decode is then an O(1) index into one shared ArrayData —
+    no per-token string allocation (char() builds a fresh UTF8String
+    per call; measured 2.29 s → 1.68 s over 5M rows at local[32])."""
+    global _ASCII_LUT
+    if _ASCII_LUT is None:
+        _ASCII_LUT = F.array(*[F.lit(chr(i)) for i in range(128)])
+    return _ASCII_LUT
+
+
 def decode_tokens(tokens: Column | str, backend: str = "jvm") -> Column:
     """array<int> code points → string.
 
-    backend="jvm": array_join(transform(char)) — stays inside
-    whole-stage codegen but allocates one tiny string per token
-    (exact for ASCII).
-    backend="arrow": vectorized pandas UDF over Arrow batches —
-    measured ~30% faster at 20M rows and allocates far less JVM
-    garbage (better multi-core scaling); handles any code point.
+    backend="jvm": array_join(transform(try_element_at(LUT))) — stays
+    inside whole-stage codegen; each token indexes a constant literal
+    array instead of allocating a string (r6, ~25% faster than the
+    char() join). Exact for ASCII (<128) tokens — the corpus
+    guarantee; out-of-range tokens are skipped (char() formerly
+    wrapped them mod 256 — both are outside the contract).
+    backend="arrow": vectorized arrow_udf over Arrow batches — decode
+    by re-wrapping the list array's buffers (see _decode_arrow_impl);
+    fastest absolute (1.42 s at local[32]) and handles any code
+    point, but routes the token payload through the Python worker.
     """
     c = F.col(tokens) if isinstance(tokens, str) else tokens
     if backend == "arrow":
         return _decode_tokens_arrow(c)
-    return F.array_join(F.transform(c, lambda t: F.char(t)), "")
+    lut = _ascii_lut()
+    return F.array_join(
+        F.transform(c, lambda t: F.try_element_at(lut, t + 1)), ""
+    )
 
 
-def _decode_arrow_impl(tokens):
-    """r5: decode the whole batch through ONE flat byte buffer —
-    concatenate all token arrays, one bytes()+latin-1 decode, then
-    per-row string slicing by offsets (a C memcpy each). The per-row
-    bytes()/max() of the previous version was ~4× slower. Batches with
-    any non-latin-1 code point (rare) fall back to per-row chr join."""
+def _decode_pandas_impl(tokens):
+    """Pandas-Series token decode (the parse_full UDF's entry: its
+    mega-regex pipeline is pandas end to end): decode the whole batch
+    through ONE flat byte buffer — concatenate all token arrays, one
+    bytes()+latin-1 decode, then per-row string slicing by offsets (a
+    C memcpy each). Batches with any non-latin-1 code point (rare)
+    fall back to per-row chr join."""
     import numpy as np
     import pandas as pd
 
@@ -106,10 +128,56 @@ def _decode_arrow_impl(tokens):
     return pd.Series(out, dtype=object)
 
 
-def _decode_tokens_arrow(c: Column) -> Column:
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+def _decode_arrow_impl(lst):
+    """r6: decode one Arrow batch by REUSING the list array's buffers
+    (guide §4.2 — a list<int32> column is one contiguous values buffer
+    plus an offsets array; a string column is one contiguous UTF-8
+    buffer plus the SAME shape of offsets array). For an all-ASCII
+    batch the whole decode is a vectorized int32→uint8 cast of the
+    values buffer and a zero-copy re-wrap of the offsets — no per-row
+    Python, no per-row allocation (measured 1.4 s vs 2.35 s for the
+    JVM char-join over 5M rows at local[32]). Batches with wide code
+    points (or exotic layouts: sliced arrays, nulls in the child) fall
+    back to the exact per-row chr join."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    fn = pandas_udf(_decode_arrow_impl, "string", PandasUDFType.SCALAR)
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    n = len(lst)
+    if n == 0:
+        return pa.array([], type=pa.string())
+    values = lst.values if lst.offset == 0 else None
+    if values is not None and values.null_count == 0 and len(values):
+        mm = pc.min_max(values)
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        if lo is not None and 0 <= lo and hi < 128:
+            # offsets are absolute into `values` (offset-0 array), so
+            # both buffers can be re-wrapped as a string array as-is;
+            # code points < 128 make the byte buffer valid UTF-8.
+            data = values.cast(pa.uint8())
+            return pa.Array.from_buffers(
+                pa.string(),
+                n,
+                [lst.buffers()[0], lst.offsets.buffers()[1],
+                 data.buffers()[1]],
+                null_count=lst.null_count,
+            )
+    # exact fallback: any code point, any layout
+    return pa.array(
+        [
+            "".join(map(chr, row.as_py())) if row.is_valid else None
+            for row in lst
+        ],
+        type=pa.string(),
+    )
+
+
+def _decode_tokens_arrow(c: Column) -> Column:
+    from pyspark.sql.functions import arrow_udf
+    from pyspark.sql.types import StringType
+
+    fn = arrow_udf(_decode_arrow_impl, StringType())
     return fn(c)
 
 

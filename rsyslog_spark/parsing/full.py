@@ -379,9 +379,9 @@ def _parse_frame(raw: pd.Series) -> pd.DataFrame:
 
 @pandas_udf(PARSE_SCHEMA)
 def _parse_tokens_udf(tokens: pd.Series) -> pd.DataFrame:
-    from rsyslog_spark.parsing.core import _decode_arrow_impl
+    from rsyslog_spark.parsing.core import _decode_pandas_impl
 
-    return _parse_frame(_decode_arrow_impl(tokens))
+    return _parse_frame(_decode_pandas_impl(tokens))
 
 
 def parse_full(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
