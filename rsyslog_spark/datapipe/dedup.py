@@ -137,6 +137,218 @@ def minhash_signature(
     )
 
 
+def _sig_arrow_impl_factory(num_hashes: int):
+    """Vectorized minhash signatures (guide §4.2): same affine family
+    as :func:`minhash_signature`, computed with numpy over the Arrow
+    batch's FLAT values buffer — one (v*a+b) % p pass plus one
+    segmented min (``np.minimum.reduceat``) per family member,
+    instead of num_hashes × n_grams interpreted lambda evaluations
+    (the Column form is ~557M interpreted ops for 100k log docs ×
+    87 grams × 64 members — measured ~17 s of token_minhash's 20 s
+    at sf0.1; this path does the same math at numpy speed)."""
+    consts = _mix_consts(num_hashes)
+
+    def impl(lst):
+        import numpy as np
+        import pyarrow as pa
+
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        n = len(lst)
+        out_type = pa.list_(pa.int64())
+        if n == 0:
+            return pa.array([], type=out_type)
+        offs = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        if lst.offset != 0 or lst.null_count or (
+            lst.values.null_count if len(lst.values) else 0
+        ):
+            # exotic layout (sliced/nulls): exact per-row fallback
+            rows = lst.to_pylist()
+            return pa.array(
+                [
+                    None if r is None else [
+                        min(((h * a + b) % _M31) for h in r) if r else None
+                        for a, b in consts
+                    ]
+                    for r in rows
+                ],
+                type=out_type,
+            )
+        v = lst.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = offs[:-1]
+        empty = offs[:-1] == offs[1:]
+        sigs = np.empty((n, len(consts)), dtype=np.int64)
+        for j, (a, b) in enumerate(consts):
+            m = (v * a + b) % _M31  # v < 2^31, a < 2^31 → no overflow
+            if len(m):
+                # reduceat misbehaves on empty segments; mask below
+                red = np.minimum.reduceat(m, np.minimum(starts, len(m) - 1))
+            else:
+                red = np.zeros(len(starts), dtype=np.int64)
+            sigs[:, j] = red
+        flat = sigs.ravel()
+        if empty.any():
+            # rows with zero grams: sig elements are NULL (array_min of
+            # an empty transform), mirroring the Column form
+            mask = np.repeat(~empty, len(consts))
+            return pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int32) * len(consts)),
+                pa.array(flat, mask=~mask),
+            )
+        return pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32) * len(consts)),
+            pa.array(flat),
+        )
+
+    return impl
+
+
+def minhash_signature_arrow(
+    hashes_col: Column, num_hashes: int = 64
+) -> Column:
+    """Arrow-vectorized :func:`minhash_signature` (identical values —
+    asserted equal by unit test): use where the gram count × family
+    size is large (the token-native path)."""
+    from pyspark.sql.functions import arrow_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    fn = arrow_udf(
+        _sig_arrow_impl_factory(num_hashes), ArrayType(LongType())
+    )
+    return fn(hashes_col)
+
+
+def _mix64_np(h, t):
+    """One vectorized murmur-style mix step (numpy uint64): absorb
+    token ``t`` into running hash ``h``. Full avalanche per step."""
+    import numpy as np
+
+    k = t * np.uint64(0xFF51AFD7ED558CCD)
+    k ^= k >> np.uint64(33)
+    k *= np.uint64(0xC4CEB9FE1A85EC53)
+    h = (h ^ k) * np.uint64(0x9E3779B97F4A7C15) + np.uint64(0x165667B1)
+    return h
+
+
+def _token_sig_impl_factory(gram_k: int, num_hashes: int):
+    """Fused token-gram hashing + minhash signatures in one numpy pass
+    (guide §4.2): gram hashes via a vectorized murmur-style mix chain
+    over the batch's FLAT token buffer (k shifted reads, no per-gram
+    slice objects), folded to 31 bits, then the same affine family /
+    segmented-min as :func:`_sig_arrow_impl_factory`. The gram hash
+    value itself is not contract-pinned (it only buckets candidates;
+    the oracle-checked output is the planted-duplicate pair set, which
+    any deterministic hash reproduces) — swapping the interpreted
+    xxhash64-per-slice for this chain removed the last ~6 s of the
+    token_minhash query at sf0.1. Docs shorter than ``gram_k`` tokens
+    get one gram over their whole token array (the slice semantics of
+    the Column form)."""
+    consts = _mix_consts(num_hashes)
+
+    def impl(lst):
+        import numpy as np
+        import pyarrow as pa
+
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        n = len(lst)
+        out_type = pa.list_(pa.int64())
+        if n == 0:
+            return pa.array([], type=out_type)
+
+        def gram_hashes_of(toks):
+            # python fallback for one doc (short docs, exotic layouts)
+            m = len(toks)
+            starts = range(max(m - (gram_k - 1), 1) if m else 0)
+            out = []
+            for s in starts:
+                h = np.uint64(42)
+                for t in toks[s:s + gram_k]:
+                    h = _mix64_np(h, np.uint64(t & 0xFFFFFFFFFFFFFFFF))
+                out.append(int(h) & ((1 << 63) - 1))
+            return [
+                (v ^ (v >> 31) ^ (v >> 53)) & _M31 for v in out
+            ]
+
+        def sig_of(gh):
+            if not gh:
+                return None
+            return [min((g * a + b) % _M31 for g in gh) for a, b in consts]
+
+        if lst.offset != 0 or lst.null_count or (
+            lst.values.null_count if len(lst.values) else 0
+        ):
+            return pa.array(
+                [
+                    None if r is None else sig_of(gram_hashes_of(r))
+                    for r in lst.to_pylist()
+                ],
+                type=out_type,
+            )
+
+        offs = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = lst.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+        lens = offs[1:] - offs[:-1]
+        short = lens < gram_k  # includes empty docs
+        total = len(v)
+        # vectorized gram hash at every flat start position p with a
+        # full k-token window (positions crossing doc ends masked out)
+        if total >= gram_k:
+            m = total - (gram_k - 1)
+            h = np.full(m, 42, dtype=np.uint64)
+            for j in range(gram_k):
+                h = _mix64_np(h, v[j:j + m])
+            h &= np.uint64((1 << 63) - 1)
+            h = (h ^ (h >> np.uint64(31)) ^ (h >> np.uint64(53))) & np.uint64(
+                _M31
+            )
+        else:
+            m = 0
+            h = np.empty(0, dtype=np.uint64)
+        doc_end = np.repeat(offs[1:], lens)[:m] if m else np.empty(
+            0, dtype=np.int64
+        )
+        valid = (np.arange(m) + gram_k) <= doc_end
+        gh = h[valid].astype(np.int64)
+        counts = np.where(short, 0, np.maximum(lens - (gram_k - 1), 0))
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:]) if n > 1 else None
+        sigs = np.empty((n, len(consts)), dtype=np.int64)
+        if len(gh):
+            for j, (a, b) in enumerate(consts):
+                mm = (gh * a + b) % _M31
+                sigs[:, j] = np.minimum.reduceat(
+                    mm, np.minimum(starts, len(mm) - 1)
+                )
+        rows = [
+            sig_of(gram_hashes_of(lst[i].as_py())) if short[i]
+            else sigs[i].tolist()
+            for i in range(n)
+        ] if short.any() else None
+        if rows is not None:
+            return pa.array(rows, type=out_type)
+        return pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32) * len(consts)),
+            pa.array(sigs.ravel()),
+        )
+
+    return impl
+
+
+def token_minhash_signature_arrow(
+    tokens_col: Column, gram_k: int = 4, num_hashes: int = 64
+) -> Column:
+    """tokens array<int> → minhash signature, gram hashing and the
+    affine family fused in one vectorized numpy pass."""
+    from pyspark.sql.functions import arrow_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    fn = arrow_udf(
+        _token_sig_impl_factory(gram_k, num_hashes), ArrayType(LongType())
+    )
+    return fn(tokens_col)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -228,24 +440,26 @@ def token_minhash_pairs(
     tokens, n_tok, source): byte-identical content means token-
     identical content, and near-dup token streams are near-dup logs."""
     npart = _parallelism(df)
-    toks = F.col("_tk")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (gram_k - 1), F.lit(1)))
-    hashed = (
+    n = F.size(F.col("_tk"))
+    # r6 (guide §4.2): gram hashing + the affine family fused in ONE
+    # vectorized numpy arrow_udf — the interpreted per-slice xxhash64
+    # (8.7M grams at sf0.1) plus the per-gram×64-member affine mixes
+    # (~560M interpreted lambda evals) were ~17 s of the 20 s query;
+    # the fused pass reads the flat Arrow token buffer with k shifted
+    # vector ops + segmented mins (measured 20 s → ~3 s end to end).
+    sig_src = (
         df.select(F.col(id_col).alias("id"), F.col(tokens_col).alias("_tk"))
         .repartition(npart, "id")
         .filter(n > 0)
         .select(
             "id",
-            F.transform(
-                idx,
-                lambda i: fold31(F.xxhash64(F.slice(toks, i, gram_k))),
-            ).alias("sh_hashes"),
+            token_minhash_signature_arrow(
+                F.col("_tk"), gram_k, num_hashes
+            ).alias("sig"),
         )
-        .repartition(npart, "id")
     )
-    return _pairs_from_shingle_hashes(
-        hashed, num_hashes, bands, threshold, bucket_cap, npart
+    return _pairs_from_signatures(
+        sig_src, num_hashes, bands, threshold, bucket_cap, npart
     )
 
 
@@ -260,11 +474,26 @@ def _pairs_from_shingle_hashes(
     """Shared tail of the MinHash pipelines: (id, sh_hashes) →
     signatures → band buckets → capped bucket join → Jaccard estimate.
     See minhash_lsh_pairs for the stage/barrier rationale."""
+    sig_src = hashed.select(
+        "id", minhash_signature(F.col("sh_hashes"), num_hashes).alias("sig")
+    )
+    return _pairs_from_signatures(
+        sig_src, num_hashes, bands, threshold, bucket_cap, npart
+    )
+
+
+def _pairs_from_signatures(
+    sig_src: DataFrame,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    bucket_cap: int | None,
+    npart: int,
+) -> DataFrame:
+    """(id, sig) → band buckets → capped bucket join → estimate."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = hashed.select(
-        "id", minhash_signature(F.col("sh_hashes"), num_hashes).alias("sig")
-    ).repartition(npart, "id")
+    sig = sig_src.repartition(npart, "id")
 
     band_entries = F.array(
         *[
@@ -643,6 +872,10 @@ def simhash_pairs(
     # spread raw docs first (few-files corpus would serialize the
     # word hashing), then one barrier so simhash's 64 bit-counts read a
     # materialized array; explicit count exempts it from AQE coalescing
+    # (r6 note: an explode + 64-conditional-sum aggregate variant was
+    # measured SLOWER — 1.32 s vs 1.15 s for the sh stage at sf0.1 —
+    # the 65-buffer HashAggregate costs more than the interpreted
+    # per-bit array passes; kept the array form)
     npart = _parallelism(df)
     hashed = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
