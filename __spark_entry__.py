@@ -1123,6 +1123,13 @@ def q_ngram_jaccard(spark, sf):
         )
         .withColumn("n_inter", F.size(F.array_intersect("_sa", "_sb")))
     )
+    # barrier: keep the array_intersect out of the pushed filter and
+    # the keep-expression's double reference (dedup._project_barrier)
+    from rsyslog_spark.datapipe.dedup import _project_barrier
+
+    pairs = _project_barrier(
+        pairs.select("id_a", "id_b", "n_inter", "na", "nb")
+    )
     keep = F.col("n_inter") * 2 >= (F.col("na") + F.col("nb") - F.col("n_inter"))
     return pairs.filter(keep).select(
         F.col("id_a").cast("long").alias("id_a"),

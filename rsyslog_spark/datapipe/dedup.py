@@ -17,6 +17,27 @@ def _norm_text(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
+def _project_barrier(df: DataFrame) -> DataFrame:
+    """Materialization barrier WITHOUT an exchange (r6): explode a
+    one-element struct array. A Generate keeps its child projection
+    (CollapseProject does not merge into a generator) and a filter on
+    a generated column cannot be pushed below the Generate — so a
+    downstream ``filter`` on an expensive computed column (cosine,
+    est_jaccard, array_intersect counts…) reads the value instead of
+    re-inlining the whole expression below the projection (predicate
+    pushdown otherwise evaluates it TWICE per row: once in the pushed
+    filter, once in the surviving projection — and interpreted
+    higher-order functions make that doubling expensive). Cost: one
+    struct+array wrap per row."""
+    cols = df.columns
+    r = F.explode(
+        F.array(F.struct(*[F.col(c) for c in cols]))
+    ).alias("_r")
+    return df.select(r).select(
+        *[F.col(f"_r.{c}").alias(c) for c in cols]
+    )
+
+
 def _parallelism(df: DataFrame) -> int:
     """Cluster-wide task parallelism for explicit repartition counts
     (kept out of AQE's byte-based coalescing, which under-parallelizes
@@ -559,9 +580,12 @@ def _pairs_from_signatures(
         )
         / F.lit(num_hashes)
     ).alias("est_jaccard")
-    return cand.select("id_a", "id_b", est).filter(
-        F.col("est_jaccard") >= threshold
-    )
+    # barrier before the threshold filter: without it, predicate
+    # pushdown re-inlines the signature-compare HOF into the filter
+    # and every candidate pays for it twice (see _project_barrier)
+    return _project_barrier(
+        cand.select("id_a", "id_b", est)
+    ).filter(F.col("est_jaccard") >= threshold)
 
 
 def _free_local_checkpoint(df: DataFrame) -> None:
@@ -1001,6 +1025,14 @@ def ngram_jaccard_pairs(
             "id_b",
         )
         .withColumn("n_inter", F.size(F.array_intersect("_sh_a", "_sh_b")))
+    )
+    # barrier BEFORE deriving jaccard: n_inter's array_intersect would
+    # otherwise be inlined twice into the jac expression (it references
+    # n_inter twice) and a third time into the pushed threshold filter
+    # (see _project_barrier); past the barrier it is an attribute and
+    # the arithmetic is free to duplicate
+    pairs = _project_barrier(
+        pairs.select("id_a", "id_b", "n_inter", "na", "nb")
     )
     jac = (
         F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
