@@ -424,15 +424,17 @@ def dsir_weights(
     platform log().
 
     Returns one row per document: (id, n_words, wt_sum). Scale shape
-    (r6, guide §2.3/§2.4): the exploded corpus is aggregated ONCE to
-    the (id, bucket) level — the bucket hash is a cheap map-side fold
+    (r6, guide §2.3/§2.4): the exploded corpus is aggregated to the
+    (id, bucket) level — the bucket hash is a cheap map-side fold
     computed inline, so no vocab distinct and no corpus-sized join on
     the word string — and both the B-row count table and the per-doc
-    score derive from that one exchange (Catalyst reuses it:
-    ReusedExchange in the plan). The B-row weight table broadcasts;
-    total profile is one corpus-sized shuffle + two tiny ones, versus
-    the r5 shape's vocab distinct + three re-executions of the
-    corpus/vocab join (measured 1.26 s → ~0.5 s at sf0.1).
+    score derive from that aggregation. Column pruning specializes the
+    two consumers differently, so the plan runs the explode+aggregate
+    twice (both passes map-side narrow + one shuffle each of (doc ×
+    bucket)-sized partials) rather than reusing one exchange; that is
+    still strictly less work than the r5 shape's vocab distinct +
+    three corpus passes + corpus-sized string join. The B-row weight
+    table broadcasts (plan-asserted).
     """
     words = df.select(
         F.col(id_col),
