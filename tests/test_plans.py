@@ -355,6 +355,27 @@ def test_dsir_weight_table_broadcasts(spark):
     assert "BroadcastHashJoin" in p, p
 
 
+def test_dsir_single_corpus_pass(spark):
+    """dsir_weights explodes+aggregates the corpus exactly ONCE (r6):
+    the (id, bucket) table is localCheckpoint'd, so the weight-table
+    branch and the scoring join both read the materialized blocks
+    instead of each re-running the explode. In the physical plan that
+    means zero Generate nodes and two scans of the same checkpointed
+    RDD."""
+    from rsyslog_spark.datapipe.curation import dsir_weights
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta", i % 2 == 0) for i in range(50)],
+        "doc_id long, text string, t boolean",
+    )
+    p = plan_of(dsir_weights(df, F.col("t")))
+    assert "Generate" not in p, p
+    import re
+
+    rdds = re.findall(r"MapPartitionsRDD\[\d+\]", p)
+    assert len(rdds) == 2 and len(set(rdds)) == 1, (rdds, p)
+
+
 def test_quantized_topk_no_corpus_shuffle(spark, sf_dir):
     """q8 ANN must keep the brute-force scan shape: queries broadcast,
     corpus never shuffled before the per-partition partial top-k."""
